@@ -1,0 +1,25 @@
+"""data_wrangling_spark — a PySpark-native analytics engine.
+
+A brand-new engine with the query and data-processing capabilities of the
+reference pipeline (MPhillips55/Data-Wrangling: OSM-XML audit → clean →
+normalize → SQL analytics), re-expressed Spark-first:
+
+- declarative DataFrame / SQL plans (Catalyst optimizes; no hand scheduling)
+- all cleaning / standardization ops as pure Column expressions (no UDFs on
+  the hot path)
+- partition-aware ingest and sinks designed for 100 TB scale
+- LLM-training-data extensions: dedup (exact/MinHash/SimHash/n-gram),
+  similarity search, text analysis, multimodal column plumbing
+
+Layout:
+    session.py     SparkSession factory with scale-tuned defaults
+    sources/       parquet/csv table loaders, OSM-XML ingest
+    functions/     scalar Column-expression libraries (cleaning, text, vectors)
+    operators/     composite operators (audit, normalize, dedup, similarity)
+    plans/         the query registry: one spec per operator — Spark fn +
+                   DuckDB oracle SQL generated from the same entry
+    streaming/     Structured Streaming variants
+    sinks.py       parquet / CSV / table sinks
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,70 @@
+"""Text-analysis scalar ops for LLM-data pipelines (SURVEY.md §2.11 X-TEXT).
+
+All pure Column expressions — JVM-side, whole-stage-codegen friendly. Each
+has an exact ANSI-SQL twin (used by the DuckDB oracle), so semantics are
+pinned down engine-independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: small multilingual stopword sets for the n-gram language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "is", "in", "that", "it", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "las"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "du", "que"],
+}
+
+#: stopwords for the quality score (English core set)
+QUALITY_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "was", "it", "that"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; ''.split → [''] (size 1) on both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, r"[\.,;:!\?]")
+
+
+def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or QUALITY_STOPWORDS
+    arr = F.array(*[F.lit(s) for s in sw])
+    return F.size(F.array_intersect(F.array_distinct(tokens(col)), arr))
+
+
+def normalized(col: Column | str) -> Column:
+    """Canonical text form: lowercase, strip non-alnum, squeeze whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.lower(c)
+    out = F.regexp_replace(out, r"[^a-z0-9 ]", "")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint = md5 of the normalized text (stable across
+    engines; used for near-canonical exact dedup)."""
+    return F.md5(normalized(col))
+
+
+def lang_score(col: Column | str, lang: str) -> Column:
+    """# of distinct tokens that are marker words for ``lang``."""
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    toks = F.array_distinct(tokens(F.lower(F.col(col) if isinstance(col, str) else col)))
+    return F.size(F.array_intersect(toks, markers))

@@ -1,0 +1,41 @@
+"""Vector ops over ``array<float>`` embedding columns (SURVEY.md §2.11
+X-SIM-SEARCH).
+
+Built-in higher-order functions only (zip_with / aggregate / transform) —
+JVM-side, no Python boundary. Dot products accumulate in DOUBLE in array
+order, which matches DuckDB's list_dot_product on a DOUBLE[] cast, so
+oracle hashes agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-order double-precision dot product."""
+    prods = F.zip_with(
+        _c(a).cast("array<double>"), _c(b).cast("array<double>"), lambda x, y: x * y
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column | str) -> Column:
+    v = _c(a).cast("array<double>")
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    diffs = F.zip_with(
+        _c(a).cast("array<double>"), _c(b).cast("array<double>"), lambda x, y: x - y
+    )
+    return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x * x))

@@ -1,0 +1,49 @@
+"""Oracle-diff tests (SURVEY.md §5 'primary'): every registered query with
+an oracle is checked against DuckDB at sf0.001, exactly like the driver's
+sf0.01 gate but faster. Registry-driven: a new @register'd query is picked
+up automatically."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_wrangling_spark.plans.registry import QUERIES, queries
+from tests.conftest import assert_matches_oracle
+
+queries()  # force registration
+
+
+ORACLED = sorted(name for name, spec in QUERIES.items() if spec.oracle is not None)
+ROWS_ONLY = sorted(name for name, spec in QUERIES.items() if spec.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_matches_duckdb_oracle(spark, duck, name):
+    spec = QUERIES[name]
+    assert_matches_oracle(spark, duck, spec.spark, spec.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_smoke(spark, name):
+    spec = QUERIES[name]
+    df = spec.spark(spark, "/root/testdata/sf0.001")
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert set(df.columns) == {"user_id", "cnt"}
+
+
+def test_registry_consistency():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 10
