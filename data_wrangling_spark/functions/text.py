@@ -39,7 +39,8 @@ def char_count(col: Column | str) -> Column:
 
 def punct_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_count(c, r"[\.,;:!\?]")
+    # pattern must be a Column: a bare str is taken as a column NAME here
+    return F.regexp_count(c, F.lit(r"[\.,;:!\?]"))
 
 
 def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Column:

@@ -1,0 +1,109 @@
+"""OP-AGG-AUDIT — the reference's audit pass as one parameterized
+groupBy/collect_set operator (SURVEY.md §2.6).
+
+Reference (Step_1_Audit_Values.py:43-125): stream the XML, dispatch each
+tag on exact key equality, bucket dirty values by an extracted pattern
+(street last-token / state alpha-run / city first-word / housenumber
+digit-run), accumulating the SET of distinct raw values per bucket;
+streets are additionally anti-filtered against the expected-suffix list;
+phone/postcode are bare value collections.
+
+Engine form: one declarative job per audited field —
+``filter(key predicate) → groupBy(bucket expr) → collect_set(value)`` —
+returning a tidy DataFrame ``(field, bucket, values, n_values)`` instead
+of printed dicts. The shuffle is on (field, bucket), both low-cardinality;
+collect_set keeps only DISTINCT dirty values per bucket, so executor
+memory is bounded by vocabulary, not row count — safe at 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_wrangling_spark.functions.cleaning import (
+    CITY_TYPE_RE,
+    EXPECTED_STREET_TYPES,
+    HOUSENUMBER_RE,
+    STATE_TYPE_RE,
+    STREET_TYPE_RE,
+)
+
+
+@dataclass(frozen=True)
+class AuditSpec:
+    """One audited field: which tag key selects it (S1:78-119), which
+    regex buckets it (S1:11-16), and an optional bucket anti-filter."""
+
+    field: str
+    key: str          # exact tag-key equality (OP-FLT-KEYEQ)
+    bucket_re: str | None  # None → single implicit bucket (phone/postcode)
+    exclude_buckets: tuple[str, ...] = ()
+
+
+#: the reference's six audited fields (S1:58-71)
+AUDIT_SPECS: tuple[AuditSpec, ...] = (
+    AuditSpec("street", "addr:street", STREET_TYPE_RE, tuple(EXPECTED_STREET_TYPES)),
+    AuditSpec("state", "addr:state", STATE_TYPE_RE),
+    AuditSpec("phone", "phone", None),
+    AuditSpec("postcode", "addr:postcode", None),
+    AuditSpec("city", "addr:city", CITY_TYPE_RE),
+    AuditSpec("housenumber", "addr:housenumber", HOUSENUMBER_RE),
+)
+
+
+def audit_bucket(value: Column, spec: AuditSpec) -> Column:
+    if spec.bucket_re is None:
+        return F.lit("")
+    return F.regexp_extract(value, spec.bucket_re, 0)
+
+
+def audit(
+    tags: DataFrame,
+    key_col: str = "key",
+    value_col: str = "value",
+    specs: tuple[AuditSpec, ...] = AUDIT_SPECS,
+) -> DataFrame:
+    """Audit a key/value tag DataFrame → ``(field, bucket, values,
+    n_values)`` with ``values`` = sorted distinct raw values.
+
+    One pass over the input: the per-field key predicates become a single
+    filter + a field label column, so Spark scans the tag table once
+    (the reference similarly dispatches per element in one pass, S1:55-71).
+    """
+    key, value = F.col(key_col), F.col(value_col)
+
+    field = F.lit(None).cast("string")
+    bucket = F.lit(None).cast("string")
+    for spec in reversed(specs):
+        field = F.when(key == spec.key, F.lit(spec.field)).otherwise(field)
+        bucket = F.when(key == spec.key, audit_bucket(value, spec)).otherwise(bucket)
+
+    tagged = tags.select(
+        field.alias("field"), bucket.alias("bucket"), value.alias("value")
+    ).filter(F.col("field").isNotNull())
+
+    # street anti-filter: buckets in the expected list are not "dirty"
+    for spec in specs:
+        if spec.exclude_buckets:
+            tagged = tagged.filter(
+                (F.col("field") != spec.field)
+                | ~F.col("bucket").isin(*spec.exclude_buckets)
+            )
+        if spec.bucket_re is not None:
+            # reference skips values whose bucket regex found nothing
+            # (S1:95-97 etc. guard on a truthy match)
+            tagged = tagged.filter(
+                (F.col("field") != spec.field) | (F.col("bucket") != "")
+            )
+
+    return (
+        tagged.groupBy("field", "bucket")
+        .agg(
+            F.array_sort(F.collect_set("value")).alias("values"),
+            F.countDistinct("value").alias("n_values"),
+        )
+        .orderBy("field", "bucket")
+    )

@@ -1,0 +1,384 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2.11 X-DEDUP-*; BASELINE.json north-star mandate).
+
+Five strategies, all pure DataFrame compositions (no Python UDFs, no
+driver-side loops):
+
+- exact            hash-groupBy on the raw column
+- fingerprint      exact dedup after text canonicalization
+- n-gram Jaccard   shingle inverted index → pair counts → Jaccard filter
+- MinHash + LSH    k minhash sketches → banded bucket join → estimate
+- SimHash          64-bit sign-of-weighted-sum sketch → banded hamming join
+- embedding cosine all-pairs / LSH-bucketed cosine over array<float>
+
+Scale posture (100 TB): every strategy avoids the quadratic all-pairs
+explosion by joining on a bounded key (text hash / shingle / band bucket),
+so shuffle volume is O(data × sketch), not O(n²). The only O(n²) path is
+``embedding_near_duplicates(method='brute')``, kept for small dims/oracle
+checking; the LSH variant is the scale path. Candidate-pair verification
+happens AFTER the bucket join on the (much smaller) candidate set.
+
+Design sources: the MinHash/LSH banding scheme follows the standard
+Broder/MMDS construction; hashes are Spark's built-in xxhash64 with the
+band/hash index as a second column (deterministic, seed-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_wrangling_spark.functions.text import normalized, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact + fingerprint
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, subset: list[str], id_col: str | None = None) -> DataFrame:
+    """X-DEDUP-EXACT: keep one row per distinct ``subset``.
+
+    With ``id_col``, keeps the row with the MINIMUM id (deterministic
+    canonical representative — ``dropDuplicates`` would keep an arbitrary
+    one, which breaks reproducibility across runs/engines)."""
+    if id_col is None:
+        return df.dropDuplicates(subset)
+    w_min = df.groupBy(*subset).agg(F.min(id_col).alias(id_col))
+    return w_min.join(df, on=[*subset, id_col], how="inner")
+
+
+def dedup_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup after canonicalization (lowercase, strip punctuation,
+    squeeze whitespace) — catches trivially-reformatted duplicates."""
+    fp = df.withColumn("fingerprint", F.md5(normalized(text_col)))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_duplicates"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+
+def shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as an array column (built-in
+    higher-order fns; empty array for texts shorter than n tokens)."""
+    toks = tokens(text_col)
+    if n == 1:
+        return F.array_distinct(toks)
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """X-DEDUP-FUZZY via exact n-gram Jaccard: inverted-index join on
+    shingles → per-pair intersection counts → Jaccard ≥ threshold.
+
+    Shuffles on the shingle (bounded fan-out per shingle at realistic
+    vocabularies); pair aggregation keys are (id_a, id_b) of candidate
+    pairs only — never materializes the full n² grid."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash sketch: ``sig[i] = min over shingles of
+    xxhash64(shingle, i)``. One explode + one groupBy with ``num_hashes``
+    min() aggregates — map-side partial aggregation keeps the shuffle at
+    O(docs × num_hashes), independent of document length."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, shingle_n)).alias("shingle")
+    )
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc").agg(*mins)
+    return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """X-DEDUP-FUZZY at scale: banded LSH over MinHash signatures.
+
+    ``bands`` bands of ``num_hashes/bands`` rows each; a pair becomes a
+    candidate iff at least one band hashes identically (standard S-curve:
+    P(candidate) = 1-(1-s^r)^b). Candidates are verified by estimated
+    Jaccard = fraction of matching minhashes, then thresholded.
+
+    Shuffles: one on (band, band_hash) for the bucket join, one to dedup
+    candidate pairs. Bucket keys are 64-bit hashes → uniform distribution,
+    no skew. Never computes n² pairs."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+
+    band_entries = sig.select(
+        "doc",
+        "signature",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[F.element_at("signature", b * rows_per_band + r + 1)
+                          for r in range(rows_per_band)]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc", "signature", "bb.band", "bb.bucket")
+
+    a, b = band_entries.alias("a"), band_entries.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        candidates.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash: per token xxhash64; each bit position accumulates
+    +1/-1 by the token's bit; sign of the sum becomes the sketch bit.
+    Expressed as ``bits`` conditional sums in ONE aggregation (map-side
+    partial agg; shuffle is O(docs × 1))."""
+    toks = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
+    h = F.xxhash64("tok")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc").agg(*sums)
+    sketch = None
+    for i in range(bits):
+        # bit 63 is the sign bit: adding -(2^63) sets it exactly in two's
+        # complement (the terms are distinct powers of two, no overflow)
+        bitval = F.lit(-(1 << 63)).cast("long") if i == 63 else F.lit(1 << i).cast("long")
+        term = F.when(F.col(f"b{i}") > 0, bitval).otherwise(F.lit(0).cast("long"))
+        sketch = term if sketch is None else sketch + term
+    return agg.select("doc", sketch.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup join: by pigeonhole, two sketches within
+    ``max_hamming`` (< chunks) bits share at least one identical 16-bit
+    chunk → bucket join per chunk, then exact hamming verification with
+    bit_count(xor). Bucket keys bounded (≤ 2^16 per chunk)."""
+    sk = simhash(df, id_col, text_col)
+    chunk_bits = 64 // chunks
+    mask = (1 << chunk_bits) - 1
+    entries = sk.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned("simhash", c * chunk_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bucket"),
+                )
+                for c in range(chunks)
+            ])
+        ).alias("cb"),
+    ).select("doc", "simhash", "cb.chunk", "cb.bucket")
+    a, b = entries.alias("a"), entries.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    method: str = "lsh",
+    planes: int = 16,
+) -> DataFrame:
+    """Near-duplicate detection by embedding cosine similarity.
+
+    ``method='brute'``: all-pairs (id_a < id_b) — exact, O(n²); only for
+    small n / oracle verification.
+    ``method='lsh'``: random-hyperplane signatures (sign of dot with
+    ``planes`` deterministic pseudo-random hyperplanes) bucket the
+    vectors; cosine is verified exactly within buckets. Two vectors with
+    cosine ≥ 0.95 agree on a plane with P ≈ 1 - acos(s)/π ≈ 0.9, so
+    16-plane full-match recall ≈ 0.2 per table; production would union
+    several rotations — here we add 4 band views of 8 planes each."""
+    from data_wrangling_spark.functions.vectors import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    if method == "brute":
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        sig_df = _hyperplane_signatures(df, id_col, vec_col, planes)
+        bands = 4
+        per_band = planes // bands
+        entries = sig_df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(c).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[F.element_at("sig", c * per_band + r + 1).cast("string")
+                              for r in range(per_band)],
+                        ).alias("bucket"),
+                    )
+                    for c in range(bands)
+                ])
+            ).alias("bb"),
+        ).select("doc", "bb.band", "bb.bucket")
+        ea, eb = entries.alias("ea"), entries.alias("eb")
+        cand = (
+            ea.join(
+                eb,
+                (F.col("ea.band") == F.col("eb.band"))
+                & (F.col("ea.bucket") == F.col("eb.bucket"))
+                & (F.col("ea.doc") < F.col("eb.doc")),
+            )
+            .select(F.col("ea.doc").alias("id_a"), F.col("eb.doc").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    return (
+        pairs.withColumn("cosine", cosine("vec_a", "vec_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _hyperplane_signatures(
+    df: DataFrame, id_col: str, vec_col: str, planes: int
+) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes without any RNG dependency:
+    plane p, dimension d gets weight from a hash of (p, d) mapped to
+    [-0.5, 0.5). Constant-folded literals; signature computed JVM-side."""
+    dim = len(df.select(vec_col).first()[0])
+    sig_terms = []
+    for p in range(planes):
+        weights = [_hash_unit(p, d) for d in range(dim)]
+        warr = F.array(*[F.lit(w) for w in weights])
+        dotp = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), warr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig_terms.append(F.when(dotp >= 0, 1).otherwise(0))
+    return df.select(F.col(id_col), F.array(*sig_terms).alias("sig"))
+
+
+def _hash_unit(p: int, d: int) -> float:
+    """Stable hash of (p, d) → [-0.5, 0.5); pure-python, seed-free."""
+    x = (p * 1_000_003 + d * 8191 + 0x9E3779B9) & 0xFFFFFFFF
+    x ^= x >> 16
+    x = (x * 0x85EBCA6B) & 0xFFFFFFFF
+    x ^= x >> 13
+    x = (x * 0xC2B2AE35) & 0xFFFFFFFF
+    x ^= x >> 16
+    return x / 2**32 - 0.5

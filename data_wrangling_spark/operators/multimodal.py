@@ -1,0 +1,112 @@
+"""Multimodal column handling (SURVEY.md §2.11 X-MULTIMODAL).
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct. The Spark-side plumbing — schema, Arrow batch transfer,
+``mapInPandas`` signatures, partition sizing — is real and tested; the
+actual media DECODE step is stubbed (codec libraries are not in this
+container) behind ``decode_stub``, a deterministic fake that derives
+"features" from the raw bytes, or raises NotImplementedError in strict
+mode. Swapping in a real decoder changes one function, not the pipeline.
+
+Scale posture: payloads never pass through Python row-at-a-time — they
+arrive in Arrow record batches via mapInPandas; per-batch vectorized
+numpy/pandas work. Binary columns make parquet row groups large: callers
+should size ``spark.sql.files.maxPartitionBytes`` down (or store payloads
+in separate object-store files referenced by URI — the ``payload_uri``
+column here models that layout) so a partition's batch fits executor
+memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: canonical media-table schema (FIXTURES.md §4 `media`)
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("payload_uri", T.StringType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def synth_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a media-shaped table from the documents table: payload =
+    UTF-8 bytes of the text (a deterministic opaque blob), metadata
+    derived from it. Stands in for real image/audio ingestion so the
+    pipeline shape is exercised end to end."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.concat(F.lit("synthetic://doc/"), F.col("doc_id")).alias("payload_uri"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length("text").cast("int").alias("width"),
+            F.lit(1).cast("int").alias("height"),
+            F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake 'decoder': derives a dim-float feature from the
+    byte content. Replace with a real codec (PIL/librosa/ffmpeg) outside
+    this container. Raises on None so missing payloads surface."""
+    if payload is None:
+        raise NotImplementedError(
+            "payload fetch by URI not implemented in this environment"
+        )
+    digest = hashlib.sha256(payload).digest()
+    return [
+        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)
+    ]
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Decode/feature-extract via mapInPandas: Arrow-batched, vectorized
+    per batch, no driver collection. The batch function works on pandas
+    DataFrames whose ``payload`` column holds raw bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "digest": [hashlib.sha256(p).hexdigest() for p in pdf["payload"]],
+                    "feature": [decode_stub(p, dim) for p in pdf["payload"]],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11 X-SIM-SEARCH).
+
+Two paths:
+- ``topk_bruteforce``: exact cosine top-k — broadcast the (small) query
+  set against the corpus, score JVM-side with higher-order functions,
+  keep top-k per query with a window. O(corpus × queries); the right
+  answer when queries are few (the common "probe" pattern) because the
+  corpus is scanned ONCE with no shuffle of the vectors themselves — the
+  only shuffle is the per-query top-k, k rows per query per partition
+  after partial ranking.
+- ``topk_lsh``: approximate — random-hyperplane bucket join first (as in
+  dedup), exact cosine only within candidate buckets, falling back to
+  brute force for queries with < k candidates. The 100 TB path: candidate
+  generation touches each corpus row once, scoring cost drops by the
+  bucket selectivity.
+
+Design refs: REPOSE (ICDE'21) for distributed top-k with local reference
+points — the banded-signature layout here is the same divide-score-merge
+shape; PAPERS.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_wrangling_spark.functions.vectors import cosine, dot
+from data_wrangling_spark.operators.dedup import _hyperplane_signatures
+
+
+def topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k: for each query row, the k nearest corpus rows.
+
+    Returns (query_id, neighbor_id, score) with rank tiebreak on
+    neighbor_id for full determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    score = (cosine if metric == "cosine" else dot)("qvec", "cvec")
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-signature band join prunes the corpus
+    per query; exact cosine ranks the candidates. Recall rises with
+    ``bands`` (any matching band admits a candidate)."""
+    per_band = planes // bands
+
+    def band_view(df: DataFrame, role: str) -> DataFrame:
+        sig = _hyperplane_signatures(df, id_col, vec_col, planes)
+        return sig.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(c).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[F.element_at("sig", c * per_band + r + 1).cast("string")
+                              for r in range(per_band)],
+                        ).alias("bucket"),
+                    )
+                    for c in range(bands)
+                ])
+            ).alias("bb"),
+        ).select(f"{role}_id", "bb.band", "bb.bucket")
+
+    cb = band_view(corpus, "neighbor")
+    qb = band_view(queries, "query")
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .withColumn("score", cosine("qvec", "cvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -1,0 +1,467 @@
+"""Extension-operator queries (SURVEY.md §2.11 / milestone 6): dedup,
+similarity search, text analysis, multimodal, streaming, window/rollup.
+
+Oracle policy: SQL-expressible ops carry an exact DuckDB twin (note the
+'g' flag on DuckDB regexp_replace — it replaces first-match-only by
+default, Spark replaces all). LSH-based and mapInPandas ops have no
+faithful ANSI form → registered without oracle (driver rows-only check),
+but each has a pytest asserting its semantics against a brute-force or
+hand-computed reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_wrangling_spark.functions import text as TX
+from data_wrangling_spark.plans.registry import register
+from data_wrangling_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# X-DEDUP
+# ---------------------------------------------------------------------------
+
+@register(
+    "x_dedup_exact",
+    oracle="""
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text,
+               COUNT(*) AS n_duplicates
+        FROM documents GROUP BY text ORDER BY doc_id
+    """,
+    doc="X-DEDUP-EXACT: hash-groupBy on text, min-id canonical "
+        "representative (deterministic, unlike dropDuplicates).",
+    bench=True,
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_duplicates"))
+        .select("doc_id", "text", "n_duplicates")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x_dedup_fingerprint",
+    oracle=r"""
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                       '\s+', ' ', 'g'))) AS fingerprint,
+               CAST(min(doc_id) AS BIGINT) AS doc_id,
+               COUNT(*) AS n_duplicates
+        FROM documents GROUP BY 1 ORDER BY doc_id
+    """,
+    doc="Fingerprint dedup: md5 of canonicalized text (lowercase, strip "
+        "punctuation, squeeze spaces) — catches reformatting-only dups.",
+)
+def x_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.dedup import dedup_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_fingerprint(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "x_dedup_ngram_jaccard",
+    oracle=r"""
+        WITH docs AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents WHERE doc_id < 200
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            )) AS shingle
+            FROM docs WHERE len(toks) >= 3
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT p.doc_a, p.doc_b, p.n_common,
+               sa.n AS n_a, sb.n AS n_b,
+               CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) AS jaccard
+        FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id
+                     JOIN sizes sb ON p.doc_b = sb.doc_id
+        WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= 0.3
+        ORDER BY doc_a, doc_b
+    """,
+    doc="X-DEDUP-FUZZY exact form: word-trigram Jaccard ≥ 0.3 via shingle "
+        "inverted-index join (no n² grid). Restricted to doc_id < 200 to "
+        "bound the oracle's pair count; the operator itself is unbounded.",
+)
+def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@register(
+    "x_dedup_minhash_lsh",
+    oracle=None,  # hash-sketch specific; verified in tests against ngram_jaccard
+    doc="X-DEDUP-FUZZY scale form: 64-hash MinHash, 16-band LSH bucket "
+        "join, est-Jaccard ≥ 0.35. Rows-only driver check; "
+        "tests/test_dedup.py checks recall vs the exact Jaccard pairs.",
+)
+def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.dedup import minhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.35
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "x_dedup_simhash",
+    oracle=None,  # bit-sketch specific; semantics pinned in tests
+    doc="SimHash near-dup: 64-bit sketch, 4-chunk pigeonhole bucket join, "
+        "hamming ≤ 3 verification via bit_count(xor).",
+)
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.dedup import simhash_near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@register(
+    "x_dedup_embedding_cosine",
+    oracle=None,  # float accumulation differences make exact oracle brittle;
+                  # tests verify brute == lsh-verified subset
+    doc="Embedding near-dup: hyperplane-LSH candidate join + exact cosine "
+        "≥ 0.95 verification within buckets. NOTE: the synthetic corpus's "
+        "max pairwise cosine is ~0.51, so an empty result here is CORRECT "
+        "(no near-duplicates exist); semantics are pinned in "
+        "tests/test_dedup.py on planted near-identical vectors.",
+)
+def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.dedup import embedding_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.95, method="lsh"
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# X-SIM-SEARCH
+# ---------------------------------------------------------------------------
+
+@register(
+    "x_sim_topk_bruteforce",
+    oracle="""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                   FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cvec
+                   FROM embeddings),
+             scored AS (
+                 SELECT q.query_id, c.neighbor_id,
+                        ROUND(list_dot_product(q.qvec, c.cvec) /
+                              (sqrt(list_dot_product(q.qvec, q.qvec)) *
+                               sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS score
+                 FROM c, q WHERE c.neighbor_id <> q.query_id
+             )
+        SELECT query_id, neighbor_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+        ORDER BY query_id, rank
+    """,
+    doc="X-SIM-SEARCH baseline: exact cosine top-5 for 5 probe vectors, "
+        "broadcast queries × one corpus scan, window top-k. Scores rounded "
+        "to 6dp on BOTH sides and the rank computed on the rounded score "
+        "so float accumulation-order ulps cannot flip ranks.",
+    bench=True,
+)
+def x_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.functions.vectors import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine("qvec", "cvec"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "x_sim_topk_lsh",
+    oracle=None,  # approximate by construction; recall measured in tests
+    doc="X-SIM-SEARCH scale path: hyperplane-signature band join prunes "
+        "candidates, exact cosine ranks them. Approx — driver rows-only; "
+        "tests measure recall vs brute force.",
+)
+def x_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.similarity import topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return topk_lsh(emb, q, "vec_id", "embedding", k=5).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# X-TEXT
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in TX.QUALITY_STOPWORDS)
+
+
+@register(
+    "x_text_stats",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+                   CAST(length(text) AS INT) AS n_chars_computed,
+                   CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS INT) AS n_punct,
+                   CAST(len(list_filter(list_distinct(string_split_regex(trim(text), '\s+')),
+                                        x -> x IN ({_STOPWORDS_SQL}))) AS INT) AS n_stopwords
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, n_chars_computed, n_punct, n_stopwords,
+               ROUND(CAST(n_stopwords AS DOUBLE) / n_tokens * 0.5
+                     + least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0 * 0.3
+                     + (1.0 - CAST(n_punct AS DOUBLE) / n_tokens) * 0.2, 6) AS quality_score
+        FROM t ORDER BY doc_id
+    """,
+    doc="X-TEXT quality features: token/char/punct/stopword counts + a "
+        "fixed-formula quality score (rounded 6dp both sides). All narrow "
+        "JVM-side expressions, no shuffle.",
+    bench=True,
+)
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.text_analysis import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_features(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_chars_computed").cast("int").alias("n_chars_computed"),
+        F.col("n_punct").cast("int").alias("n_punct"),
+        F.col("n_stopwords").cast("int").alias("n_stopwords"),
+        F.round("quality_score", 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+_LANGID_SCORE_SQL = {
+    lang: (
+        f"len(list_filter(list_distinct(string_split_regex(trim(lower(text)), '\\s+')), "
+        f"x -> x IN ({', '.join(chr(39) + w + chr(39) for w in words)})))"
+    )
+    for lang, words in TX.LANG_MARKERS.items()
+}
+
+
+@register(
+    "x_text_langid",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id,
+                   {_LANGID_SCORE_SQL['en']} AS s_en,
+                   {_LANGID_SCORE_SQL['es']} AS s_es,
+                   {_LANGID_SCORE_SQL['de']} AS s_de,
+                   {_LANGID_SCORE_SQL['fr']} AS s_fr
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS lang_pred
+        FROM s ORDER BY doc_id
+    """,
+    doc="X-TEXT language-ID heuristic: distinct marker-word hits per "
+        "language, argmax with fixed priority ties (en>es>de>fr).",
+)
+def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.text_analysis import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs, "text").select("doc_id", "lang_pred").orderBy("doc_id")
+
+
+@register(
+    "x_text_fingerprint",
+    oracle=r"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                       '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents ORDER BY doc_id
+    """,
+    doc="X-TEXT document fingerprint: md5 of canonicalized text.",
+)
+def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.text_analysis import fingerprint_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint_documents(docs, "text").select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+@register(
+    "x_text_token_freq",
+    oracle=r"""
+        WITH toks AS (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents
+        )
+        SELECT token, COUNT(*) AS freq FROM toks
+        GROUP BY token ORDER BY freq DESC, token
+    """,
+    doc="X-TEXT corpus token frequencies: explode + hash agg (map-side "
+        "partial; shuffle bounded by vocabulary size).",
+)
+def x_text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.text_analysis import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_stats(docs, "text")
+
+
+# ---------------------------------------------------------------------------
+# X-MULTIMODAL (rows-only: mapInPandas has no ANSI form)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x_multimodal_features",
+    oracle=None,
+    doc="X-MULTIMODAL: binary payload column + typed metadata struct → "
+        "Arrow-batched mapInPandas feature extraction (decode stubbed "
+        "deterministically; see operators/multimodal.py). Rows-only check; "
+        "tests pin digest/feature values.",
+)
+def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.multimodal import (
+        extract_features,
+        synth_media_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media_from_documents(docs)
+    return extract_features(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# streaming (Structured Streaming, AvailableNow over the bounded source)
+# ---------------------------------------------------------------------------
+
+@register(
+    "x_stream_windowed_counts",
+    oracle="""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               event_type AS type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2 ORDER BY window_start, type
+    """,
+    doc="Structured Streaming extension (SURVEY §2.10): file-source "
+        "micro-batches → watermark → tumbling 1h window counts → memory "
+        "sink (AvailableNow drains the bounded source). Oracle-able "
+        "because epoch-aligned tumbling windows == time_bucket.",
+)
+def x_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.streaming.events import run_stream_to_memory
+
+    out = run_stream_to_memory(spark, sf_dir, table_name="x_stream_windowed_counts")
+    return out.orderBy("window_start", "type")
+
+
+# ---------------------------------------------------------------------------
+# window-function + grouping-set extensions (free via Spark; SURVEY §2.6/§2.10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ext_window_running_total",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0
+                   AS running_total
+        FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    doc="Window extension: per-customer running total, exact int-cents "
+        "accumulation, (o_orderdate, o_orderkey) deterministic frame order.",
+)
+def ext_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@register(
+    "ext_rollup_counts",
+    oracle="""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY status NULLS FIRST, priority NULLS FIRST
+    """,
+    doc="Grouping-sets extension (SURVEY §2.6 'free via Spark'): ROLLUP "
+        "over (status, priority) — subtotals + grand total in one pass.",
+)
+def ext_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("status").asc_nulls_first(), F.col("priority").asc_nulls_first())
+    )
+
+
+@register(
+    "ext_approx_distinct",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               COUNT(DISTINCT o_custkey) AS exact_distinct
+        FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+    doc="Distinct-agg extension: exact countDistinct (oracled); the "
+        "approx_count_distinct scale variant is exposed in the library "
+        "and smoke-checked in tests (sketch values are engine-specific).",
+)
+def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+        .orderBy("status")
+    )

@@ -78,12 +78,9 @@ def _load_all() -> None:
     if _LOADED:
         return
     # imports are for their registration side effects
+    import data_wrangling_spark.plans.audit_queries  # noqa: F401
+    import data_wrangling_spark.plans.cleaning_queries  # noqa: F401
+    import data_wrangling_spark.plans.extension_queries  # noqa: F401
     import data_wrangling_spark.plans.reference_queries  # noqa: F401
 
-    try:
-        import data_wrangling_spark.plans.cleaning_queries  # noqa: F401
-        import data_wrangling_spark.plans.audit_queries  # noqa: F401
-        import data_wrangling_spark.plans.extension_queries  # noqa: F401
-    except ImportError:
-        pass  # modules land in later milestones
     _LOADED = True

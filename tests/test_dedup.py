@@ -1,0 +1,133 @@
+"""Semantics tests for the dedup operators that have no SQL oracle:
+MinHash-LSH recall vs exact Jaccard, SimHash on planted near-dups,
+embedding-LSH vs brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangling_spark.operators import dedup
+from data_wrangling_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """Corpus with exact dups, one-word-edit near-dups, and unrelated docs."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm window sill in the afternoon sun light"
+    )
+    near = base.replace("lazy", "sleepy")
+    near2 = base.replace("afternoon", "morning")
+    other = (
+        "completely different content about distributed query engines "
+        "running partitioned scans over columnar storage with vectorized "
+        "execution and adaptive shuffle planning at petabyte scale"
+    )
+    rows = [
+        (0, base),
+        (1, base),        # exact dup of 0
+        (2, near),        # near dup of 0
+        (3, near2),       # near dup of 0
+        (4, other),
+        (5, other + " with extra trailing words appended here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_min_id(spark, planted_docs):
+    out = dedup.dedup_exact(planted_docs, ["text"], id_col="doc_id")
+    kept = sorted(r.doc_id for r in out.collect())
+    assert 0 in kept and 1 not in kept  # min-id representative
+    assert len(kept) == 5
+
+
+def test_ngram_jaccard_finds_planted_pairs(spark, planted_docs):
+    pairs = dedup.ngram_jaccard_pairs(planted_docs, "doc_id", "text", n=3, threshold=0.3)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup → jaccard 1.0
+    assert (0, 2) in got and (0, 3) in got  # one-word edits
+    assert (0, 4) not in got and (1, 4) not in got  # unrelated
+
+
+def test_minhash_lsh_recall_vs_exact(spark, planted_docs):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(
+            planted_docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_near_duplicates(
+            planted_docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.35
+        ).collect()
+    }
+    # high-similarity pairs must be recalled by the banded LSH
+    assert exact <= approx, f"missed: {exact - approx}"
+    # and LSH must not claim unrelated docs
+    assert (0, 4) not in approx
+
+
+def test_minhash_exact_dup_estimates_one(spark, planted_docs):
+    out = dedup.minhash_near_duplicates(
+        planted_docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.35
+    )
+    row = out.filter((F.col("doc_a") == 0) & (F.col("doc_b") == 1)).first()
+    assert row is not None and row.est_jaccard == 1.0
+
+
+def test_simhash_near_dups(spark, planted_docs):
+    out = dedup.simhash_near_duplicates(planted_docs, "doc_id", "text", max_hamming=6)
+    got = {(r.doc_a, r.doc_b) for r in out.collect()}
+    assert (0, 1) in got  # identical text → hamming 0
+    unrelated = out.filter((F.col("doc_a") == 0) & (F.col("doc_b") == 4)).count()
+    assert unrelated == 0
+
+
+def test_embedding_lsh_on_planted_near_dups(spark):
+    """The synthetic corpus has no pairs above cosine ~0.51 (checked via
+    DuckDB), so near-dup semantics are pinned on planted vectors: pairs of
+    near-identical embeddings (tiny perturbation) plus unrelated ones."""
+    import math
+
+    dim = 16
+    rows = []
+    for i in range(20):
+        # base direction per planted pair, deterministic
+        base = [math.sin(0.7 * i + 0.13 * d) for d in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in base))
+        base = [x / nrm for x in base]
+        rows.append((2 * i, base))
+        bumped = [x + (0.01 if d == i % dim else 0.0) for d, x in enumerate(base)]
+        nrm2 = math.sqrt(sum(x * x for x in bumped))
+        rows.append((2 * i + 1, [x / nrm2 for x in bumped]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    brute = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_duplicates(
+            df, "vec_id", "embedding", threshold=0.999, method="brute"
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_duplicates(
+            df, "vec_id", "embedding", threshold=0.999, method="lsh"
+        ).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert planted <= brute  # brute finds every planted pair
+    assert lsh <= brute  # exact verification → no false positives
+    recall = len(lsh & planted) / len(planted)
+    assert recall >= 0.9, f"LSH recall on near-identical pairs: {recall:.2f}"
+
+
+def test_embedding_corpus_has_no_near_dups(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    brute = dedup.embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.95, method="brute"
+    )
+    assert brute.count() == 0  # documents why the registered query is empty

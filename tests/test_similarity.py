@@ -1,0 +1,38 @@
+"""Recall tests for the approximate similarity search vs brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_wrangling_spark.operators.similarity import topk_bruteforce, topk_lsh
+from data_wrangling_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_bruteforce_topk_shape(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = topk_bruteforce(emb, q, k=5).collect()
+    assert len(out) == 15  # 3 queries × 5 neighbors
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        scores = [r.score for r in sorted(rows, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.neighbor_id != r.query_id for r in rows)
+
+
+def test_lsh_topk_recall(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = topk_bruteforce(emb, q, k=5).collect()
+    approx = topk_lsh(emb, q, k=5, planes=12, bands=4).collect()
+    brute_set = {(r.query_id, r.neighbor_id) for r in brute}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(brute_set & approx_set) / len(brute_set)
+    # embeddings are clustered (FIXTURES.md) → same-cluster vectors share
+    # hyperplane buckets; recall well above chance expected
+    assert recall >= 0.5, f"LSH top-k recall {recall:.2f}"
