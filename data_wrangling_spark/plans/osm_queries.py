@@ -1,0 +1,67 @@
+"""OSM ingest/normalize pipeline exposed to the driver (SURVEY.md §2.1,
+§2.4 — OP-SRC-XML + OP-SHAPE end to end).
+
+The driver's testdata has no OSM XML, so the query materializes the
+deterministic fixture (tests/osm_fixture.py corpus) into a temp file at
+call time, runs the distributed parse + full normalization, and returns
+the cleaned nodes_tags table. Rows-only driver check (no XML in the DuckDB
+views); the golden value/semantics assertions live in
+tests/test_osm_pipeline.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_wrangling_spark.plans.registry import register
+
+
+def _fixture_path() -> str:
+    from data_wrangling_spark.sources.osm_fixture import build_osm_xml
+
+    stage = tempfile.mkdtemp(prefix="dws-osm-")
+    path = f"{stage}/fixture.osm"
+    with open(path, "w") as f:
+        f.write(build_osm_xml())
+    return path
+
+
+@register(
+    "osm_pipeline_node_tags",
+    oracle=None,  # ingest source is XML, not one of the oracle's views
+    doc="OP-SRC-XML → OP-SHAPE end to end: distributed iterparse of OSM "
+        "XML, problem-char filter, namespace split, per-key cleaning, "
+        "validation split; returns the cleaned nodes_tags table.",
+)
+def osm_pipeline_node_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.normalize import normalize
+    from data_wrangling_spark.sources.osm_xml import read_osm_xml
+
+    raw = read_osm_xml(spark, _fixture_path())
+    out = normalize(raw, clean=True, validate="permissive")
+    return out.nodes_tags.orderBy("id", "key")
+
+
+@register(
+    "osm_pipeline_audit",
+    oracle=None,
+    doc="OP-AGG-AUDIT over real OSM-shaped input: audit the raw (uncleaned) "
+        "tag values, returning (field, bucket, values, n_values) — the "
+        "reference's Step-1 workflow as one declarative job.",
+)
+def osm_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.audit import audit
+    from data_wrangling_spark.sources.osm_xml import read_osm_xml
+
+    raw = read_osm_xml(spark, _fixture_path(), tags=("node", "way"))
+    tags = raw.select(F.explode("tags").alias("t")).select(
+        F.col("t.k").alias("key"), F.col("t.v").alias("value")
+    )
+    out = audit(tags)
+    return out.select(
+        "field", "bucket", F.concat_ws("|", "values").alias("values"), "n_values"
+    ).orderBy("field", "bucket")

@@ -81,6 +81,7 @@ def _load_all() -> None:
     import data_wrangling_spark.plans.audit_queries  # noqa: F401
     import data_wrangling_spark.plans.cleaning_queries  # noqa: F401
     import data_wrangling_spark.plans.extension_queries  # noqa: F401
+    import data_wrangling_spark.plans.osm_queries  # noqa: F401
     import data_wrangling_spark.plans.reference_queries  # noqa: F401
 
     _LOADED = True

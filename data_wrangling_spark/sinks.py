@@ -1,0 +1,64 @@
+"""Sinks (SURVEY.md §2.2, milestone 5).
+
+- OP-SNK-CSV (S2:282-332): 5-file CSV export with headers. The reference's
+  UnicodeDictWriter shim (S2:286-288) is obsolete — Spark strings are
+  Unicode; headers come from ``header=True``; the row-at-a-time append
+  becomes per-partition parallel file writes.
+- OP-SNK-SQL (NB:12003, 12026-12031): CREATE TABLE + executemany becomes
+  ``saveAsTable`` / temp views over a partitioned parquet landing zone —
+  the durable, splittable replacement for the SQLite file.
+
+Scale notes: partitioning tag tables by ``type`` aligns with the Q1/Q2/Q3
+filters (partition pruning; SURVEY.md §4 rewrite checklist); writers never
+collect — a 100 TB export is N parallel part files per table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Reference-parity CSV (header row, UTF-8)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+#: per-table partition columns for the normalized star schema: tag tables
+#: partition by their low-cardinality `type` (aligned with Q1-Q3 filters)
+DEFAULT_PARTITIONING: dict[str, tuple[str, ...]] = {
+    "nodes": (),
+    "ways": (),
+    "nodes_tags": ("type",),
+    "ways_tags": ("type",),
+    "ways_nodes": (),
+}
+
+
+def write_tables(
+    tables: dict[str, DataFrame],
+    out_dir: str,
+    fmt: str = "parquet",
+    register: SparkSession | None = None,
+) -> None:
+    """Persist the normalized 5-table schema; optionally register each
+    written table back as a temp view (the query layer, OP-SNK-SQL)."""
+    for name, df in tables.items():
+        path = f"{out_dir}/{name}"
+        if fmt == "csv":
+            write_csv(df, path)
+        else:
+            write_parquet(df, path, DEFAULT_PARTITIONING.get(name, ()))
+        if register is not None:
+            register.read.format(fmt).option("header", "true").load(path).createOrReplaceTempView(name)
