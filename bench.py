@@ -31,16 +31,20 @@ def main() -> None:
 
     specs = bench_queries()
 
-    # warmup: JVM + codegen + parquet footer caches (untimed)
+    # warmup: run each query's real action once (JVM warmup + whole-stage
+    # codegen compilation + parquet footer caches), untimed
     for spec in specs.values():
-        spec.spark(spark, sf_dir).limit(1).collect()
+        spec.spark(spark, sf_dir).count()
 
+    # steady state: median of 3 runs per query
     timings: dict[str, float] = {}
     for name, spec in specs.items():
-        t0 = time.perf_counter()
-        df = spec.spark(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -35,11 +35,17 @@ def topk_bruteforce(
     vec_col: str = "embedding",
     k: int = 5,
     metric: str = "cosine",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Exact top-k: for each query row, the k nearest corpus rows.
 
     Returns (query_id, neighbor_id, score) with rank tiebreak on
-    neighbor_id for full determinism."""
+    neighbor_id for full determinism. ``round_to`` rounds the score BEFORE
+    ranking — used by the oracle query so accumulation-order ulp
+    differences between engines cannot flip ranks."""
+    # NOTE: no point pre-computing norms in a select before the join —
+    # Catalyst's CollapseProject inlines them back into the pair-level
+    # projection, so they are recomputed per pair either way (measured).
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -47,6 +53,8 @@ def topk_bruteforce(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     score = (cosine if metric == "cosine" else dot)("qvec", "cvec")
+    if round_to is not None:
+        score = F.round(score, round_to)
     pairs = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))

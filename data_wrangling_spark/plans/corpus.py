@@ -84,13 +84,15 @@ HOUSENUMBER_CORPUS: list[tuple[str, str]] = [
 
 
 def pick_raw(key: Column, corpus: list[tuple[str, str]]) -> Column:
-    """Spark: corpus[key % n].raw as a when-chain (pure Column expr)."""
+    """Spark: corpus[key % n].raw via array-literal indexing.
+
+    element_at on a literal array generates O(1) code per row; the
+    equivalent when-chain made whole-stage codegen methods exceed janino's
+    64 KB limit in queries stacking several corpora (audit_fields), which
+    silently dropped the stage to interpreted mode."""
     n = len(corpus)
-    idx = key % n
-    expr = F.when(idx == 0, F.lit(corpus[0][0]))
-    for i, (raw, _) in enumerate(corpus[1:], 1):
-        expr = expr.when(idx == i, F.lit(raw))
-    return expr
+    arr = F.array(*[F.lit(raw) for raw, _ in corpus])
+    return F.element_at(arr, (key % n + 1).cast("int"))
 
 
 def pick_raw_sql(key_expr: str, corpus: list[tuple[str, str]]) -> str:

@@ -189,25 +189,12 @@ def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def x_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_wrangling_spark.functions.vectors import cosine
+    from data_wrangling_spark.operators.similarity import topk_bruteforce
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(cosine("qvec", "cvec"), 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "score", "rank")
-        .orderBy("query_id", "rank")
-    )
+    q = emb.filter(F.col("vec_id") < 5)
+    out = topk_bruteforce(emb, q, "vec_id", "embedding", k=5, round_to=6)
+    return out.orderBy("query_id", "rank")
 
 
 @register(

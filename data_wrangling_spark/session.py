@@ -41,6 +41,11 @@ def get_spark(
         # --- adaptive execution: runtime re-planning, coalescing, skew join
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size coalesced partitions for task efficiency, not max parallelism:
+        # at small inputs this collapses 32 near-empty shuffle tasks into a
+        # few right-sized ones (~30% wall-clock here); at large inputs the
+        # advisory partition size governs either way
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- shuffle sizing
         .config(

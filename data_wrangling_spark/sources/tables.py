@@ -42,9 +42,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     values agree exactly.
     """
     path = f"{sf_dir}/{name}.parquet"
+    key = (id(spark), path)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if _has_nanos_timestamp(path):
-        return _load_parquet_nanos_safe(spark, path)
-    return spark.read.parquet(path)
+        df = _load_parquet_nanos_safe(spark, path)
+    else:
+        df = spark.read.parquet(path)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+#: per-(session, path) DataFrame handles: avoids re-listing files and
+#: re-probing footers on every query over the same table (pure metadata
+#: reuse — no data is cached/pinned)
+_TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _has_nanos_timestamp(path: str) -> bool:
