@@ -49,6 +49,21 @@ def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Col
     return F.size(F.array_intersect(F.array_distinct(tokens(col)), arr))
 
 
+#: BPE-ish pre-tokenization pattern (GPT-2 style, simplified to the subset
+#: expressible identically in Java regex and RE2): a token is an optional
+#: leading space followed by a letter run, digit run, or symbol run.
+#: Whitespace runs are not counted as tokens.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-style token count — the cheap JVM-side estimator of LLM
+    token cost (a real BPE merge table needs a vocab; this is the
+    standard pre-tokenizer split that upper-bounds it)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
 def normalized(col: Column | str) -> Column:
     """Canonical text form: lowercase, strip non-alnum, squeeze whitespace."""
     c = F.col(col) if isinstance(col, str) else col

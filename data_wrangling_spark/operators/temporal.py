@@ -1,0 +1,127 @@
+"""Temporal operators: as-of join and gap-based sessionization.
+
+Extension surface (SURVEY.md §2.7: "Spark provides all join types free;
+expose ... as extension operators" — as-of/range joins are the temporal
+joins the reference's relational model invites but never needed, and a
+training-data pipeline over event logs needs constantly).
+
+Both operators are built on ONE shuffle each (hash partition by the join
+key) — the 100 TB-safe shape:
+
+- ``asof_join`` uses the union-marker trick: tag both sides, union, sort
+  within each key partition by (time, marker), and carry the most recent
+  right-side payload forward with ``last(ignorenulls)`` over a running
+  window. Cost: one shuffle of (|L| + |R|) rows on the key — no range
+  cross-product, no per-key collect, unlike the naive
+  ``L join R on key and r.t <= l.t`` + argmax which explodes to
+  |L| × |orders-per-key| intermediate rows.
+- ``sessionize`` is lag + conditional cumulative sum over the same
+  per-key window — the standard batch form; the streaming twin is
+  ``F.session_window`` / ``applyInPandasWithState`` (see
+  streaming/events.py).
+
+Skew note: both partition by the entity key; a pathological power-user
+key is handled by AQE skew-join/partition-split at the shuffle, and the
+window itself is linear in the key's row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: dict[str, str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the payload of the most recent right row
+    with the same ``on`` key and right_time <= left_time (direction
+    'backward'; ties on right_time must be pre-deduplicated by the caller
+    for determinism). Left rows with no prior right row keep nulls —
+    i.e. LEFT ASOF JOIN semantics (DuckDB: ``ASOF LEFT JOIN``).
+
+    ``payload`` maps right-side column -> output alias.
+    """
+    if direction != "backward":
+        raise ValueError("only direction='backward' is implemented")
+
+    lcols = [c for c in left.columns]
+    # marker orders right rows BEFORE left rows at equal timestamps so
+    # right_time == left_time counts as "at or before" (<= semantics)
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_m"),
+        F.struct(*lcols).alias("_l"),
+        *[F.lit(None).cast(right.schema[src].dataType).alias(f"_p_{dst}")
+          for src, dst in payload.items()],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_m"),
+        F.lit(None).cast(
+            l_tagged.schema["_l"].dataType
+        ).alias("_l"),
+        *[F.col(src).alias(f"_p_{dst}") for src, dst in payload.items()],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "_m",
+        "_l",
+        *[F.last(f"_p_{dst}", ignorenulls=True).over(w).alias(f"_c_{dst}")
+          for dst in payload.values()],
+    )
+    return carried.filter(F.col("_m") == 1).select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"_c_{dst}").alias(dst) for dst in payload.values()],
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    gap_minutes: int = 30,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the key's previous event exceeds ``gap_minutes``. Returns one row per
+    session: (key, session_no, n_events, session_start, session_end),
+    session_no 1-based per key in time order.
+
+    ``order_tiebreak``: extra column ordering events with equal
+    timestamps (required for determinism on real logs).
+    """
+    order = [ts] + ([order_tiebreak] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    gap = F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_session = events.withColumn("_new", new_session).withColumn(
+        "session_no", F.sum("_new").over(run)
+    )
+    return (
+        with_session.groupBy(key, "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+        )
+    )

@@ -83,5 +83,6 @@ def _load_all() -> None:
     import data_wrangling_spark.plans.extension_queries  # noqa: F401
     import data_wrangling_spark.plans.osm_queries  # noqa: F401
     import data_wrangling_spark.plans.reference_queries  # noqa: F401
+    import data_wrangling_spark.plans.scale_queries  # noqa: F401
 
     _LOADED = True

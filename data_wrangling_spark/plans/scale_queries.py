@@ -1,0 +1,213 @@
+"""Scale-shaped extension queries: multi-join analytics, temporal joins,
+sessionization, semi-structured (JSON) extraction, sub-word token costing,
+IVF similarity.
+
+These extend the reference's relational surface (SURVEY.md §2.7 names
+equi-joins over the FK structure as "the natural extension surface";
+§2.10 notes the engine may expose streaming/temporal ops the reference
+never needed) toward what a 100 TB training-data pipeline actually runs:
+big fact-fact joins with a broadcast dim, event-time logic, and nested
+payload parsing. Every numeric aggregate is computed in integer cents on
+BOTH engines so the driver's value hash is float-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_wrangling_spark.functions.text import BPE_ISH_PATTERN, bpe_ish_token_count, token_count
+from data_wrangling_spark.plans.registry import register
+from data_wrangling_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_Q3_DATE = "1998-06-15"
+
+
+@register(
+    "ext_tpch_q3_shipping_priority",
+    oracle=f"""
+        SELECT l_orderkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+          AND l_shipdate  > TIMESTAMP '{_Q3_DATE}'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped multi-join: filtered dim (customer/BUILDING) "
+        "broadcast into orders, then one shuffle join to lineitem, hash "
+        "agg, TakeOrderedAndProject top-10. Revenue accumulated in int "
+        "cents on both engines. The canonical fact-fact+dim plan shape "
+        "the engine must keep broadcast-side at 100 TB.",
+    bench=True,
+)
+def ext_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp"))
+    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("bigint")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev_cents) / F.lit(100.0)).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "ext_asof_latest_order",
+    oracle="""
+        WITH ord AS (
+            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS last_orderkey
+        FROM events e
+        ASOF LEFT JOIN ord o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        ORDER BY e.event_id
+    """,
+    doc="As-of (temporal) join: each event gets the user's most recent "
+        "order at-or-before its timestamp; right side pre-deduplicated "
+        "per (custkey, date) by max orderkey for determinism. Spark side "
+        "is the union-marker + last(ignorenulls) window — ONE hash "
+        "shuffle on the key, no range cross-product (operators/"
+        "temporal.py). Oracle uses DuckDB's native ASOF LEFT JOIN.",
+    bench=True,
+)
+def ext_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select(F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey")
+    )
+    out = asof_join(
+        events, orders, on="user_id", left_time="ts", right_time="o_orderdate",
+        payload={"o_orderkey": "last_orderkey"},
+    )
+    return out.orderBy("event_id")
+
+
+@register(
+    "ext_sessionize_events",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_no
+            FROM flagged
+        )
+        SELECT user_id, session_no, COUNT(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM sess GROUP BY user_id, session_no
+        ORDER BY user_id, session_no
+    """,
+    doc="Gap-based sessionization (30-min gap): lag + conditional "
+        "cumulative sum per user, then per-session aggregates. Batch twin "
+        "of streaming session windows; one shuffle on user_id "
+        "(operators/temporal.py).",
+)
+def ext_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.temporal import sessionize
+
+    events = _t(spark, sf_dir, "events")
+    out = sessionize(events, key="user_id", ts="ts", gap_minutes=30,
+                     order_tiebreak="event_id")
+    return out.select("user_id", "session_no", "n_events",
+                      "session_start", "session_end").orderBy("user_id", "session_no")
+
+
+@register(
+    "ext_json_extract_agg",
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+                   AS sum_value
+        FROM events
+        GROUP BY 1 ORDER BY prop_k
+    """,
+    doc="Semi-structured extraction: parse the JSON props payload "
+        "JVM-side (get_json_object), aggregate by the extracted field. "
+        "At scale prefer from_json with an explicit schema once the "
+        "payload shape is known (single parse, pruned struct).",
+)
+def ext_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("int").alias("prop_k"), "value"
+        )
+        .groupBy("prop_k")
+        .agg(F.count("*").alias("cnt"), (F.sum(cents) / F.lit(100.0)).alias("sum_value"))
+        .orderBy("prop_k")
+    )
+
+
+@register(
+    "x_text_bpe_tokens",
+    oracle=rf"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INT)
+                   AS n_bpe_tokens,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+                   AS n_ws_tokens
+        FROM documents ORDER BY doc_id
+    """,
+    doc="X-TEXT token costing: BPE-ish pre-tokenizer count (GPT-2-style "
+        "split, letters/digits/symbols with optional leading space) next "
+        "to the whitespace count — both pure JVM regex, no UDF.",
+)
+def x_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_ish_token_count("text").cast("int").alias("n_bpe_tokens"),
+        token_count("text").cast("int").alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "x_sim_topk_ivf",
+    oracle=None,  # approximate by construction; recall pinned in tests
+    doc="X-SIM-SEARCH IVF path: Voronoi-cell partition of the corpus "
+        "(deterministic centroids; k-means at scale), nprobe=3 cells "
+        "searched per query. Rows-only driver check; tests measure "
+        "recall vs brute force.",
+)
+def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.similarity import topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return topk_ivf(emb, q, "vec_id", "embedding", k=5, n_cells=8, nprobe=3).orderBy(
+        "query_id", "rank"
+    )

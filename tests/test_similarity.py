@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_wrangling_spark.operators.similarity import topk_bruteforce, topk_lsh
+from data_wrangling_spark.operators.similarity import topk_bruteforce, topk_ivf, topk_lsh
 from data_wrangling_spark.sources.tables import load_table
 from tests.conftest import SF_DIR
 
@@ -36,3 +36,22 @@ def test_lsh_topk_recall(spark):
     # embeddings are clustered (FIXTURES.md) → same-cluster vectors share
     # hyperplane buckets; recall well above chance expected
     assert recall >= 0.5, f"LSH top-k recall {recall:.2f}"
+
+
+def test_ivf_topk_recall(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = topk_bruteforce(emb, q, k=5).collect()
+    approx = topk_ivf(emb, q, k=5, n_cells=8, nprobe=3).collect()
+    brute_set = {(r.query_id, r.neighbor_id) for r in brute}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(brute_set & approx_set) / len(brute_set)
+    # clustered corpus (FIXTURES.md): same-cluster vectors land in the
+    # same Voronoi cell, so probing 3/8 cells keeps most true neighbors
+    assert recall >= 0.5, f"IVF top-k recall {recall:.2f}"
+    # every query returns at most k ranked rows with valid ranks
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -1,0 +1,77 @@
+"""Edge-case tests for the temporal operators (as-of join, sessionize)
+on hand-built frames — equal timestamps, no-prior-match nulls, exact-gap
+session boundaries. The sf-scale behavior is pinned by the DuckDB oracle
+(ext_asof_latest_order / ext_sessionize_events in test_queries_oracle)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from data_wrangling_spark.operators.temporal import asof_join, sessionize
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts(10)), (2, "a", _ts(30)), (3, "b", _ts(10))],
+        "event_id long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(5), 100), ("a", _ts(20), 200), ("b", _ts(50), 300)],
+        "k string, rt timestamp, payload int",
+    )
+    out = {
+        r.event_id: r.p
+        for r in asof_join(left, right, on="k", left_time="t", right_time="rt",
+                           payload={"payload": "p"}).collect()
+    }
+    # event 1: only the t=5 right row precedes t=10
+    assert out[1] == 100
+    # event 2: most recent of {5, 20} at t=30 → 200
+    assert out[2] == 200
+    # event 3: b's only right row is at t=50, AFTER the event → null
+    assert out[3] is None
+
+
+def test_asof_equal_timestamp_matches(spark):
+    """right_time == left_time counts as 'at or before' (<= semantics)."""
+    left = spark.createDataFrame([(1, "a", _ts(10))], "event_id long, k string, t timestamp")
+    right = spark.createDataFrame([("a", _ts(10), 7)], "k string, rt timestamp, payload int")
+    [row] = asof_join(left, right, on="k", left_time="t", right_time="rt",
+                      payload={"payload": "p"}).collect()
+    assert row.p == 7
+
+
+def test_asof_preserves_left_columns_and_count(spark):
+    left = spark.createDataFrame(
+        [(i, "a", _ts(i)) for i in range(20)], "event_id long, k string, t timestamp"
+    )
+    right = spark.createDataFrame([("a", _ts(3), 1)], "k string, rt timestamp, payload int")
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt",
+                    payload={"payload": "p"})
+    assert out.count() == 20  # left join: every left row survives exactly once
+    assert set(out.columns) == {"event_id", "k", "t", "p"}
+
+
+def test_sessionize_gap_boundary(spark):
+    """A gap of exactly gap_minutes does NOT start a new session; one
+    second more does."""
+    rows = [
+        (1, 10, _ts(0)),
+        (2, 10, _ts(30)),              # exactly 30 min after → same session
+        (3, 10, _ts(60) + dt.timedelta(seconds=1)),  # 30min 1s after → new
+        (4, 20, _ts(0)),               # other user: own session numbering
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = sessionize(df, key="user_id", ts="ts", gap_minutes=30,
+                     order_tiebreak="event_id").collect()
+    by_key = {(r.user_id, r.session_no): r for r in out}
+    assert by_key[(10, 1)].n_events == 2
+    assert by_key[(10, 1)].session_start == _ts(0)
+    assert by_key[(10, 1)].session_end == _ts(30)
+    assert by_key[(10, 2)].n_events == 1
+    assert by_key[(20, 1)].n_events == 1
+    assert len(out) == 3
