@@ -195,6 +195,52 @@ def x_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: one ANSI string, two engines: this exact text is BOTH the Spark SQL query
+#: and the DuckDB oracle — the strongest form of the registry's
+#: "queries and oracles generated from one spec" rule (SURVEY.md §7).
+_SQL_API_QUERY = """
+    SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_suppliers
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY region, nation
+"""
+
+
+@register(
+    "ext_sql_api",
+    oracle=_SQL_API_QUERY,
+    doc="SQL front-end surface (SURVEY.md §3 entry point 3): temp views "
+        "over the parquet tables + spark.sql. The registered SQL text is "
+        "byte-identical to the oracle — Catalyst parses/optimizes the "
+        "same ANSI string DuckDB runs. Physical: two broadcast joins "
+        "(nation, region are tiny dims) into one supplier scan.",
+)
+def ext_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_API_QUERY)
+
+
+@register(
+    "x_stream_sessionize",
+    oracle=None,  # stateful streaming; equivalence to the batch sessionize
+                  # op is pinned in tests/test_streaming_sessionize.py
+    doc="Custom stateful streaming operator (applyInPandasWithState, "
+        "event-time timeouts): gap sessionization with per-user "
+        "(start, end, n) state — state bounded by active users, not "
+        "events. Emits exactly the sessions the batch operator computes; "
+        "sessions still open at the final watermark stay in state.",
+)
+def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.streaming.events import sessionize_stream
+
+    out = sessionize_stream(spark, sf_dir, table_name="q_stream_sessions")
+    return out.orderBy("user_id", "session_start")
+
+
 @register(
     "x_sim_topk_ivf",
     oracle=None,  # approximate by construction; recall pinned in tests

@@ -70,3 +70,121 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str,
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def _session_fn(gap_minutes: int):
+    """Build the applyInPandasWithState function for gap sessionization.
+
+    State per user: (start_us, end_us, n) of the currently-open session,
+    epoch microseconds. Vectorized within each Arrow batch (sort → diff →
+    cumsum boundaries) — no per-row Python loop. Closed sessions are
+    emitted as soon as a later event proves the gap; the trailing open
+    session is emitted by the event-time timeout once the watermark
+    passes session_end + gap.
+    """
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id],
+                 "session_start": [pd.Timestamp(start_us, unit="us")],
+                 "session_end": [pd.Timestamp(end_us, unit="us")],
+                 "n_events": [n]}
+            )
+            return
+        import numpy as np
+
+        carried = state.get if state.exists else None
+        parts = list(pdf_iter)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        ts = (
+            pdf.sort_values(["ts", "event_id"])["ts"]
+            .astype("datetime64[us]").astype("int64").to_numpy()
+        )
+        if len(ts) == 0:
+            return
+        # session boundaries within the batch (vectorized)
+        new_sess = np.zeros(len(ts), dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sess_id = np.cumsum(new_sess)
+        out_rows = []
+        sessions = []  # (start_us, end_us, n)
+        for sid in range(1, sess_id[-1] + 1):
+            mask = sess_id == sid
+            sessions.append((int(ts[mask][0]), int(ts[mask][-1]), int(mask.sum())))
+        # merge the carried open session with the batch's first session
+        if carried is not None:
+            c_start, c_end, c_n = carried
+            s0_start, s0_end, s0_n = sessions[0]
+            if s0_start - c_end <= gap_us:
+                sessions[0] = (c_start, max(c_end, s0_end), c_n + s0_n)
+            else:
+                out_rows.append((c_start, c_end, c_n))
+        # all but the trailing session are provably closed
+        out_rows.extend(sessions[:-1])
+        last = sessions[-1]
+        state.update(last)
+        state.setTimeoutTimestamp((last[1] + gap_us) // 1000)  # ms
+        if out_rows:
+            yield pd.DataFrame(
+                {"user_id": user_id,
+                 "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in out_rows],
+                 "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in out_rows],
+                 "n_events": [n for _, _, n in out_rows]}
+            )
+
+    return fn
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "30 minutes",
+    table_name: str = "stream_sessions",
+) -> DataFrame:
+    """Custom stateful streaming operator (SURVEY.md §2.10's
+    ``applyInPandasWithState`` escape hatch): gap-based sessionization
+    with event-time timeouts.
+
+    Equivalence contract (pinned in tests/test_streaming_sessionize.py):
+    every emitted session exactly matches the batch ``sessionize`` op;
+    sessions still open when the bounded source drains (session_end + gap
+    newer than the final watermark = max_ts - watermark_delay) remain in
+    state — exactly the rows a resumed stream would still be allowed to
+    extend. At scale this is the state-bounded path: memory holds one
+    (start, end, n) triple per active user, not per event.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    out = (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_minutes),
+            outputStructType="user_id long, session_start timestamp, "
+                             "session_end timestamp, n_events long",
+            stateStructType="start_us long, end_us long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)
