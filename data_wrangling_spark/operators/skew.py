@@ -1,0 +1,46 @@
+"""Skew-mitigation aggregation patterns (SURVEY.md §4 "Physical profile
+at 100 TB"; task-spec scale checklist: "skewed keys → salting").
+
+Spark's partial (map-side) aggregation already neutralizes skew for
+algebraic aggregates (count/sum/min/max) — each mapper pre-collapses its
+rows, so a hot key ships one partial per partition, not its raw rows.
+Salting matters for the HOLISTIC aggregates whose per-key state is large:
+``countDistinct``, ``collect_set``, percentile sketches. There a hot key
+concentrates every distinct value on one reducer.
+
+``salted_distinct_count`` shows the exact-decomposition form: salt by a
+HASH OF THE DISTINCT COLUMN, not random — hash-partitioning the distinct
+values into disjoint buckets makes per-bucket distinct counts additive,
+so the two-stage result is exactly equal to the one-stage one (pinned by
+the DuckDB oracle on ext_skew_salted_distinct), while the hot key's state
+is spread across ``buckets`` reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    key: str | Column,
+    distinct_col: str,
+    buckets: int = 32,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Exact COUNT(DISTINCT distinct_col) GROUP BY key, skew-safe.
+
+    Stage 1 groups by (key, hash(distinct_col) % buckets) — the hot key's
+    distinct-value state is split across ``buckets`` reducers; stage 2
+    sums the disjoint bucket counts. Both stages are ordinary hash
+    aggregations with map-side partials.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    salt = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(buckets))
+    return (
+        df.groupBy(k.alias("_key"), salt.alias("_bucket"))
+        .agg(F.countDistinct(distinct_col).alias("_partial"))
+        .groupBy(F.col("_key").alias(key if isinstance(key, str) else "key"))
+        .agg(F.sum("_partial").cast("bigint").alias(out_col))
+    )

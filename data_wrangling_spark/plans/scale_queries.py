@@ -201,6 +201,27 @@ def x_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "ext_skew_salted_distinct",
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Skew-safe exact distinct count: salt by hash(user_id) % 32 so a "
+        "hot event_type's distinct-user state spreads over 32 reducers; "
+        "disjoint bucket counts sum exactly (operators/skew.py). Oracle "
+        "is the plain one-stage COUNT(DISTINCT) — results must be "
+        "identical, only the physical distribution differs.",
+)
+def ext_skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.skew import salted_distinct_count
+
+    events = _t(spark, sf_dir, "events")
+    return salted_distinct_count(events, "event_type", "user_id", buckets=32).orderBy(
+        "event_type"
+    )
+
+
 #: one ANSI string, two engines: this exact text is BOTH the Spark SQL query
 #: and the DuckDB oracle — the strongest form of the registry's
 #: "queries and oracles generated from one spec" rule (SURVEY.md §7).
