@@ -110,3 +110,76 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             yield out
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake 'resize': byte-resample the payload to
+    width*height bytes (truncate or cycle-pad). A real implementation
+    decodes with PIL, resizes, re-encodes — same signature, same
+    pipeline; only this function changes."""
+    if payload is None:
+        raise NotImplementedError("payload fetch by URI not implemented")
+    target = max(width * height, 1)
+    if len(payload) >= target:
+        return payload[:target]
+    reps = -(-target // max(len(payload), 1))
+    return (payload * reps)[:target]
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize every payload to (width, height), updating the metadata
+    struct in place — schema in == schema out, so resize composes with
+    any downstream media op (feature extraction, frame sampling)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [resize_stub(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "payload_uri": pdf["payload_uri"],
+                    "meta": [
+                        {"mime": m["mime"], "width": width, "height": height,
+                         "n_bytes": len(p)}
+                        for m, p in zip(pdf["meta"], resized)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 64,
+                  every_n: int = 4) -> DataFrame:
+    """Frame sampling: one media row fans out to every ``every_n``-th
+    fixed-size chunk of its payload (the stub's stand-in for video
+    frames; a real implementation seeks keyframes with ffmpeg). A 1→N
+    mapInPandas — the output batch carries its own row count, which is
+    how Spark models UDTF-style expansion over Arrow."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    raise NotImplementedError("payload fetch by URI not implemented")
+                n_frames = max(len(payload) // frame_bytes, 1)
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(payload[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_payload": frames}
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -202,6 +202,59 @@ def x_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_multimodal_frames",
+    oracle=None,  # mapInPandas fan-out has no ANSI form; determinism and
+                  # byte-exact chunking pinned in tests/test_multimodal.py
+    doc="X-MULTIMODAL pipeline composition: resize (schema-preserving "
+        "mapInPandas) → frame sampling (1→N Arrow fan-out). Decode/"
+        "resize are deterministic stubs (codecs absent here); the Spark "
+        "plumbing — binary columns, batch shapes, UDTF-style expansion — "
+        "is real.",
+)
+def x_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+        synth_media_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = resize_media(synth_media_from_documents(docs), width=64, height=8)
+    return sample_frames(media, frame_bytes=64, every_n=4).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+@register(
+    "ext_percentiles",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` == "
+        "DuckDB `quantile_cont`, both linear interpolation; rounded 4dp "
+        "against ulp drift). The scale path is approx_percentile "
+        "(t-digest sketch, mergeable map-side) — exposed in the library, "
+        "sketch values engine-specific so the exact form carries the "
+        "oracle.",
+)
+def ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
     "ext_skew_salted_distinct",
     oracle="""
         SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct

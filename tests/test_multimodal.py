@@ -46,3 +46,40 @@ def test_feature_values_match_stub_to_float32(spark):
     for mid, got in feats.items():
         want = np.array(decode_stub(src[mid].encode("utf-8")), dtype=np.float32)
         assert np.allclose(np.array(got, dtype=np.float32), want)
+
+
+def test_resize_media_composes(spark):
+    from data_wrangling_spark.operators.multimodal import resize_media
+
+    docs = load_table(spark, SF_DIR, "documents").limit(10)
+    media = synth_media_from_documents(docs)
+    resized = resize_media(media, width=16, height=4)
+    rows = resized.orderBy("media_id").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(r.payload) == 16 * 4
+        assert r.meta.width == 16 and r.meta.height == 4
+        assert r.meta.n_bytes == 64
+    # schema-preserving: output feeds straight into feature extraction
+    feats = extract_features(resized).collect()
+    assert len(feats) == 10 and all(f.n_bytes == 64 for f in feats)
+
+
+def test_sample_frames_fanout_deterministic(spark):
+    from data_wrangling_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, SF_DIR, "documents").limit(10)
+    media = synth_media_from_documents(docs)
+    frames = sample_frames(media, frame_bytes=32, every_n=2).collect()
+    src = {r.doc_id: r.text.encode("utf-8") for r in docs.collect()}
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == set(src)
+    for mid, rows in by_media.items():
+        payload = src[mid]
+        n_frames = max(len(payload) // 32, 1)
+        want_idxs = list(range(0, n_frames, 2))
+        assert sorted(r.frame_idx for r in rows) == want_idxs
+        for r in rows:
+            assert bytes(r.frame_payload) == payload[r.frame_idx * 32:(r.frame_idx + 1) * 32]
