@@ -322,6 +322,25 @@ def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_stream_dedup",
+    oracle="""
+        SELECT event_id, user_id, event_type
+        FROM events ORDER BY event_id
+    """,
+    doc="Streaming exact dedup: the source directory stages the events "
+        "file twice (at-least-once redelivery), "
+        "dropDuplicatesWithinWatermark collapses the duplicates with "
+        "watermark-bounded state. Exactly recovers the distinct source "
+        "rows — full oracle parity for a streaming job.",
+)
+def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.streaming.events import dedup_stream
+
+    out = dedup_stream(spark, sf_dir, table_name="q_stream_dedup")
+    return out.orderBy("event_id")
+
+
+@register(
     "x_sim_topk_ivf",
     oracle=None,  # approximate by construction; recall pinned in tests
     doc="X-SIM-SEARCH IVF path: Voronoi-cell partition of the corpus "

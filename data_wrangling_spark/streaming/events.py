@@ -72,6 +72,47 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str,
     return spark.table(table_name)
 
 
+def dedup_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "2 hours",
+    table_name: str = "stream_dedup",
+) -> DataFrame:
+    """Streaming exact deduplication: the landing directory is staged with
+    the events file TWICE (modeling the at-least-once re-delivery every
+    real ingest pipeline sees), and ``dropDuplicatesWithinWatermark`` on
+    the event key collapses redelivered rows. The watermark bounds the
+    dedup state — keys older than the watermark are evicted, which is the
+    only way streaming dedup survives at 100 TB (unbounded key state
+    otherwise grows forever).
+
+    Output == the distinct source rows, so this op carries a full DuckDB
+    oracle (x_stream_dedup) despite being a streaming job."""
+    raw_schema = (
+        "event_id long, ts long, user_id long, "
+        "event_type string, value double, props string"
+    )
+    stage = tempfile.mkdtemp(prefix="dws-stream-dedup-")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events_redelivered.parquet")
+    stream = (
+        spark.readStream.schema(raw_schema).format("parquet").load(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)
+
+
 def _session_fn(gap_minutes: int):
     """Build the applyInPandasWithState function for gap sessionization.
 
