@@ -275,6 +275,49 @@ def ext_skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ext_anti_join",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+    """,
+    doc="Left anti join (SURVEY.md §2.7 extension surface): customers "
+        "with no orders. Physical: broadcast/shuffled hash anti join — "
+        "the orders side is reduced to its join key by Catalyst.",
+)
+def ext_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "ext_semi_join",
+    oracle="""
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 400000)
+        ORDER BY c_custkey
+    """,
+    doc="Left semi join with a pushed predicate: customers having at "
+        "least one order over 400k. The filter lands on the orders scan "
+        "(PushedFilters) before the join.",
+)
+def ext_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
 #: one ANSI string, two engines: this exact text is BOTH the Spark SQL query
 #: and the DuckDB oracle — the strongest form of the registry's
 #: "queries and oracles generated from one spec" rule (SURVEY.md §7).
