@@ -276,6 +276,60 @@ def ext_skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_cube_counts",
+    oracle="""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status NULLS FIRST, priority NULLS FIRST, cnt
+    """,
+    doc="CUBE grouping sets (completes §2.6's 'free via Spark' set next "
+        "to ext_rollup_counts): all 4 grouping combinations in one "
+        "Expand+hash-agg pass — one shuffle, not four queries.",
+)
+def ext_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("status").asc_nulls_first(),
+                 F.col("priority").asc_nulls_first(), "cnt")
+    )
+
+
+@register(
+    "ext_pivot_status_by_priority",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """,
+    doc="Pivot: order counts by priority x status. Spark's .pivot with an "
+        "EXPLICIT value list — never let pivot scan for distinct values "
+        "at 100 TB (that's an extra full pass); the oracle is the "
+        "equivalent FILTERed aggregate.",
+)
+def ext_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "priority",
+        F.coalesce("F", F.lit(0)).alias("f_cnt"),
+        F.coalesce("O", F.lit(0)).alias("o_cnt"),
+        F.coalesce("P", F.lit(0)).alias("p_cnt"),
+    ).orderBy("priority")
+
+
+@register(
     "ext_anti_join",
     oracle="""
         SELECT c_custkey, c_name FROM customer c
@@ -362,6 +416,26 @@ def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = sessionize_stream(spark, sf_dir, table_name="q_stream_sessions")
     return out.orderBy("user_id", "session_start")
+
+
+@register(
+    "x_dedup_clusters",
+    oracle=None,  # iterative fixpoint (SURVEY §5: non-SQL-expressible);
+                  # pinned against pure-Python union-find in tests/test_graph.py
+    doc="Pair→cluster collapse for dedup: connected components by "
+        "min-label propagation over the exact n-gram Jaccard pairs "
+        "(doc_id < 200 corpus slice). Each near-duplicate group gets its "
+        "min doc_id as the canonical keep-representative. Iterative "
+        "Pregel-style loop, localCheckpoint-truncated lineage "
+        "(operators/graph.py).",
+)
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.dedup import ngram_jaccard_pairs
+    from data_wrangling_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    return dedup_clusters(pairs).orderBy("id")
 
 
 @register(
