@@ -32,6 +32,16 @@ TABLES = (
 )
 
 
+def ensure_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC (idempotent). Timestamp semantics
+    must not depend on who built the SparkSession: the engine's queries
+    are defined over UTC wall-clock values and the DuckDB oracle reads
+    parquet timestamps as-is, so a caller session left on a local zone
+    would shift every timestamp crossing the Arrow boundary."""
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one parquet table from a scale-factor directory.
 
@@ -41,6 +51,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microseconds — the same truncation DuckDB applies at scan, so oracle
     values agree exactly.
     """
+    ensure_utc(spark)
     path = f"{sf_dir}/{name}.parquet"
     key = (id(spark), path)
     cached = _TABLE_CACHE.get(key)

@@ -27,6 +27,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema must be given
     explicitly for streaming reads). ts arrives as ns int64 in this
     dataset → converted exactly as the batch loader does."""
+    from data_wrangling_spark.sources.tables import ensure_utc
+
+    ensure_utc(spark)
     raw_schema = (
         "event_id long, ts long, user_id long, "
         "event_type string, value double, props string"
@@ -88,6 +91,9 @@ def dedup_stream(
 
     Output == the distinct source rows, so this op carries a full DuckDB
     oracle (x_stream_dedup) despite being a streaming job."""
+    from data_wrangling_spark.sources.tables import ensure_utc
+
+    ensure_utc(spark)
     raw_schema = (
         "event_id long, ts long, user_id long, "
         "event_type string, value double, props string"
