@@ -276,6 +276,106 @@ def ext_skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_tpch_q5_local_supplier",
+    oracle="""
+        SELECT n_name AS nation,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, nation
+    """,
+    doc="TPC-H Q5-shaped 6-table join (local-supplier revenue by nation): "
+        "region/nation broadcast into supplier (tiny dims), customer "
+        "broadcast into date-filtered orders, the lineitem fact streams "
+        "through one shuffle join; the c_nationkey = s_nationkey "
+        "co-location predicate rides on the supplier join. Int-cents "
+        "revenue on both engines.",
+)
+def ext_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    oc = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "c_nationkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("bigint")
+    return (
+        li.join(oc, li.l_orderkey == oc.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg((F.sum(rev_cents) / F.lit(100.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+@register(
+    "ext_tpch_q18_large_orders",
+    oracle="""
+        SELECT c_custkey, o_orderkey,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                    AS BIGINT) / 100.0 AS total_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY c_custkey, o_orderkey
+        HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 25000
+        ORDER BY total_qty DESC, o_orderkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q18-shaped group-HAVING top-k (large-volume orders): "
+        "aggregate lineitem quantity per order, post-aggregation filter "
+        "(HAVING), top-20. Quantity in int cents so the HAVING threshold "
+        "cuts identically on both engines.",
+)
+def ext_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty_cents = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+    # no broadcast hints: the orders side is unfiltered, so its size
+    # tracks the fact table — Catalyst broadcasts at bench scale, AQE
+    # shuffles at 100 TB
+    return (
+        li.join(orders.join(cust, orders.o_custkey == cust.c_custkey),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.sum(qty_cents).alias("_cents"))
+        .filter(F.col("_cents") > 25000)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            (F.col("_cents") / F.lit(100.0)).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
     "ext_cube_counts",
     oracle="""
         SELECT o_orderstatus AS status, o_orderpriority AS priority,
