@@ -65,3 +65,23 @@ def osm_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "field", "bucket", F.concat_ws("|", "values").alias("values"), "n_values"
     ).orderBy("field", "bucket")
+
+
+@register(
+    "x_stream_osm_ingest",
+    oracle=None,  # XML source; batch==stream parity pinned in
+                  # tests/test_streaming_osm.py
+    doc="Streaming OSM ingest (SURVEY §2.10 extension): readStream "
+        "wholetext over a landing directory, mapInPandas iterparse, "
+        "AvailableNow drain. Returns the raw element rows — identical "
+        "to the batch reader over the same files.",
+)
+def x_stream_osm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.sources.osm_fixture import build_osm_xml
+    from data_wrangling_spark.streaming.osm import drain_osm_stream
+
+    stage = tempfile.mkdtemp(prefix="dws-osm-landing-")
+    with open(os.path.join(stage, "region_a.osm"), "w") as f:
+        f.write(build_osm_xml())
+    out = drain_osm_stream(spark, stage, table_name="q_osm_stream")
+    return out.orderBy("element", "id")
