@@ -85,3 +85,32 @@ def x_stream_osm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write(build_osm_xml())
     out = drain_osm_stream(spark, stage, table_name="q_osm_stream")
     return out.orderBy("element", "id")
+
+
+@register(
+    "osm_pipeline_quarantine",
+    oracle=None,  # XML source; expected counts pinned in
+                  # tests/test_osm_pipeline.py on the invalid fixture
+    doc="OP-VALIDATE observability: run normalization in permissive mode "
+        "over a fixture containing invalid elements and return per-table "
+        "(table, n_quarantined, n_clean) — the engine's replacement for "
+        "the reference's raise-on-first-error (S2:232-239), keeping bad "
+        "rows visible instead of killing a 100 TB job at row one.",
+)
+def osm_pipeline_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.normalize import normalize
+    from data_wrangling_spark.sources.osm_fixture import build_osm_xml
+    from data_wrangling_spark.sources.osm_xml import read_osm_xml
+
+    stage = tempfile.mkdtemp(prefix="dws-osm-q-")
+    path = os.path.join(stage, "fixture.osm")
+    with open(path, "w") as f:
+        f.write(build_osm_xml(include_invalid=True))
+    out = normalize(read_osm_xml(spark, path), clean=True, validate="permissive")
+    rows = [
+        (name, out.quarantine[name].count(), out.as_dict()[name].count())
+        for name in sorted(out.quarantine)
+    ]
+    return spark.createDataFrame(
+        rows, "table string, n_quarantined long, n_clean long"
+    ).orderBy("table")
