@@ -1,0 +1,54 @@
+"""Deterministic dataset splitting for training pipelines.
+
+`randomSplit` is the obvious tool and the wrong one for a 100 TB corpus:
+its assignment depends on partitioning and sampling seeds, so re-running
+after adding data reshuffles EVERYTHING across splits (train/test
+contamination). The durable pattern is content-keyed hashing — a row's
+split is a pure function of its id, stable under reprocessing, appends,
+and engine changes.
+
+The bucket function here (first 4 hex chars of md5 of the id string) is
+chosen to be expressible IDENTICALLY in Spark and ANSI-ish SQL, so the
+assignment is portable across engines — pinned by the DuckDB oracle on
+ext_dataset_split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 65536  # 16 bits of md5
+
+
+def hash_bucket(id_col: str | Column) -> Column:
+    """Deterministic bucket in [0, 65536) from the row id: first 4 hex
+    chars of md5(id as string), parsed base-16. Engine-portable."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast("int")
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """Assign each row a split label by hash bucket. ``fractions`` maps
+    label → fraction (must sum to 1); thresholds are cumulative over
+    N_BUCKETS in the given order."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    bucket = hash_bucket(id_col)
+    expr: Column | None = None
+    acc = 0.0
+    labels = list(fractions.items())
+    for label, frac in labels[:-1]:
+        acc += frac
+        threshold = int(round(acc * N_BUCKETS))
+        cond = bucket < F.lit(threshold)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    split_col = (
+        F.lit(labels[-1][0]) if expr is None else expr.otherwise(F.lit(labels[-1][0]))
+    )
+    return df.withColumn("split", split_col).withColumn("bucket", bucket)

@@ -255,6 +255,35 @@ def ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_dataset_split",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS INTEGER) AS bucket
+            FROM documents
+        )
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 52429 THEN 'train'
+                    WHEN bucket < 58982 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b ORDER BY doc_id
+    """,
+    doc="Deterministic train/val/test split (80/10/10) by content-keyed "
+        "hash bucket — stable under reprocessing and appends, unlike "
+        "randomSplit whose assignment depends on partitioning. The md5 "
+        "bucket function is engine-portable, so the SAME rows land in "
+        "the SAME split on Spark and DuckDB (operators/splits.py).",
+)
+def ext_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.splits import dataset_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dataset_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "bucket", "split").orderBy("doc_id")
+
+
+@register(
     "ext_skew_salted_distinct",
     oracle="""
         SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct

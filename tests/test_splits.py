@@ -1,0 +1,23 @@
+"""Dataset-split properties: deterministic per-id assignment (stable
+under reprocessing/appends by construction), fractions approximately
+honored, bucket function portable (pinned exactly by the oracle query)."""
+
+from __future__ import annotations
+
+from data_wrangling_spark.operators.splits import dataset_split
+from data_wrangling_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_split_deterministic_and_append_stable(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    full = {r.doc_id: r.split for r in dataset_split(docs, "doc_id").collect()}
+    # reprocessing a SUBSET (as after an append, the old rows) must give
+    # the identical assignment for every pre-existing id
+    subset = dataset_split(docs.filter("doc_id % 3 = 0"), "doc_id").collect()
+    assert all(full[r.doc_id] == r.split for r in subset)
+    # fractions approximately honored (small corpus → loose bounds)
+    n = len(full)
+    train = sum(1 for s in full.values() if s == "train") / n
+    assert 0.7 < train < 0.9, train
+    assert set(full.values()) <= {"train", "val", "test"}
