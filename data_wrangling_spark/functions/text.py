@@ -64,6 +64,33 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
 
 
+#: PII patterns, restricted to syntax Java regex and RE2 treat identically.
+#: Order matters: SSN before phone (more specific shape first).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace email/SSN/phone-shaped spans with typed placeholder tokens
+    — the standard scrub pass before corpus text reaches a training set.
+    Pure chained regexp_replace: JVM-side, no UDF."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def distinct_token_ratio(col: Column | str) -> Column:
+    """Lexical diversity = distinct tokens / total tokens — the cheap
+    repetition signal corpus-quality filters (C4/Gopher-style) cut on:
+    boilerplate and generated spam score low."""
+    t = tokens(col)
+    return F.size(F.array_distinct(t)) / F.size(t)
+
+
 def normalized(col: Column | str) -> Column:
     """Canonical text form: lowercase, strip non-alnum, squeeze whitespace."""
     c = F.col(col) if isinstance(col, str) else col

@@ -587,6 +587,54 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_text_redact_pii",
+    oracle=r"""
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                 '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
+        FROM documents ORDER BY doc_id
+    """,
+    doc="X-TEXT PII scrub: email/SSN/phone spans replaced with typed "
+        "placeholders via chained JVM regexp_replace (no UDF). The "
+        "oracle applies the identical patterns with DuckDB's 'g' flag "
+        "(Spark replaces all matches by default). Planted-PII behavior "
+        "pinned in tests/test_text_redact.py.",
+)
+def x_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.functions.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", redact_pii("text").alias("redacted")).orderBy("doc_id")
+
+
+@register(
+    "x_text_lexical_diversity",
+    oracle=r"""
+        SELECT doc_id,
+               ROUND(CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+                          AS DOUBLE)
+                     / len(string_split_regex(trim(text), '\s+')), 6)
+                   AS distinct_ratio
+        FROM documents ORDER BY doc_id
+    """,
+    doc="X-TEXT repetition signal: distinct-token ratio (C4/Gopher-style "
+        "quality cut — boilerplate and generated spam score low). Narrow "
+        "array expressions, no shuffle.",
+)
+def x_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.functions.text import distinct_token_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(distinct_token_ratio("text"), 6).alias("distinct_ratio")
+    ).orderBy("doc_id")
+
+
+@register(
     "x_sim_topk_ivf",
     oracle=None,  # approximate by construction; recall pinned in tests
     doc="X-SIM-SEARCH IVF path: Voronoi-cell partition of the corpus "
