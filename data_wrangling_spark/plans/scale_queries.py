@@ -635,6 +635,73 @@ def x_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_text_curation_pipeline",
+    oracle=r"""
+        WITH redacted AS (
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                     '\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS rtext
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, rtext,
+                   len(string_split_regex(trim(rtext), '\s+')) AS n_tokens,
+                   CAST(len(list_distinct(string_split_regex(trim(rtext), '\s+')))
+                        AS DOUBLE)
+                     / len(string_split_regex(trim(rtext), '\s+')) AS distinct_ratio
+            FROM redacted
+        ), kept AS (
+            SELECT * FROM scored WHERE n_tokens >= 5 AND distinct_ratio >= 0.3
+        )
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(rtext),
+                                                      '[^a-z0-9 ]', '', 'g'),
+                                       '\s+', ' ', 'g'))) AS fingerprint,
+               CAST(min(doc_id) AS BIGINT) AS doc_id,
+               COUNT(*) AS n_duplicates,
+               CAST(min(n_tokens) AS INT) AS n_tokens
+        FROM kept
+        GROUP BY 1 ORDER BY doc_id
+    """,
+    doc="Flagship corpus-curation pipeline, ONE declarative plan: PII "
+        "redaction → quality scoring (token count, lexical diversity) → "
+        "threshold filter → canonical-fingerprint dedup keeping the min "
+        "doc_id. Every stage is a narrow JVM expression; the only "
+        "shuffle is the final dedup groupBy — at 100 TB the whole "
+        "curation pass is scan-bound. Full DuckDB oracle over the "
+        "composed CTEs.",
+    bench=True,
+)
+def x_text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.functions.text import (
+        distinct_token_ratio,
+        fingerprint,
+        redact_pii,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = (
+        docs.withColumn("rtext", redact_pii("text"))
+        .withColumn("n_tokens", token_count("rtext"))
+        .withColumn("distinct_ratio", distinct_token_ratio("rtext"))
+        .filter((F.col("n_tokens") >= 5) & (F.col("distinct_ratio") >= 0.3))
+    )
+    return (
+        kept.groupBy(fingerprint("rtext").alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_duplicates"),
+            F.min("n_tokens").cast("int").alias("n_tokens"),
+        )
+        .select("fingerprint", "doc_id", "n_duplicates", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "x_sim_topk_ivf",
     oracle=None,  # approximate by construction; recall pinned in tests
     doc="X-SIM-SEARCH IVF path: Voronoi-cell partition of the corpus "
