@@ -75,6 +75,48 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str,
     return spark.table(table_name)
 
 
+def windowed_counts_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """Durable streaming sink: the windowed counts land in a
+    date-partitioned parquet directory via ``foreachBatch`` with
+    dynamic partition overwrite — re-delivering a micro-batch rewrites
+    only the partitions it touches, so the sink is idempotent under
+    replay (the at-least-once → effectively-once upgrade every
+    production stream needs; memory sinks are test-only).
+
+    The checkpoint directory carries source offsets + window state
+    across restarts; a resumed stream continues, not restarts.
+    """
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="dws-ckpt-")
+    counts = windowed_event_counts(
+        read_events_stream(spark, sf_dir), window=window, watermark=watermark
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("date", F.to_date("window_start"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date")
+            .parquet(out_dir)
+        )
+
+    q = (
+        counts.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def dedup_stream(
     spark: SparkSession,
     sf_dir: str,
