@@ -284,6 +284,41 @@ def ext_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_sketch_hll_weekly_users",
+    oracle=None,  # sketch estimates are engine-specific; the error bound
+                  # vs the exact count is pinned in tests/test_sketches.py
+    doc="Mergeable-sketch distinct counting: per-DAY HLL sketches of "
+        "user_id (one pass over events), then weekly uniques by UNIONING "
+        "the daily sketches — no second pass over raw data. THE pattern "
+        "for distinct-count rollups at 100 TB: sketches are tiny, "
+        "mergeable across partitions/days/clusters, and reusable for any "
+        "coarser rollup. Returns (week, approx_users, exact_users) so "
+        "the estimate quality is visible.",
+)
+def x_sketch_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    ev = events.select(
+        F.to_date("ts").alias("day"),
+        F.weekofyear(F.col("ts")).alias("week"),
+        "user_id",
+    )
+    daily = ev.groupBy("week", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    weekly_approx = daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users")
+    )
+    weekly_exact = ev.groupBy("week").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        weekly_approx.join(weekly_exact, "week")
+        .select("week", "approx_users", "exact_users")
+        .orderBy("week")
+    )
+
+
+@register(
     "ext_skew_salted_distinct",
     oracle="""
         SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
