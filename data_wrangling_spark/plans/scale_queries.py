@@ -284,6 +284,54 @@ def ext_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_text_sequence_pack",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INT)
+                       AS n_tokens
+            FROM documents
+        ), packed AS (
+            SELECT doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_tokens
+            FROM toks
+        )
+        SELECT doc_id, n_tokens,
+               CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        FROM packed ORDER BY doc_id
+    """,
+    doc="Sequence packing for LLM training batches: docs in stable id "
+        "order are assigned to fixed token-budget packs (2048) by "
+        "running-sum bucketing — the deterministic, shuffle-light "
+        "approximation of greedy bin packing (a doc starts the pack its "
+        "cumulative predecessor count falls in). The global window is "
+        "the scale caveat: at 100 TB pack WITHIN partitions (id-range "
+        "partitioned) so the cumsum never serializes.",
+)
+def x_text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks = docs.select("doc_id", bpe_ish_token_count("text").cast("int").alias("n_tokens"))
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            # explicit floor: DuckDB's double->bigint CAST rounds to
+            # nearest while Spark's truncates — floor() agrees everywhere
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(2048.0))
+            .cast("bigint")
+            .alias("pack_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "x_sketch_hll_weekly_users",
     oracle=None,  # sketch estimates are engine-specific; the error bound
                   # vs the exact count is pinned in tests/test_sketches.py
