@@ -23,3 +23,21 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# public API façade — the names a user of the reference pipeline needs to
+# switch. Deliberately import-light: pulling these in requires pyspark but
+# never creates a SparkSession.
+from data_wrangling_spark.session import get_spark  # noqa: E402
+from data_wrangling_spark.sources.tables import (  # noqa: E402
+    load_table,
+    load_tables,
+    register_views,
+)
+
+__all__ = [
+    "__version__",
+    "get_spark",
+    "load_table",
+    "load_tables",
+    "register_views",
+]
