@@ -542,6 +542,35 @@ def ext_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_csv_roundtrip",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM nation ORDER BY n_nationkey
+    """,
+    doc="OP-SRC-CSV + OP-SNK-CSV round-trip as one oracled query: the "
+        "nation table is written to CSV with headers (the reference's "
+        "Step-2 export format, S2:282-332) and read back with an explicit "
+        "schema (no inference pass); the result must equal the source "
+        "rows exactly — i.e. the CSV sink/source pair is lossless for "
+        "the relational model.",
+)
+def op_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from data_wrangling_spark.sinks import write_csv
+    from data_wrangling_spark.sources.tables import read_csv
+
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    out = tempfile.mkdtemp(prefix="dws-csv-rt-") + "/nation"
+    write_csv(nation, out)
+    back = read_csv(
+        spark, out,
+        schema=nation.schema,
+    )
+    return back.orderBy("n_nationkey")
+
+
+@register(
     "ext_anti_join",
     oracle="""
         SELECT c_custkey, c_name FROM customer c
