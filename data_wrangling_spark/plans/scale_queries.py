@@ -571,6 +571,52 @@ def op_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_jsonl_roundtrip",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+        FROM events ORDER BY event_id
+    """,
+    doc="JSON-lines source/sink round-trip: events written as JSONL and "
+        "read back with an explicit schema (no inference pass). Doubles "
+        "survive Jackson's shortest-round-trip encoding; the oracle "
+        "compares in cents anyway, consistent with the engine's exact-"
+        "arithmetic rule.",
+)
+def op_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    out = tempfile.mkdtemp(prefix="dws-jsonl-rt-") + "/events"
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).json(out)
+    return back.select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("value_cents"),
+    ).orderBy("event_id")
+
+
+@register(
+    "op_orc_roundtrip",
+    oracle="""
+        SELECT n_nationkey, n_name, n_regionkey
+        FROM nation ORDER BY n_nationkey
+    """,
+    doc="ORC source/sink round-trip (Spark's second built-in columnar "
+        "format — zero extra deps): write + read back must be lossless.",
+)
+def op_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    out = tempfile.mkdtemp(prefix="dws-orc-rt-") + "/nation"
+    nation.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).orderBy("n_nationkey")
+
+
+@register(
     "ext_anti_join",
     oracle="""
         SELECT c_custkey, c_name FROM customer c
