@@ -31,13 +31,18 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
 ) -> DataFrame:
-    """Return (id, component) with component = min node id reachable.
+    """Return (id, component) with component = min node id reachable
+    (min in the id column's natural ordering — works for numeric AND
+    string ids; no cast, so non-numeric ids are never silently nulled).
 
     ``edges`` is undirected input (each pair listed once is enough);
     isolated nodes don't appear (callers union them in if needed).
+
+    Raises RuntimeError if labels have not converged after ``max_iter``
+    rounds (rounds needed = graph diameter) — a partially-propagated
+    result would silently split real components.
     """
-    e = edges.select(F.col(src).cast("long").alias("src"),
-                     F.col(dst).cast("long").alias("dst"))
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.localCheckpoint(eager=True)
 
@@ -73,8 +78,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(graph diameter exceeds max_iter); raise max_iter — a partial "
+        "result would silently split real components"
+    )
 
 
 def dedup_clusters(

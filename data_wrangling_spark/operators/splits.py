@@ -51,4 +51,7 @@ def dataset_split(
     split_col = (
         F.lit(labels[-1][0]) if expr is None else expr.otherwise(F.lit(labels[-1][0]))
     )
+    # a null id gets a NULL split, not a silent ride into the last label
+    # (otherwise() would route every null-id row into the test set)
+    split_col = F.when(bucket.isNull(), F.lit(None).cast("string")).otherwise(split_col)
     return df.withColumn("split", split_col).withColumn("bucket", bucket)

@@ -37,10 +37,29 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file streaming source requires a DIRECTORY (its 'basePath');
     # stage a symlink dir pointing at the bounded file — on a cluster this
     # would simply be the landing directory new files arrive in
-    stage = tempfile.mkdtemp(prefix="dws-stream-events-")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stage = _staged_dir("events", f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(raw_schema).format("parquet").load(stage)
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+#: memoized staging dirs: repeated calls (bench loops, test suites) reuse
+#: one symlink dir per (kind, source) instead of leaking a fresh mkdtemp
+_STAGE_CACHE: dict[tuple[str, ...], str] = {}
+
+
+def _staged_dir(kind: str, *links: str) -> str:
+    key = (kind, *links)
+    cached = _STAGE_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    stage = tempfile.mkdtemp(prefix=f"dws-stream-{kind}-")
+    for i, target in enumerate(links):
+        name = os.path.basename(target)
+        if i > 0:  # same file staged twice needs distinct link names
+            name = f"redelivered_{i}_{name}"
+        os.symlink(target, f"{stage}/{name}")
+    _STAGE_CACHE[key] = stage
+    return stage
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
@@ -62,7 +81,14 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str,
                          table_name: str = "stream_event_counts") -> DataFrame:
     """Execute the streaming job with AvailableNow (drain the bounded
     source, then stop) into an in-memory sink; returns the result table.
-    Deterministic: same input → same final table."""
+    Deterministic: same input → same final table.
+
+    Complete mode is deliberate FOR THIS BOUNDED DRAIN: the oracle
+    compares against ALL windows, including ones newer than the final
+    watermark that append mode would withhold; with a single-batch drain
+    no state accumulates. The long-running production path is
+    ``windowed_counts_to_parquet`` (update mode — watermark actually
+    evicts finalized windows)."""
     counts = windowed_event_counts(read_events_stream(spark, sf_dir))
     q = (
         counts.writeStream.format("memory")
@@ -109,7 +135,11 @@ def windowed_counts_to_parquet(
 
     q = (
         counts.writeStream.foreachBatch(write_batch)
-        .outputMode("complete")
+        # update, NOT complete: only changed windows reach each batch, so
+        # the watermark actually evicts finalized-window state (complete
+        # mode would retain and re-emit every window forever) and dynamic
+        # overwrite rewrites only the touched date partitions
+        .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -140,9 +170,8 @@ def dedup_stream(
         "event_id long, ts long, user_id long, "
         "event_type string, value double, props string"
     )
-    stage = tempfile.mkdtemp(prefix="dws-stream-dedup-")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events_redelivered.parquet")
+    src = f"{sf_dir}/events.parquet"
+    stage = _staged_dir("dedup", src, src)
     stream = (
         spark.readStream.schema(raw_schema).format("parquet").load(stage)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -215,14 +244,21 @@ def _session_fn(gap_minutes: int):
             c_start, c_end, c_n = carried
             s0_start, s0_end, s0_n = sessions[0]
             if s0_start - c_end <= gap_us:
-                sessions[0] = (c_start, max(c_end, s0_end), c_n + s0_n)
+                # min(): a late-but-within-watermark event may PRECEDE the
+                # carried session's start
+                sessions[0] = (min(c_start, s0_start), max(c_end, s0_end),
+                               c_n + s0_n)
             else:
                 out_rows.append((c_start, c_end, c_n))
         # all but the trailing session are provably closed
         out_rows.extend(sessions[:-1])
         last = sessions[-1]
         state.update(last)
-        state.setTimeoutTimestamp((last[1] + gap_us) // 1000)  # ms
+        # clamp: a timeout at/behind the current watermark raises in Spark
+        # (possible when a group's only data arrives already-old)
+        timeout_ms = (last[1] + gap_us) // 1000
+        watermark_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, watermark_ms + 1))
         if out_rows:
             yield pd.DataFrame(
                 {"user_id": user_id,

@@ -54,3 +54,29 @@ def test_dedup_clusters_canonical_representative(spark):
     )
     out = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert out == {4: 4, 9: 4, 17: 4, 30: 30, 31: 30}
+
+
+def test_string_ids_not_nulled(spark):
+    """Non-numeric ids (URL/hash doc ids) must keep their values — the
+    component is the lexicographic min id."""
+    df = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-c", "doc-b"), ("zzz", "yyy")],
+        "src string, dst string",
+    )
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "yyy": "yyy", "zzz": "yyy",
+    }
+
+
+def test_nonconvergence_raises(spark):
+    """A partial propagation must raise, not silently split components."""
+    import pytest
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(8)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+    # and with enough rounds the same graph succeeds
+    out = connected_components(chain, max_iter=10).collect()
+    assert all(r.component == 0 for r in out)
