@@ -43,8 +43,18 @@ def dedup_exact(df: DataFrame, subset: list[str], id_col: str | None = None) -> 
     one, which breaks reproducibility across runs/engines)."""
     if id_col is None:
         return df.dropDuplicates(subset)
-    w_min = df.groupBy(*subset).agg(F.min(id_col).alias(id_col))
-    return w_min.join(df, on=[*subset, id_col], how="inner")
+    # min-of-struct, not groupBy+join-back: a join on the subset columns
+    # would use null-unsafe equality and silently DROP groups whose
+    # subset contains NULL; the struct min needs no second pass at all
+    rest = [c for c in df.columns if c not in subset and c != id_col]
+    packed = df.groupBy(*subset).agg(
+        F.min(F.struct(id_col, *rest)).alias("_rep")
+    )
+    return packed.select(
+        *subset,
+        F.col(f"_rep.{id_col}").alias(id_col),
+        *[F.col(f"_rep.{c}").alias(c) for c in rest],
+    ).select(*df.columns)
 
 
 def dedup_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -162,9 +172,12 @@ def minhash_near_duplicates(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
 
+    # band rows carry ONLY (doc, band, bucket) — exploding the 64-long
+    # signature into every band row would multiply the bucket-join
+    # shuffle volume by the band count; signatures join back once per
+    # surviving candidate pair instead
     band_entries = sig.select(
         "doc",
-        "signature",
         F.explode(
             F.array(*[
                 F.struct(
@@ -177,23 +190,28 @@ def minhash_near_duplicates(
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("doc", "signature", "bb.band", "bb.bucket")
+    ).select("doc", "bb.band", "bb.bucket")
 
     a, b = band_entries.alias("a"), band_entries.alias("b")
-    candidates = (
+    candidate_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    candidates = (
+        candidate_ids.join(
+            sig.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b")),
+            "doc_b",
+        )
     )
     est = (
         F.size(
@@ -246,9 +264,15 @@ def simhash_near_duplicates(
     chunks: int = 4,
 ) -> DataFrame:
     """SimHash near-dup join: by pigeonhole, two sketches within
-    ``max_hamming`` (< chunks) bits share at least one identical 16-bit
-    chunk → bucket join per chunk, then exact hamming verification with
-    bit_count(xor). Bucket keys bounded (≤ 2^16 per chunk)."""
+    ``max_hamming`` bits differ in at most max_hamming chunks, so with
+    chunks >= max_hamming + 1 they share at least one identical chunk →
+    bucket join per chunk, then exact hamming verification with
+    bit_count(xor).
+
+    ``chunks`` is raised to max_hamming + 1 automatically — the recall
+    guarantee silently breaks otherwise (a caller asking hamming ≤ 6
+    with 4 chunks would miss pairs whose differing bits touch all 4)."""
+    chunks = max(chunks, max_hamming + 1)
     sk = simhash(df, id_col, text_col)
     chunk_bits = 64 // chunks
     mask = (1 << chunk_bits) - 1
@@ -354,12 +378,22 @@ def embedding_near_duplicates(
 
 
 def _hyperplane_signatures(
-    df: DataFrame, id_col: str, vec_col: str, planes: int
+    df: DataFrame, id_col: str, vec_col: str, planes: int, dim: int | None = None
 ) -> DataFrame:
     """Deterministic pseudo-random hyperplanes without any RNG dependency:
     plane p, dimension d gets weight from a hash of (p, d) mapped to
-    [-0.5, 0.5). Constant-folded literals; signature computed JVM-side."""
-    dim = len(df.select(vec_col).first()[0])
+    [-0.5, 0.5). Constant-folded literals; signature computed JVM-side.
+
+    Pass ``dim`` to skip the one-row probe job; without it, an empty (or
+    all-null-vector) frame returns an empty signature frame instead of
+    crashing."""
+    if dim is None:
+        head = df.filter(F.col(vec_col).isNotNull()).select(vec_col).take(1)
+        if not head:
+            return df.select(id_col).limit(0).withColumn(
+                "sig", F.array().cast("array<int>")
+            )
+        dim = len(head[0][0])
     sig_terms = []
     for p in range(planes):
         weights = [_hash_unit(p, d) for d in range(dim)]

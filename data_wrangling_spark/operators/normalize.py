@@ -167,11 +167,13 @@ def normalize(
             tables[name] = df.filter(~bad)
         if validate == "strict":
             for name, q in quarantine.items():
-                n = q.count()
-                if n:
-                    first = q.first()
+                # one pass, not count()+first() (each recomputes the full
+                # upstream lineage incl. the XML parse)
+                bad_sample = q.take(1)
+                if bad_sample:
                     raise ValueError(
-                        f"validation failed: table '{name}' has {n} rows "
-                        f"violating required-field constraints; first: {first}"
+                        f"validation failed: table '{name}' has rows "
+                        "violating required-field constraints; first: "
+                        f"{bad_sample[0]}"
                     )
     return NormalizedTables(quarantine=quarantine, **tables)

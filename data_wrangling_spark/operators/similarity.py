@@ -172,8 +172,22 @@ def topk_lsh(
         .withColumn("score", cosine("qvec", "cvec"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
-    return (
+    from_lsh = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
+    )
+    # brute-force fallback: queries whose buckets yielded fewer than k
+    # candidates get exact top-k instead of a silently-truncated result.
+    # Built unconditionally into the plan — the fallback side is empty at
+    # runtime when every query has k candidates
+    filled = from_lsh.groupBy("query_id").agg(F.count("*").alias("_n")).filter(
+        F.col("_n") >= k
+    )
+    under = queries.join(
+        filled, F.col(id_col) == filled.query_id, "left_anti"
+    )
+    brute = topk_bruteforce(corpus, under, id_col, vec_col, k=k)
+    return from_lsh.join(F.broadcast(filled.select("query_id")), "query_id").unionByName(
+        brute
     )

@@ -76,8 +76,17 @@ def _parse_file(path: str, tags: tuple[str, ...]) -> Iterator[tuple]:
     def opt_double(v: str | None) -> float | None:
         return float(v) if v is not None else None
 
-    for event, elem in ET.iterparse(path, events=("end",)):
-        if elem.tag not in tags:
+    # capture the root so it can be cleared per yielded element:
+    # elem.clear() alone empties each element but the root keeps
+    # appending child references, growing memory linearly with file size
+    # (the reference's root.clear() at S2:199 exists for exactly this)
+    context = ET.iterparse(path, events=("start", "end"))
+    try:
+        _, root = next(context)
+    except StopIteration:
+        return
+    for event, elem in context:
+        if event != "end" or elem.tag not in tags:
             continue
         a = elem.attrib
         tag_children = [
@@ -99,7 +108,7 @@ def _parse_file(path: str, tags: tuple[str, ...]) -> Iterator[tuple]:
             tag_children,
             nd_children,
         )
-        elem.clear()
+        root.clear()
 
 
 def read_osm_xml(

@@ -35,8 +35,13 @@ def _parse_xml_string(xml_text: str, tags: tuple[str, ...]) -> list[tuple]:
     import xml.etree.ElementTree as ET
 
     rows = []
-    for _, elem in ET.iterparse(io.StringIO(xml_text), events=("end",)):
-        if elem.tag not in tags:
+    context = ET.iterparse(io.StringIO(xml_text), events=("start", "end"))
+    try:
+        _, root = next(context)
+    except StopIteration:
+        return rows
+    for event, elem in context:
+        if event != "end" or elem.tag not in tags:
             continue
         a = elem.attrib
         rows.append(
@@ -56,7 +61,7 @@ def _parse_xml_string(xml_text: str, tags: tuple[str, ...]) -> list[tuple]:
                  if c.tag == "nd" and "ref" in c.attrib],
             )
         )
-        elem.clear()
+        root.clear()  # bound the tree: the root otherwise keeps every child
     return rows
 
 

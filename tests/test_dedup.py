@@ -131,3 +131,18 @@ def test_embedding_corpus_has_no_near_dups(spark):
         emb, "vec_id", "embedding", threshold=0.95, method="brute"
     )
     assert brute.count() == 0  # documents why the registered query is empty
+
+
+def test_dedup_exact_null_subset_value_kept(spark):
+    """A NULL in the subset column is a group like any other — the old
+    groupBy+join-back implementation silently dropped it (null-unsafe
+    join equality)."""
+    from data_wrangling_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(1, None, "x"), (2, None, "y"), (3, "t", "z")],
+        "id long, text string, extra string",
+    )
+    out = sorted((r.id, r.text, r.extra) for r in dedup_exact(df, ["text"], "id").collect())
+    assert out == [(1, None, "x"), (3, "t", "z")]
+    assert [f for f in dedup_exact(df, ["text"], "id").columns] == ["id", "text", "extra"]
