@@ -92,11 +92,15 @@ def distinct_token_ratio(col: Column | str) -> Column:
 
 
 def normalized(col: Column | str) -> Column:
-    """Canonical text form: lowercase, strip non-alnum, squeeze whitespace."""
+    """Canonical text form: lowercase, squeeze whitespace, strip
+    non-alnum. Whitespace squeeze comes FIRST: stripping first would
+    delete tabs/newlines outright and glue words together ('a\\nb' →
+    'ab'), so texts differing only in whitespace kind would fingerprint
+    differently."""
     c = F.col(col) if isinstance(col, str) else col
     out = F.lower(c)
-    out = F.regexp_replace(out, r"[^a-z0-9 ]", "")
     out = F.regexp_replace(out, r"\s+", " ")
+    out = F.regexp_replace(out, r"[^a-z0-9 ]", "")
     return F.trim(out)
 
 

@@ -35,7 +35,12 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not a crash) for zero-norm vectors: Spark 4's default ANSI
+    mode raises DIVIDE_BY_ZERO even for double division, and all-zero
+    embeddings (padding / missing-embedding sentinels) do occur in real
+    corpora. NULL scores sort last under desc ranking and fail every
+    >= threshold filter, which is the wanted behavior."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:

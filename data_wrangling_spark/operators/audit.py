@@ -103,7 +103,9 @@ def audit(
         tagged.groupBy("field", "bucket")
         .agg(
             F.array_sort(F.collect_set("value")).alias("values"),
-            F.countDistinct("value").alias("n_values"),
         )
+        # size of the already-collected set — a countDistinct alongside
+        # would add a distinct-aggregate Expand (≈2x shuffled rows)
+        .withColumn("n_values", F.size("values").cast("long"))
         .orderBy("field", "bucket")
     )

@@ -98,6 +98,14 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            for p in pdf["payload"]:
+                if p is None:
+                    # surface the documented contract, not a bare
+                    # TypeError from len(None) below
+                    raise NotImplementedError(
+                        "payload is NULL (stored by URI?) — payload "
+                        "fetch by URI not implemented in this environment"
+                    )
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

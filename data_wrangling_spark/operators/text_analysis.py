@@ -31,6 +31,10 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             c = scores[lang] >= scores[other]
             cond = c if cond is None else (cond & c)
         best = F.when(cond, F.lit(lang)).otherwise(best)
+    # NULL text → NULL prediction: without the guard every tie condition
+    # is NULL, all when() branches fall through, and null documents get
+    # silently labeled as the init-default language
+    best = F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(best)
     return df.withColumn("lang_pred", best)
 
 

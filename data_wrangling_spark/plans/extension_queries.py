@@ -51,8 +51,8 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_dedup_fingerprint",
     oracle=r"""
-        SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-                                       '\s+', ' ', 'g'))) AS fingerprint,
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                                       '[^a-z0-9 ]', '', 'g'))) AS fingerprint,
                CAST(min(doc_id) AS BIGINT) AS doc_id,
                COUNT(*) AS n_duplicates
         FROM documents GROUP BY 1 ORDER BY doc_id
@@ -298,8 +298,8 @@ def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_text_fingerprint",
     oracle=r"""
         SELECT doc_id,
-               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-                                       '\s+', ' ', 'g'))) AS fingerprint
+               md5(trim(regexp_replace(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                                       '[^a-z0-9 ]', '', 'g'))) AS fingerprint
         FROM documents ORDER BY doc_id
     """,
     doc="X-TEXT document fingerprint: md5 of canonicalized text.",

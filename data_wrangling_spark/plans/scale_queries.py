@@ -815,8 +815,8 @@ def x_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT * FROM scored WHERE n_tokens >= 5 AND distinct_ratio >= 0.3
         )
         SELECT md5(trim(regexp_replace(regexp_replace(lower(rtext),
-                                                      '[^a-z0-9 ]', '', 'g'),
-                                       '\s+', ' ', 'g'))) AS fingerprint,
+                                                      '\s+', ' ', 'g'),
+                                       '[^a-z0-9 ]', '', 'g'))) AS fingerprint,
                CAST(min(doc_id) AS BIGINT) AS doc_id,
                COUNT(*) AS n_duplicates,
                CAST(min(n_tokens) AS INT) AS n_tokens

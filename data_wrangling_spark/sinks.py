@@ -61,4 +61,12 @@ def write_tables(
         else:
             write_parquet(df, path, DEFAULT_PARTITIONING.get(name, ()))
         if register is not None:
-            register.read.format(fmt).option("header", "true").load(path).createOrReplaceTempView(name)
+            # read back with the WRITTEN df's schema: a bare CSV read
+            # would give all-string columns (no types in the format)
+            back = (
+                register.read.format(fmt)
+                .option("header", "true")
+                .schema(df.schema)
+                .load(path)
+            )
+            back.createOrReplaceTempView(name)

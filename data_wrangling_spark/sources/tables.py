@@ -67,8 +67,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 #: per-(session, path) DataFrame handles: avoids re-listing files and
 #: re-probing footers on every query over the same table (pure metadata
-#: reuse — no data is cached/pinned)
+#: reuse — no data is cached/pinned). CAVEAT: the handle's file index is
+#: resolved eagerly, so a path whose files are REWRITTEN after first load
+#: serves stale file lists — call clear_table_cache() after rewriting a
+#: table in place (immutable landing zones, the normal layout, never hit
+#: this).
 _TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def clear_table_cache() -> None:
+    """Drop all memoized table handles (after rewriting a table's files
+    in place, or to release handles pinned to stopped sessions)."""
+    _TABLE_CACHE.clear()
 
 
 def _has_nanos_timestamp(path: str) -> bool:
