@@ -5,9 +5,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed to completion via a count over the full result
-(df.write would add sink cost; count forces every operator including the
-final sort/limit). Methodology: prepared-plan steady state — the logical
+Each query is executed to completion via a no-op sink write
+(`format("noop")`) — unlike count(), which lets Catalyst ELIMINATE the
+final global sort and prune projected columns (verified in the optimized
+plan), the noop write executes every operator of the real plan including
+the output sort, while writing nothing. Methodology: prepared-plan
+steady state — the logical
 plan is built once per query (the Python-side DataFrame construction is a
 prepared statement, mirroring how the DuckDB baseline reuses parsed
 plans), one untimed warmup run amortizes JVM/codegen startup and parquet
@@ -35,8 +38,11 @@ import time
 
 
 def main() -> None:
+    import re
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    m = re.search(r"sf([0-9.]+)/*$", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
 
     from data_wrangling_spark.plans.registry import bench_queries
     from data_wrangling_spark.session import get_spark
@@ -48,9 +54,12 @@ def main() -> None:
 
     # prepare: build each logical plan once; warm each with one untimed
     # execution (JVM warmup + whole-stage codegen + parquet footer caches)
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
     prepared = {name: spec.spark(spark, sf_dir) for name, spec in specs.items()}
     for df in prepared.values():
-        df.count()
+        run(df)
 
     # steady state: median of 3 timed executions of the prepared plan
     timings: dict[str, float] = {}
@@ -58,7 +67,7 @@ def main() -> None:
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            df.count()
+            run(df)
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 4)
 
@@ -69,7 +78,7 @@ def main() -> None:
     for _ in range(3):
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=len(prepared)) as ex:
-            list(ex.map(lambda df: df.count(), prepared.values()))
+            list(ex.map(run, prepared.values()))
         conc_runs.append(time.perf_counter() - t0)
     total = round(sorted(conc_runs)[1], 4)
 

@@ -20,13 +20,22 @@ from pyspark.sql import functions as F
 from data_wrangling_spark.plans.registry import register
 
 
-def _fixture_path() -> str:
+#: memoized fixture paths — repeated driver/test invocations reuse one
+#: temp file per variant instead of leaking a mkdtemp per call
+_FIXTURE_CACHE: dict[bool, str] = {}
+
+
+def _fixture_path(include_invalid: bool = False) -> str:
     from data_wrangling_spark.sources.osm_fixture import build_osm_xml
 
+    cached = _FIXTURE_CACHE.get(include_invalid)
+    if cached is not None and os.path.exists(cached):
+        return cached
     stage = tempfile.mkdtemp(prefix="dws-osm-")
     path = f"{stage}/fixture.osm"
     with open(path, "w") as f:
-        f.write(build_osm_xml())
+        f.write(build_osm_xml(include_invalid=include_invalid))
+    _FIXTURE_CACHE[include_invalid] = path
     return path
 
 
@@ -77,13 +86,12 @@ def osm_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "to the batch reader over the same files.",
 )
 def x_stream_osm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_wrangling_spark.sources.osm_fixture import build_osm_xml
     from data_wrangling_spark.streaming.osm import drain_osm_stream
 
-    stage = tempfile.mkdtemp(prefix="dws-osm-landing-")
-    with open(os.path.join(stage, "region_a.osm"), "w") as f:
-        f.write(build_osm_xml())
-    out = drain_osm_stream(spark, stage, table_name="q_osm_stream")
+    # the memoized fixture lives in its own directory — reuse it as the
+    # landing dir instead of staging a fresh copy per call
+    landing = os.path.dirname(_fixture_path())
+    out = drain_osm_stream(spark, landing, table_name="q_osm_stream")
     return out.orderBy("element", "id")
 
 
@@ -99,18 +107,19 @@ def x_stream_osm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def osm_pipeline_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.normalize import normalize
-    from data_wrangling_spark.sources.osm_fixture import build_osm_xml
     from data_wrangling_spark.sources.osm_xml import read_osm_xml
 
-    stage = tempfile.mkdtemp(prefix="dws-osm-q-")
-    path = os.path.join(stage, "fixture.osm")
-    with open(path, "w") as f:
-        f.write(build_osm_xml(include_invalid=True))
-    out = normalize(read_osm_xml(spark, path), clean=True, validate="permissive")
-    rows = [
-        (name, out.quarantine[name].count(), out.as_dict()[name].count())
-        for name in sorted(out.quarantine)
-    ]
+    raw = read_osm_xml(spark, _fixture_path(include_invalid=True)).persist()
+    try:
+        # persist: the 10 per-table counts below otherwise re-run the
+        # full XML parse each (5 tables x quarantined/clean)
+        out = normalize(raw, clean=True, validate="permissive")
+        rows = [
+            (name, out.quarantine[name].count(), out.as_dict()[name].count())
+            for name in sorted(out.quarantine)
+        ]
+    finally:
+        raw.unpersist()
     return spark.createDataFrame(
         rows, "table string, n_quarantined long, n_clean long"
     ).orderBy("table")

@@ -390,7 +390,10 @@ def ext_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
     orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("user_id"))
-    return customer.exceptAll(orders.distinct()).distinct().orderBy("user_id")
+    # subtract IS EXCEPT DISTINCT for any input multiplicity —
+    # exceptAll(distinct()).distinct() only matched it while c_custkey
+    # happened to be unique
+    return customer.subtract(orders).orderBy("user_id")
 
 
 # ---------------------------------------------------------------------------
