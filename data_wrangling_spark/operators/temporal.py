@@ -47,17 +47,23 @@ def asof_join(
     i.e. LEFT ASOF JOIN semantics (DuckDB: ``ASOF LEFT JOIN``).
 
     ``payload`` maps right-side column -> output alias.
+
+    direction 'forward' attaches the EARLIEST right row at-or-after
+    left_time instead (DuckDB: ``ASOF LEFT JOIN ... ON l.t <= r.t``) —
+    same single-shuffle shape, with the carry window running backward.
     """
-    if direction != "backward":
-        raise ValueError("only direction='backward' is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
 
     lcols = [c for c in left.columns]
-    # marker orders right rows BEFORE left rows at equal timestamps so
-    # right_time == left_time counts as "at or before" (<= semantics)
+    # backward: right rows sort BEFORE left rows at equal timestamps so
+    # right_time == left_time counts as "at or before" (<= semantics);
+    # forward mirrors this (left before right at ties, window reversed)
+    l_marker, r_marker = (1, 0) if direction == "backward" else (0, 1)
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
-        F.lit(1).alias("_m"),
+        F.lit(l_marker).alias("_m"),
         F.struct(*lcols).alias("_l"),
         *[F.lit(None).cast(right.schema[src].dataType).alias(f"_p_{dst}")
           for src, dst in payload.items()],
@@ -65,24 +71,26 @@ def asof_join(
     r_tagged = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
-        F.lit(0).alias("_m"),
+        F.lit(r_marker).alias("_m"),
         F.lit(None).cast(
             l_tagged.schema["_l"].dataType
         ).alias("_l"),
         *[F.col(src).alias(f"_p_{dst}") for src, dst in payload.items()],
     )
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_t", "_m")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy("_k").orderBy("_t", "_m")
+    if direction == "backward":
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carry = F.last
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carry = F.first
     carried = l_tagged.unionByName(r_tagged).select(
         "_m",
         "_l",
-        *[F.last(f"_p_{dst}", ignorenulls=True).over(w).alias(f"_c_{dst}")
+        *[carry(f"_p_{dst}", ignorenulls=True).over(w).alias(f"_c_{dst}")
           for dst in payload.values()],
     )
-    return carried.filter(F.col("_m") == 1).select(
+    return carried.filter(F.col("_m") == l_marker).select(
         *[F.col(f"_l.{c}").alias(c) for c in lcols],
         *[F.col(f"_c_{dst}").alias(dst) for dst in payload.values()],
     )

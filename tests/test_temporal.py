@@ -75,3 +75,23 @@ def test_sessionize_gap_boundary(spark):
     assert by_key[(10, 2)].n_events == 1
     assert by_key[(20, 1)].n_events == 1
     assert len(out) == 3
+
+
+def test_asof_forward_basic(spark):
+    """direction='forward': earliest right row at-or-after left_time."""
+    left = spark.createDataFrame(
+        [(1, "a", _ts(10)), (2, "a", _ts(30)), (3, "a", _ts(60))],
+        "event_id long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(10), 100), ("a", _ts(40), 200)],
+        "k string, rt timestamp, payload int",
+    )
+    out = {
+        r.event_id: r.p
+        for r in asof_join(left, right, on="k", left_time="t", right_time="rt",
+                           payload={"payload": "p"}, direction="forward").collect()
+    }
+    assert out[1] == 100  # equal timestamp counts (at-or-after)
+    assert out[2] == 200  # next right row after t=30 is t=40
+    assert out[3] is None  # nothing at-or-after t=60
