@@ -113,6 +113,45 @@ def ext_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_asof_first_event",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, ts, min(event_id) AS event_id
+            FROM events GROUP BY 1, 2
+        )
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+               e.event_id AS first_event_id
+        FROM orders o
+        ASOF LEFT JOIN ev e
+          ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ORDER BY o.o_orderkey
+    """,
+    doc="Forward as-of join: each order gets the customer's EARLIEST "
+        "event at-or-after the order date (right side deduplicated per "
+        "(user, ts) by min event_id for determinism). Mirror of the "
+        "backward direction — same single hash shuffle, carry window "
+        "reversed (operators/temporal.py).",
+)
+def ext_asof_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.temporal import asof_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("event_id"))
+        .select(F.col("user_id").alias("o_custkey"), "ts", "event_id")
+    )
+    out = asof_join(
+        orders, events, on="o_custkey", left_time="o_orderdate", right_time="ts",
+        payload={"event_id": "first_event_id"}, direction="forward",
+    )
+    return out.orderBy("o_orderkey")
+
+
+@register(
     "ext_sessionize_events",
     oracle="""
         WITH flagged AS (
