@@ -55,3 +55,25 @@ def dataset_split(
     # (otherwise() would route every null-id row into the test set)
     split_col = F.when(bucket.isNull(), F.lit(None).cast("string")).otherwise(split_col)
     return df.withColumn("split", split_col).withColumn("bucket", bucket)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its hash
+    bucket falls under its stratum's rate — the corpus-rebalancing pass
+    (e.g. downsample the dominant language) that stays reproducible
+    under reprocessing and appends, unlike df.sample whose selection
+    shifts with partitioning. A stratum's sample is a SUBSET of any
+    larger rate's sample (nested samples for free)."""
+    bucket = hash_bucket(id_col)
+    threshold: Column = F.lit(int(round(default_rate * N_BUCKETS)))
+    for value, rate in rates.items():
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(round(rate * N_BUCKETS)))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

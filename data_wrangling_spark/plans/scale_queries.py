@@ -406,6 +406,33 @@ def x_sketch_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_stratified_sample",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, lang,
+                   CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS INTEGER) AS bucket
+            FROM documents
+        )
+        SELECT doc_id, lang FROM b
+        WHERE bucket < CASE WHEN lang = 'en' THEN 13107 ELSE 52429 END
+        ORDER BY doc_id
+    """,
+    doc="Deterministic stratified sampling: downsample the dominant "
+        "language (en 20%, others 80%) by the same portable hash bucket "
+        "as the dataset split — reproducible under reprocessing/appends "
+        "where df.sample shifts with partitioning, and nested (a smaller "
+        "rate's sample is a subset of a larger one's).",
+)
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.splits import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "doc_id", "lang", {"en": 0.2}, default_rate=0.8)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+@register(
     "ext_skew_salted_distinct",
     oracle="""
         SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct

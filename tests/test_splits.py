@@ -21,3 +21,16 @@ def test_split_deterministic_and_append_stable(spark):
     train = sum(1 for s in full.values() if s == "train") / n
     assert 0.7 < train < 0.9, train
     assert set(full.values()) <= {"train", "val", "test"}
+
+
+def test_stratified_sample_nested_and_deterministic(spark):
+    from data_wrangling_spark.operators.splits import stratified_sample
+
+    docs = load_table(spark, SF_DIR, "documents")
+    small = {r.doc_id for r in stratified_sample(docs, "doc_id", "lang", {"en": 0.1}, 0.3).collect()}
+    large = {r.doc_id for r in stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, 0.9).collect()}
+    # nested: smaller rates select a subset of larger rates
+    assert small <= large
+    # deterministic: same call twice, same rows
+    again = {r.doc_id for r in stratified_sample(docs, "doc_id", "lang", {"en": 0.1}, 0.3).collect()}
+    assert small == again
