@@ -21,11 +21,15 @@ from pyspark.sql import functions as F
 N_BUCKETS = 65536  # 16 bits of md5
 
 
-def hash_bucket(id_col: str | Column) -> Column:
+def hash_bucket(id_col: str | Column, salt: str = "") -> Column:
     """Deterministic bucket in [0, 65536) from the row id: first 4 hex
-    chars of md5(id as string), parsed base-16. Engine-portable."""
+    chars of md5(id as string, plus an optional purpose salt), parsed
+    base-16. Engine-portable. Distinct purposes (split vs sample) MUST
+    use distinct salts — the same unsalted bucket would make their
+    selections perfectly correlated instead of independent."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast("int")
+    keyed = F.concat(c.cast("string"), F.lit(salt)) if salt else c.cast("string")
+    return F.conv(F.substring(F.md5(keyed), 1, 4), 16, 10).cast("int")
 
 
 def dataset_split(
@@ -69,11 +73,17 @@ def stratified_sample(
     (e.g. downsample the dominant language) that stays reproducible
     under reprocessing and appends, unlike df.sample whose selection
     shifts with partitioning. A stratum's sample is a SUBSET of any
-    larger rate's sample (nested samples for free)."""
-    bucket = hash_bucket(id_col)
+    larger rate's sample (nested samples for free).
+
+    The bucket is salted with ':sample' so selection is INDEPENDENT of
+    ``dataset_split``'s assignment on the same id (unsalted, a rate
+    <= 0.8 would sample exclusively from the train split). Null-id rows
+    are KEPT (mirroring dataset_split's null visibility) — exclude them
+    upstream if that's not wanted."""
+    bucket = hash_bucket(id_col, salt=":sample")
     threshold: Column = F.lit(int(round(default_rate * N_BUCKETS)))
     for value, rate in rates.items():
         threshold = F.when(
             F.col(strata_col) == value, F.lit(int(round(rate * N_BUCKETS)))
         ).otherwise(threshold)
-    return df.filter(bucket < threshold)
+    return df.filter(bucket.isNull() | (bucket < threshold))

@@ -56,14 +56,17 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
 
     lcols = [c for c in left.columns]
-    # backward: right rows sort BEFORE left rows at equal timestamps so
-    # right_time == left_time counts as "at or before" (<= semantics);
-    # forward mirrors this (left before right at ties, window reversed)
-    l_marker, r_marker = (1, 0) if direction == "backward" else (0, 1)
+    # right rows sort BEFORE left rows at equal timestamps (marker 0 < 1)
+    # so right_time == left_time counts in both directions' "at-or-"
+    # semantics. Forward REVERSES the time sort instead of the frame:
+    # descending traversal + the same running last(ignorenulls) over
+    # [unboundedPreceding, currentRow] carries the smallest rt >= t in
+    # O(n) per key — a [currentRow, unboundedFollowing] frame would be
+    # the O(n^2) shrinking-frame evaluator at scale.
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
-        F.lit(l_marker).alias("_m"),
+        F.lit(1).alias("_m"),
         F.struct(*lcols).alias("_l"),
         *[F.lit(None).cast(right.schema[src].dataType).alias(f"_p_{dst}")
           for src, dst in payload.items()],
@@ -71,26 +74,25 @@ def asof_join(
     r_tagged = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
-        F.lit(r_marker).alias("_m"),
+        F.lit(0).alias("_m"),
         F.lit(None).cast(
             l_tagged.schema["_l"].dataType
         ).alias("_l"),
         *[F.col(src).alias(f"_p_{dst}") for src, dst in payload.items()],
     )
-    w = Window.partitionBy("_k").orderBy("_t", "_m")
-    if direction == "backward":
-        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        carry = F.last
-    else:
-        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        carry = F.first
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(t_order, "_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     carried = l_tagged.unionByName(r_tagged).select(
         "_m",
         "_l",
-        *[carry(f"_p_{dst}", ignorenulls=True).over(w).alias(f"_c_{dst}")
+        *[F.last(f"_p_{dst}", ignorenulls=True).over(w).alias(f"_c_{dst}")
           for dst in payload.values()],
     )
-    return carried.filter(F.col("_m") == l_marker).select(
+    return carried.filter(F.col("_m") == 1).select(
         *[F.col(f"_l.{c}").alias(c) for c in lcols],
         *[F.col(f"_c_{dst}").alias(dst) for dst in payload.values()],
     )

@@ -410,7 +410,8 @@ def x_sketch_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH b AS (
             SELECT doc_id, lang,
-                   CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)
+                                                   || ':sample'), 1, 4))
                         AS INTEGER) AS bucket
             FROM documents
         )
@@ -419,10 +420,11 @@ def x_sketch_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id
     """,
     doc="Deterministic stratified sampling: downsample the dominant "
-        "language (en 20%, others 80%) by the same portable hash bucket "
-        "as the dataset split — reproducible under reprocessing/appends "
-        "where df.sample shifts with partitioning, and nested (a smaller "
-        "rate's sample is a subset of a larger one's).",
+        "language (en 20%, others 80%) by a ':sample'-salted portable "
+        "hash bucket — reproducible under reprocessing/appends where "
+        "df.sample shifts with partitioning, nested (a smaller rate's "
+        "sample subsets a larger one's), and independent of the dataset "
+        "split's unsalted bucket.",
 )
 def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.splits import stratified_sample

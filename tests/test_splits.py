@@ -34,3 +34,17 @@ def test_stratified_sample_nested_and_deterministic(spark):
     # deterministic: same call twice, same rows
     again = {r.doc_id for r in stratified_sample(docs, "doc_id", "lang", {"en": 0.1}, 0.3).collect()}
     assert small == again
+
+
+def test_sample_independent_of_split(spark):
+    """The sample bucket is salted: sampling at 50% must select from BOTH
+    the train and the val/test side of the (unsalted) dataset split in
+    roughly representative proportions — the unsalted bug made any rate
+    <= 0.8 sample exclusively from train."""
+    from data_wrangling_spark.operators.splits import dataset_split, stratified_sample
+
+    docs = load_table(spark, SF_DIR, "documents")
+    split = {r.doc_id: r.split for r in dataset_split(docs, "doc_id").collect()}
+    sampled = {r.doc_id for r in stratified_sample(docs, "doc_id", "lang", {}, 0.5).collect()}
+    sampled_splits = {split[d] for d in sampled}
+    assert "train" in sampled_splits and ("val" in sampled_splits or "test" in sampled_splits)
