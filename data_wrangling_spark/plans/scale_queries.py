@@ -371,6 +371,60 @@ def x_text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_vec_normalize",
+    oracle="""
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> ROUND(x / sqrt(list_dot_product(
+                                       embedding::DOUBLE[], embedding::DOUBLE[])), 6))
+                   AS unit
+        FROM embeddings ORDER BY vec_id
+    """,
+    doc="Vector transform surface: L2-normalize embedding columns with "
+        "built-in higher-order functions (transform + aggregate) — the "
+        "standard pre-processing before cosine reduces to dot product. "
+        "Rounded 6dp on both engines; narrow, no shuffle.",
+)
+def x_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.functions.vectors import norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = norm("embedding")
+    unit = F.transform(
+        F.col("embedding").cast("array<double>"), lambda x: F.round(x / n, 6)
+    )
+    return emb.select("vec_id", unit.alias("unit")).orderBy("vec_id")
+
+
+@register(
+    "ext_stats_agg",
+    oracle="""
+        SELECT l_returnflag AS flag,
+               ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+        FROM lineitem GROUP BY l_returnflag ORDER BY flag
+    """,
+    doc="Statistical aggregates (stddev/corr/covar — identical "
+        "definitions in Spark and DuckDB, rounded 6dp against "
+        "accumulation-order ulps): single hash aggregate with map-side "
+        "partials; the moments are mergeable, so this scales like any "
+        "sum.",
+)
+def ext_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+        )
+        .orderBy("flag")
+    )
+
+
+@register(
     "x_sketch_hll_weekly_users",
     oracle=None,  # sketch estimates are engine-specific; the error bound
                   # vs the exact count is pinned in tests/test_sketches.py
