@@ -371,6 +371,52 @@ def x_text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_text_decontaminate",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(toks) - 3, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                    || ' ' || toks[i+3] || ' ' || toks[i+4])
+            )) AS gram
+            FROM tok WHERE len(toks) >= 5
+        ), eval_grams AS (
+            SELECT DISTINCT gram FROM grams WHERE doc_id < 10
+        ), hits AS (
+            SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared
+            FROM grams g JOIN eval_grams e ON g.gram = e.gram
+            WHERE g.doc_id >= 10
+            GROUP BY g.doc_id
+        )
+        SELECT doc_id, n_shared FROM hits ORDER BY doc_id
+    """,
+    doc="Benchmark decontamination: flag training docs sharing any "
+        "5-gram with the eval set (docs 0-9 stand in) via a shingle "
+        "inverted-index join — the standard leakage check before "
+        "training. Eval grams broadcast (eval sets are small); corpus "
+        "side is one scan + explode, no n² comparison.",
+)
+def x_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(shingles("text", n=5)).alias("gram")
+    )
+    eval_grams = grams.filter(F.col("doc_id") < 10).select("gram").distinct()
+    return (
+        grams.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "x_vec_normalize",
     oracle="""
         SELECT vec_id,
