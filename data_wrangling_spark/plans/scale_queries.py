@@ -443,6 +443,45 @@ def x_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_date_dim",
+    oracle="""
+        SELECT CAST(d AS DATE) AS d,
+               CAST(year(d) AS INT) AS y,
+               CAST(quarter(d) AS INT) AS q,
+               CAST(month(d) AS INT) AS m,
+               CAST(dayofweek(d) AS INT) AS dow,
+               dayofweek(d) IN (0, 6) AS is_weekend
+        FROM generate_series(DATE '1995-01-01', DATE '1995-12-31',
+                             INTERVAL 1 DAY) AS t(d)
+        ORDER BY d
+    """,
+    doc="Generated source (no input table): a date dimension built with "
+        "sequence + explode — the standard pattern for calendar/spine "
+        "tables joined against facts. dow normalized to DuckDB's "
+        "0=Sunday convention (Spark's dayofweek is 1=Sunday).",
+)
+def ext_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-12-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    dow = (F.dayofweek("d") - 1).cast("int")
+    return days.select(
+        "d",
+        F.year("d").cast("int").alias("y"),
+        F.quarter("d").cast("int").alias("q"),
+        F.month("d").cast("int").alias("m"),
+        dow.alias("dow"),
+        dow.isin(0, 6).alias("is_weekend"),
+    ).orderBy("d")
+
+
+@register(
     "ext_stats_agg",
     oracle="""
         SELECT l_returnflag AS flag,
