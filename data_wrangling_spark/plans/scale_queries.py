@@ -443,6 +443,63 @@ def x_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_scd2_intervals",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderpriority AS state,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                   AS valid_to
+        FROM orders
+        ORDER BY o_custkey, valid_from, o_orderkey
+    """,
+    doc="SCD type-2 interval construction: each change row gets "
+        "[valid_from, valid_to) with valid_to = the key's next change "
+        "(NULL = current) via lead() — the standard warehouse history "
+        "build, one shuffle on the entity key, deterministic tiebreak.",
+)
+def ext_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderpriority").alias("state"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    ).orderBy("o_custkey", "valid_from", "o_orderkey")
+
+
+@register(
+    "ext_argmax_agg",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               max_by(o_custkey, o_orderkey) AS last_custkey,
+               min_by(o_custkey, o_orderkey) AS first_custkey,
+               max(o_orderkey) AS max_orderkey
+        FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+    doc="Argmax/argmin aggregates (max_by/min_by — same semantics both "
+        "engines): the customer of each status's highest/lowest order "
+        "key. Keyed on the UNIQUE orderkey so ties cannot make the "
+        "result nondeterministic.",
+)
+def ext_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.max_by("o_custkey", "o_orderkey").alias("last_custkey"),
+            F.min_by("o_custkey", "o_orderkey").alias("first_custkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
     "ext_date_dim",
     oracle="""
         SELECT CAST(d AS DATE) AS d,
