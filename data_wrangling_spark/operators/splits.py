@@ -1,4 +1,6 @@
-"""Deterministic dataset splitting for training pipelines.
+"""Deterministic dataset splitting for training pipelines (SURVEY.md
+§2.11 north-star extension surface; no reference counterpart — the
+reference pipeline has no sampling or splitting).
 
 `randomSplit` is the obvious tool and the wrong one for a 100 TB corpus:
 its assignment depends on partitioning and sampling seeds, so re-running
