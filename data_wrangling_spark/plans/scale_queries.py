@@ -443,6 +443,38 @@ def x_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_parts_revenue_by_brand",
+    oracle="""
+        SELECT p_brand AS brand,
+               COUNT(DISTINCT p.p_partkey) AS n_parts,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_size <= 15
+        GROUP BY p_brand
+        ORDER BY revenue DESC, brand
+    """,
+    doc="Part-dimension join (completes query coverage of every driver "
+        "table): small-part revenue by brand — filtered part dim "
+        "broadcast into the lineitem fact, int-cents revenue, "
+        "distinct-part count per brand.",
+)
+def ext_parts_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    li = _t(spark, sf_dir, "lineitem")
+    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("bigint")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.countDistinct("p_partkey").alias("n_parts"),
+            (F.sum(rev_cents) / F.lit(100.0)).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "brand")
+    )
+
+
+@register(
     "ext_scd2_intervals",
     oracle="""
         SELECT o_custkey, o_orderkey, o_orderpriority AS state,
