@@ -341,7 +341,10 @@ def x_text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="X-MULTIMODAL: binary payload column + typed metadata struct → "
         "Arrow-batched mapInPandas feature extraction (decode stubbed "
         "deterministically; see operators/multimodal.py). Rows-only check; "
-        "tests pin digest/feature values.",
+        "tests pin digest/feature values. The registered projection "
+        "serializes the feature vector to JSON because the driver's "
+        "value-hash canonicalizer cannot hash raw arrays; library callers "
+        "get the typed array<float> from extract_features directly.",
 )
 def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.multimodal import (
@@ -351,7 +354,14 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     media = synth_media_from_documents(docs)
-    return extract_features(media).orderBy("media_id")
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        "digest",
+        F.to_json("feature").alias("feature_json"),
+    ).orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------

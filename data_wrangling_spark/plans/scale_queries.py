@@ -420,16 +420,22 @@ def x_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_vec_normalize",
     oracle="""
         SELECT vec_id,
-               list_transform(embedding::DOUBLE[],
-                              x -> ROUND(x / sqrt(list_dot_product(
-                                       embedding::DOUBLE[], embedding::DOUBLE[])), 6))
-                   AS unit
+               array_to_string(
+                   list_transform(embedding::DOUBLE[],
+                                  x -> printf('%.6f',
+                                              ROUND(x / sqrt(list_dot_product(
+                                                  embedding::DOUBLE[],
+                                                  embedding::DOUBLE[])), 6))),
+                   ',') AS unit
         FROM embeddings ORDER BY vec_id
     """,
     doc="Vector transform surface: L2-normalize embedding columns with "
         "built-in higher-order functions (transform + aggregate) — the "
         "standard pre-processing before cosine reduces to dot product. "
-        "Rounded 6dp on both engines; narrow, no shuffle.",
+        "Rounded 6dp then fixed-format printed on BOTH engines and "
+        "joined to one comma-separated string, because the driver's "
+        "value-hash canonicalizer cannot hash raw arrays; narrow, no "
+        "shuffle either way.",
 )
 def x_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.functions.vectors import norm
@@ -437,9 +443,12 @@ def x_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     n = norm("embedding")
     unit = F.transform(
-        F.col("embedding").cast("array<double>"), lambda x: F.round(x / n, 6)
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.format_string("%.6f", F.round(x / n, 6)),
     )
-    return emb.select("vec_id", unit.alias("unit")).orderBy("vec_id")
+    return emb.select(
+        "vec_id", F.concat_ws(",", unit).alias("unit")
+    ).orderBy("vec_id")
 
 
 @register(
@@ -534,7 +543,7 @@ def ext_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_date_dim",
     oracle="""
-        SELECT CAST(d AS DATE) AS d,
+        SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS d,
                CAST(year(d) AS INT) AS y,
                CAST(quarter(d) AS INT) AS q,
                CAST(month(d) AS INT) AS m,
@@ -547,7 +556,11 @@ def ext_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Generated source (no input table): a date dimension built with "
         "sequence + explode — the standard pattern for calendar/spine "
         "tables joined against facts. dow normalized to DuckDB's "
-        "0=Sunday convention (Spark's dayofweek is 1=Sunday).",
+        "0=Sunday convention (Spark's dayofweek is 1=Sunday). The date "
+        "key is emitted as an ISO yyyy-MM-dd string on both engines: "
+        "Spark DATE and DuckDB generate_series dates land as different "
+        "pandas dtypes (datetime.date vs datetime64) at the compare "
+        "boundary.",
 )
 def ext_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = spark.range(1).select(
@@ -561,7 +574,7 @@ def ext_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dow = (F.dayofweek("d") - 1).cast("int")
     return days.select(
-        "d",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
         F.year("d").cast("int").alias("y"),
         F.quarter("d").cast("int").alias("q"),
         F.month("d").cast("int").alias("m"),

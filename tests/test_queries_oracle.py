@@ -31,6 +31,23 @@ def test_rows_only_smoke(spark, name):
     assert len(df.schema.fields) > 0
 
 
+@pytest.mark.parametrize("name", ORACLED + ROWS_ONLY)
+def test_driver_hashable_schema(spark, name):
+    """The driver's value-hash canonicalizer dies on unhashable cells
+    (round-1 ERRs: array<float> feature, array<struct> tags). Registered
+    queries must project container types to strings (to_json/concat_ws);
+    the typed forms stay available on the library functions."""
+    from pyspark.sql import types as T
+
+    df = QUERIES[name].spark(spark, "/root/testdata/sf0.001")
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, f"{name} outputs container-typed columns {bad}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
