@@ -143,17 +143,31 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # float accumulation differences make exact oracle brittle;
                   # tests verify brute == lsh-verified subset
     doc="Embedding near-dup: hyperplane-LSH candidate join + exact cosine "
-        "≥ 0.95 verification within buckets. NOTE: the synthetic corpus's "
-        "max pairwise cosine is ~0.51, so an empty result here is CORRECT "
-        "(no near-duplicates exist); semantics are pinned in "
-        "tests/test_dedup.py on planted near-identical vectors.",
+        "≥ 0.95 verification within buckets. The synthetic corpus's max "
+        "pairwise cosine is ~0.51 (no organic near-duplicates), so the "
+        "query unions in deterministic planted duplicates — the first 5 "
+        "vectors rescaled by 1.1 under vec_id+1000000 — giving the "
+        "driver's rows-only check a non-empty result that exercises the "
+        "full LSH path (and pins cosine's scale invariance); a recall "
+        "regression now shows up as a row-count drop instead of 0==0. "
+        "Semantics pinned in tests/test_dedup.py.",
 )
 def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.dedup import embedding_near_duplicates
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(
-        emb, "vec_id", "embedding", threshold=0.95, method="lsh"
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 1.1
+        ).cast("array<float>").alias("embedding"),
+    )
+    out = embedding_near_duplicates(
+        emb.unionByName(planted), "vec_id", "embedding",
+        threshold=0.95, method="lsh",
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     ).orderBy("id_a", "id_b")
 
 

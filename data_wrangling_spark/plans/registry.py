@@ -36,6 +36,74 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+#: The driver's correctness gate checks only the FIRST 50 entries of
+#: ``queries()`` (round-1 finding: 30 of 80 registered queries got no
+#: correctness row because registration order buried them). This list
+#: pins the window explicitly so every distinct operator family gets a
+#: driver row; near-duplicates (individual cleaners covered by
+#: clean_tag_dispatch, q1-literal/q2 covered by q1_type_counts_union,
+#: jsonl/orc roundtrips covered by op_csv_roundtrip, cube covered by
+#: rollup, forward as-of covered by backward) are registered but
+#: ordered after the window — still pytest-oracled at sf0.001 every CI
+#: run, just not driver-gated. queries()/oracle_sql() emit this order;
+#: a registered name missing from both this list and the demoted tail
+#: fails loudly in _ordered_names().
+DRIVER_WINDOW: list[str] = [
+    # reference parity surface (SURVEY §2.1-§2.9)
+    "audit_fields",
+    "clean_street",
+    "clean_tag_dispatch",
+    "q1_type_counts_union",
+    "q3_join_filter",
+    "q4_top_users",
+    "op_tag_split",
+    "osm_pipeline_node_tags",
+    "osm_pipeline_quarantine",
+    "x_stream_osm_ingest",
+    # relational extensions (SURVEY §2.10)
+    "ext_pricing_summary",
+    "ext_tpch_q3_shipping_priority",
+    "ext_tpch_q5_local_supplier",
+    "ext_tpch_q18_large_orders",
+    "ext_parts_revenue_by_brand",
+    "ext_window_running_total",
+    "ext_percentiles",
+    "ext_stats_agg",
+    "ext_argmax_agg",
+    "ext_pivot_status_by_priority",
+    "ext_semi_join",
+    "ext_anti_join",
+    "ext_asof_latest_order",
+    "ext_sessionize_events",
+    "ext_scd2_intervals",
+    "ext_date_dim",
+    "ext_sql_api",
+    "op_csv_roundtrip",
+    "ext_dataset_split",
+    "ext_stratified_sample",
+    "ext_skew_salted_distinct",
+    # LLM-pipeline operators (X-*)
+    "x_dedup_exact",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_minhash_lsh",
+    "x_dedup_embedding_cosine",
+    "x_dedup_clusters",
+    "x_sim_topk_bruteforce",
+    "x_sim_topk_ivf",
+    "x_vec_normalize",
+    "x_text_stats",
+    "x_text_langid",
+    "x_text_sequence_pack",
+    "x_text_lexical_diversity",
+    "x_text_decontaminate",
+    "x_text_redact_pii",
+    "x_text_curation_pipeline",
+    "x_sketch_hll_weekly_users",
+    "x_multimodal_features",
+    "x_stream_windowed_counts",
+    "x_stream_dedup",
+]
+
 
 def register(
     name: str,
@@ -54,14 +122,28 @@ def register(
     return wrap
 
 
+def _ordered_names() -> list[str]:
+    """All registered names, DRIVER_WINDOW first, the rest (demoted
+    near-duplicates) after in registration order."""
+    missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
+    if missing:
+        raise ValueError(f"DRIVER_WINDOW names not registered: {missing}")
+    tail = [n for n in QUERIES if n not in set(DRIVER_WINDOW)]
+    return list(DRIVER_WINDOW) + tail
+
+
 def queries() -> dict[str, SparkQuery]:
     _load_all()
-    return {name: spec.spark for name, spec in QUERIES.items()}
+    return {name: QUERIES[name].spark for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+    return {
+        name: QUERIES[name].oracle
+        for name in _ordered_names()
+        if QUERIES[name].oracle is not None
+    }
 
 
 def bench_queries() -> dict[str, QuerySpec]:

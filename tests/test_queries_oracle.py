@@ -64,3 +64,19 @@ def test_registry_consistency():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 10
+
+
+def test_driver_window_order():
+    """The driver gates correctness on the FIRST 50 entries of queries();
+    DRIVER_WINDOW pins which 50 — every name must exist, be unique, and
+    lead the iteration order, with most of the window oracled."""
+    import __spark_entry__ as e
+    from data_wrangling_spark.plans.registry import DRIVER_WINDOW
+
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    q = e.queries()
+    assert list(q)[:50] == DRIVER_WINDOW
+    o = e.oracle_sql()
+    oracled_in_window = sum(1 for n in DRIVER_WINDOW if n in o)
+    assert oracled_in_window >= 40
