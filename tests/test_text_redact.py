@@ -24,6 +24,32 @@ def test_redact_planted_pii(spark):
         assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
 
 
+def test_redact_guard_equivalence(spark):
+    """The contains('@') / rlike('[0-9]{3}') guards are necessary
+    conditions of their patterns, so guarded redact == the plain
+    three-pass regexp_replace chain on any input — checked on the
+    planted cases plus real corpus text."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.functions.text import PII_PATTERNS
+
+    def unguarded(col):
+        out = F.col(col)
+        for pattern, token in PII_PATTERNS:
+            out = F.regexp_replace(out, pattern, token)
+        return out
+
+    planted = spark.createDataFrame([(t,) for t, _ in CASES], "t string")
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("text").alias("t")
+    )
+    for df in (planted, corpus):
+        diff = df.select(
+            redact_pii("t").alias("g"), unguarded("t").alias("u")
+        ).filter(~F.col("g").eqNullSafe(F.col("u")))
+        assert diff.count() == 0
+
+
 def test_redact_idempotent(spark):
     df = spark.createDataFrame([(t,) for t, _ in CASES], "t string")
     once = df.select(redact_pii("t").alias("r1"))
