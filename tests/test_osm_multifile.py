@@ -1,0 +1,99 @@
+"""Multi-file OSM-XML ingest and the parquet landing zone (the 100 TB
+ingest path documented in sources/osm_xml.py): a glob of N files must
+parse as N parallel tasks, produce the same rows as the single-file
+read, and the one-time landing-zone conversion must serve the same rows
+back with partition pruning on the element kind."""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangling_spark.sources.osm_fixture import build_osm_xml
+from data_wrangling_spark.sources.osm_xml import read_osm_xml, to_landing_zone
+
+
+@pytest.fixture(scope="module")
+def split_dir(tmp_path_factory):
+    """The fixture document split into 3 valid OSM files (contiguous
+    element ranges — how regional extracts shard a planet dump)."""
+    d = tmp_path_factory.mktemp("osm-multi")
+    root = ET.fromstring(build_osm_xml())
+    children = list(root)
+    cut = len(children) // 3
+    parts = [children[:cut], children[cut : 2 * cut], children[2 * cut :]]
+    for i, part in enumerate(parts):
+        shard = ET.Element("osm", root.attrib)
+        shard.extend(part)
+        ET.ElementTree(shard).write(
+            d / f"part-{i}.osm", encoding="UTF-8", xml_declaration=True
+        )
+    full = d / "full" / "fixture.osm"
+    os.makedirs(full.parent)
+    full.write_text(build_osm_xml())
+    return d
+
+
+def _canon(df):
+    """Order-independent canonical rows (arrays serialized for sorting)."""
+    out = df.select(
+        "element", "id", "lat", "lon", "user", "uid", "version",
+        "changeset", "timestamp",
+        F.to_json("tags").alias("tags"), F.to_json("nds").alias("nds"),
+    )
+    return sorted(tuple(r) for r in out.collect())
+
+
+def test_glob_read_parallelizes_per_file(spark, split_dir):
+    df = read_osm_xml(spark, f"{split_dir}/part-*.osm")
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_multi_file_matches_single_file(spark, split_dir):
+    multi = read_osm_xml(spark, f"{split_dir}/part-*.osm")
+    single = read_osm_xml(spark, str(split_dir / "full" / "fixture.osm"))
+    got, want = _canon(multi), _canon(single)
+    assert len(got) > 0
+    assert got == want
+
+
+def test_landing_zone_roundtrip_and_pruning(spark, split_dir, tmp_path):
+    out = str(tmp_path / "landing")
+    to_landing_zone(spark, f"{split_dir}/part-*.osm", out)
+
+    landed = spark.read.parquet(out)
+    assert _canon(landed) == _canon(read_osm_xml(spark, f"{split_dir}/part-*.osm"))
+
+    # element is the partition column: a kind filter must reach the scan
+    # as a PartitionFilter (directory pruning), not a post-scan Filter
+    nodes = landed.filter(F.col("element") == "node")
+    plan = nodes._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "element#" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert nodes.count() == sum(1 for r in _canon(landed) if r[0] == "node")
+
+
+def test_normalize_over_landing_zone_matches_batch(spark, split_dir, tmp_path):
+    """Downstream ops are source-agnostic: normalize over the landing
+    zone == normalize over the direct XML read."""
+    from data_wrangling_spark.operators.normalize import normalize
+
+    out = str(tmp_path / "landing")
+    to_landing_zone(spark, f"{split_dir}/part-*.osm", out)
+    raw_cols = [f.name for f in read_osm_xml(spark, f"{split_dir}/part-*.osm").schema]
+
+    from_xml = normalize(
+        read_osm_xml(spark, f"{split_dir}/part-*.osm"), clean=True,
+        validate="permissive",
+    )
+    from_landing = normalize(
+        spark.read.parquet(out).select(*raw_cols), clean=True,
+        validate="permissive",
+    )
+    a = sorted(tuple(r) for r in from_xml.nodes_tags.collect())
+    b = sorted(tuple(r) for r in from_landing.nodes_tags.collect())
+    assert len(a) > 0
+    assert a == b
