@@ -191,3 +191,61 @@ def topk_lsh(
     return from_lsh.join(F.broadcast(filled.select("query_id")), "query_id").unionByName(
         brute
     )
+
+
+def topk_mllib_brp(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bucket_length: float = 1.0,
+    num_hash_tables: int = 4,
+    max_distance: float = 1.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib cross-check path: Spark's own BucketedRandomProjectionLSH
+    (Euclidean p-stable LSH) driving ``approxSimilarityJoin``, re-ranked
+    to (query_id, neighbor_id, distance, rank).
+
+    Exists as an independently-implemented second opinion on the
+    hand-rolled hyperplane LSH in :func:`topk_lsh` — same candidate-
+    generation-then-verify shape, different hash family, maintained by
+    the Spark project. On UNIT-NORM vectors Euclidean and cosine
+    rankings coincide (d² = 2 - 2·cos), which is what the recall
+    cross-check in tests/test_similarity.py relies on.
+
+    ``max_distance`` bounds the similarity join (required by MLlib's
+    API); pairs farther than it are pruned pre-ranking, so choose it
+    beyond the expected k-th-neighbor distance. Seeded → deterministic
+    output."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(c)
+    joined = model.approxSimilarityJoin(c, q, max_distance, distCol="distance")
+    pairs = joined.select(
+        F.col("datasetB.qid").alias("query_id"),
+        F.col("datasetA.nid").alias("neighbor_id"),
+        "distance",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy("distance", "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "distance", "rank")
+    )

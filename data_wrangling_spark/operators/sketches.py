@@ -1,0 +1,98 @@
+"""Count-min sketch over DataFrames — mergeable frequency estimation
+and heavy-hitter detection for unbounded key domains.
+
+SURVEY.md §2.11 sketch family (alongside the HLL rollup in
+plans/scale_queries.py). The sketch is a (depth × width) counter grid:
+row i counts keys by hash h_i; the frequency estimate is the MIN over
+rows, which only ever OVER-estimates (collisions add, never subtract).
+
+Scale posture: building the sketch is one narrow explode (depth rows
+per input row, depth is 4) plus one hash aggregation whose output is
+at most depth×width rows — map-side partial aggregation does almost
+all the work, and two sketches merge by summing matching cells, so
+per-partition / per-day sketches roll up without a second pass over
+raw data (same mergeability argument as the HLL rollup). The estimate
+join broadcasts the tiny sketch.
+
+The hash is multiplicative-mod over BIGINT arithmetic — expressible
+identically in ANSI SQL, so sketch contents (not just error bounds)
+are oracle-checkable across engines. Keys must be non-negative
+integers; % on negatives differs across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: modulus (prime ~1e9: keeps (k%P)*a + b within int64) and per-row
+#: hash coefficients — deterministic, engine-portable
+_P = 1_000_000_007
+_A0, _A_STEP = 1_000_003, 97
+_B0, _B_STEP = 774_583, 131
+
+
+def _bucket(key: Column, row: int, width: int) -> Column:
+    a = _A0 + _A_STEP * row
+    b = _B0 + _B_STEP * row
+    return ((key % _P) * F.lit(a) + F.lit(b)) % _P % width
+
+
+def bucket_sql(key_expr: str, row_expr: str, width: int) -> str:
+    """The same hash as ANSI SQL text, for oracle queries."""
+    return (
+        f"((({key_expr} % {_P}) * ({_A0} + {_A_STEP}*{row_expr}) "
+        f"+ ({_B0} + {_B_STEP}*{row_expr})) % {_P}) % {width}"
+    )
+
+
+def countmin_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Build the sketch: (row, bucket, cnt), at most depth×width rows.
+    Merge two sketches by unioning and summing cnt per (row, bucket)."""
+    key = F.col(key_col)
+    cells = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                _bucket(key, i, width).alias("bucket"),
+            )
+            for i in range(depth)
+        ])
+    ).alias("cell")
+    return (
+        df.select(cells)
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Estimated frequency for each key in ``keys``: min over the
+    key's depth cells. The sketch (≤ depth×width rows) is broadcast,
+    so this is one scan of ``keys`` with no shuffle on the big side."""
+    key = F.col(key_col)
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    _bucket(key, i, width).alias("bucket"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("cell"),
+    ).select(key_col, "cell.row", "cell.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -43,9 +43,10 @@ QUERIES: dict[str, QuerySpec] = {}
 #: driver row; near-duplicates (individual cleaners covered by
 #: clean_tag_dispatch, q1-literal/q2 covered by q1_type_counts_union,
 #: jsonl/orc roundtrips covered by op_csv_roundtrip, cube covered by
-#: rollup, forward as-of covered by backward) are registered but
-#: ordered after the window — still pytest-oracled at sf0.001 every CI
-#: run, just not driver-gated. queries()/oracle_sql() emit this order;
+#: rollup, forward as-of covered by backward, rows-only HLL covered by
+#: the oracled count-min as the sketch-family representative) are
+#: registered but ordered after the window — still pytest-oracled at
+#: sf0.001 every CI run, just not driver-gated. queries()/oracle_sql() emit this order;
 #: a registered name missing from both this list and the demoted tail
 #: fails loudly in _ordered_names().
 DRIVER_WINDOW: list[str] = [
@@ -94,11 +95,11 @@ DRIVER_WINDOW: list[str] = [
     "x_text_stats",
     "x_text_langid",
     "x_text_sequence_pack",
-    "x_text_lexical_diversity",
+    "ext_fuzzy_join_levenshtein",
     "x_text_decontaminate",
     "x_text_redact_pii",
     "x_text_curation_pipeline",
-    "x_sketch_hll_weekly_users",
+    "x_sketch_countmin_heavy_hitters",
     "x_multimodal_features",
     "x_stream_windowed_counts",
     "x_stream_dedup",

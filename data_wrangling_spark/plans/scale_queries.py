@@ -648,6 +648,116 @@ def x_sketch_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _countmin_oracle() -> str:
+    from data_wrangling_spark.operators.sketches import bucket_sql
+
+    h = bucket_sql("user_id", "i", 64)
+    return f"""
+        WITH cells AS (
+            SELECT i, {h} AS bucket, COUNT(*) AS cnt
+            FROM events, range(4) t(i) GROUP BY 1, 2
+        ), truec AS (
+            SELECT user_id, COUNT(*) AS true_cnt FROM events GROUP BY 1
+        ), probes AS (
+            SELECT user_id, i, {h} AS bucket
+            FROM (SELECT DISTINCT user_id FROM events), range(4) t(i)
+        ), est AS (
+            SELECT p.user_id, MIN(c.cnt) AS est
+            FROM probes p JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
+            GROUP BY 1
+        ), total AS (SELECT COUNT(*) AS n FROM events)
+        SELECT e.user_id, CAST(e.est AS BIGINT) AS est, t.true_cnt
+        FROM est e JOIN truec t USING (user_id), total
+        WHERE e.est >= 0.01 * total.n
+        ORDER BY e.user_id
+    """
+
+
+@register(
+    "x_sketch_countmin_heavy_hitters",
+    oracle=_countmin_oracle(),
+    doc="Count-min sketch heavy hitters: 4×64 counter grid over "
+        "events.user_id (one explode + one bounded hash agg, mergeable "
+        "by cell-sum like the HLL rollup), estimate = min over the "
+        "key's 4 cells, keep keys whose ESTIMATE ≥ 1% of the stream. "
+        "true_cnt is carried alongside so the one-sided error "
+        "(est ≥ true, never under) is visible in the output. The hash "
+        "is portable BIGINT arithmetic, so the DuckDB oracle checks the "
+        "sketch CONTENTS exactly, not just error bounds "
+        "(operators/sketches.py).",
+)
+def x_sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    sketch = countmin_sketch(ev, "user_id", depth=4, width=64)
+    truec = ev.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    est = countmin_estimate(sketch, truec.select("user_id"), "user_id", depth=4, width=64)
+    total = ev.agg(F.count("*").alias("n"))
+    return (
+        est.join(truec, "user_id")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("est") >= 0.01 * F.col("n"))
+        .select("user_id", F.col("est").cast("bigint").alias("est"), "true_cnt")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "ext_fuzzy_join_levenshtein",
+    oracle="""
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               a.p_name AS txt_a, b.p_name AS txt_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+        ORDER BY id_a, id_b
+    """,
+    doc="Blocked fuzzy self-join (entity resolution): part names within "
+        "2 edits, candidate pairs generated only inside a p_brand block "
+        "— sum(block²) comparisons instead of n², co-partitioned on the "
+        "block key; Spark's thresholded levenshtein short-circuits the "
+        "DP per pair (operators/fuzzy.py). Cross-brand near-dups are a "
+        "documented blocking recall trade-off.",
+)
+def ext_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.fuzzy import fuzzy_self_join
+
+    part = _t(spark, sf_dir, "part")
+    out = fuzzy_self_join(
+        part, id_col="p_partkey", text_col="p_name", block_col="p_brand",
+        max_distance=2,
+    )
+    return out.select(
+        "id_a", "id_b", "txt_a", "txt_b", F.col("distance").cast("int").alias("distance")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "x_sim_topk_mllib_brp",
+    oracle=None,  # LSH is approximate by construction; agreement with
+                  # cosine brute force is pinned in tests/test_similarity.py
+    doc="X-SIM-SEARCH cross-check path: MLlib BucketedRandomProjection"
+        "LSH (Euclidean p-stable hashing, seeded) → approxSimilarityJoin "
+        "→ per-query top-k re-rank. A second, independently-maintained "
+        "LSH implementation beside the hand-rolled hyperplane one; on "
+        "this unit-norm corpus its ranking coincides with cosine.",
+)
+def x_sim_topk_mllib_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.similarity import topk_mllib_brp
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = topk_mllib_brp(emb, q, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("distance", 6).alias("distance"), "rank"
+    ).orderBy("query_id", "rank")
+
+
 @register(
     "ext_stratified_sample",
     oracle="""

@@ -38,6 +38,33 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.5, f"LSH top-k recall {recall:.2f}"
 
 
+def test_mllib_brp_cross_check(spark):
+    """Independent-implementation cross-check: MLlib's
+    BucketedRandomProjectionLSH (Euclidean p-stable hashing) must agree
+    with our cosine brute force on this unit-norm corpus (d² = 2-2cos ⇒
+    identical rankings), within LSH recall tolerance — catching any
+    systematic bias shared by our hand-rolled hyperplane LSH and its
+    recall test."""
+    from data_wrangling_spark.operators.similarity import topk_mllib_brp
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = topk_bruteforce(emb, q, k=5).collect()
+    approx = topk_mllib_brp(emb, q, k=5).collect()
+    brute_set = {(r.query_id, r.neighbor_id) for r in brute}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(brute_set & approx_set) / len(brute_set)
+    assert recall >= 0.5, f"MLlib BRP recall {recall:.2f}"
+    # where both found the pair, the distance must be consistent with
+    # the cosine score: d = sqrt(2 - 2*cos) on unit vectors
+    cos_by_pair = {(r.query_id, r.neighbor_id): r.score for r in brute}
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in cos_by_pair:
+            want = (2 - 2 * cos_by_pair[key]) ** 0.5
+            assert abs(r.distance - want) < 1e-4, (key, r.distance, want)
+
+
 def test_ivf_topk_recall(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)

@@ -18,6 +18,53 @@ def test_hll_weekly_union_error_bound(spark):
         assert err <= 0.05, f"week {r.week}: approx {r.approx_users} vs exact {r.exact_users}"
 
 
+def test_countmin_overestimates_never_under(spark):
+    """Count-min's one-sided error: est ≥ true count for EVERY key (not
+    just heavy hitters), and exact when the key's cells are
+    collision-free."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+    from data_wrangling_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id")
+    sketch = countmin_sketch(ev, "user_id", depth=4, width=64)
+    truec = ev.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    est = countmin_estimate(sketch, truec.select("user_id"), "user_id", 4, 64)
+    joined = est.join(truec, "user_id").collect()
+    assert joined
+    assert all(r.est >= r.true_cnt for r in joined), [
+        r for r in joined if r.est < r.true_cnt
+    ][:3]
+
+
+def test_countmin_merge_equals_single_build(spark):
+    """Two half-stream sketches merged by cell-sum == the one-pass
+    sketch — the property that lets per-partition/per-day sketches roll
+    up without revisiting raw data."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.operators.sketches import countmin_sketch
+    from data_wrangling_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        countmin_sketch(half_a, "user_id")
+        .unionByName(countmin_sketch(half_b, "user_id"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    single = countmin_sketch(ev, "user_id")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, single.collect())
+    )
+
+
 def test_approx_percentile_error_bound(spark):
     """t-digest-style approx_percentile (the mergeable scale path the
     ext_percentiles doc points to) stays within 1% relative error of the
