@@ -98,6 +98,91 @@ def asof_join(
     )
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_time: str,
+    start: str,
+    end: str,
+    on: str | None = None,
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Inner join of point rows to every interval row containing them:
+    ``start <= point_time < end`` (half-open, the event-time convention),
+    optionally also equi on ``on`` (same column name on both sides).
+    Output carries all point columns plus all interval columns (minus the
+    shared key and internal bucket column); other column names must be
+    disjoint.
+
+    Two scale shapes, chosen by the arguments:
+
+    - with ``on``: an equi join on the key with the range predicate as a
+      post-join filter — one shuffle on the key; Catalyst extracts the
+      equality conjunct as the join key and AQE picks broadcast vs
+      sort-merge. Right when per-key interval fan-out is bounded.
+    - ``bucket_seconds`` (required when ``on`` is None): both sides are
+      mapped to fixed-width time buckets — each interval explodes to the
+      ``len/W + 1`` buckets it overlaps (``sequence``), each point to
+      exactly one — and the join key becomes (key?, bucket). This turns
+      what Spark would otherwise plan as a broadcast-nested-loop range
+      join into a plain equi shuffle join whose row blowup is bounded by
+      interval_length/W; pick W near the typical interval length. The
+      exact range predicate still filters after the bucket match, so
+      bucketing only affects cost, never results.
+
+    Without either, the plan would be a cartesian range join — refused.
+    """
+    if on is None and bucket_seconds is None:
+        raise ValueError("interval_join needs an equi key, a bucket width, or both")
+    overlap = (set(points.columns) & set(intervals.columns)) - {on}
+    if overlap:
+        raise ValueError(f"ambiguous columns on both sides: {sorted(overlap)}")
+
+    def _seconds(df: DataFrame, colname: str) -> F.Column:
+        # TIMESTAMP_NTZ / DATE have no direct double cast; route through
+        # the session-zone timestamp (monotone, so bucket membership
+        # stays consistent between the point and interval sides)
+        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+        c = F.col(colname)
+        if isinstance(df.schema[colname].dataType, (TimestampType, TimestampNTZType, DateType)):
+            c = c.cast("timestamp_ltz")
+        return c.cast("double")
+
+    p, i = points, intervals
+    if bucket_seconds is not None:
+        w = float(bucket_seconds)
+        p = p.withColumn(
+            "_bucket", F.floor(_seconds(p, point_time) / w).cast("long")
+        )
+        # inclusive bucket range [floor(start/W), floor(end/W)]: the end
+        # bucket may be one wider than the half-open interval needs, but
+        # the exact predicate below removes those rows
+        i = i.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(_seconds(i, start) / w).cast("long"),
+                    F.floor(_seconds(i, end) / w).cast("long"),
+                )
+            ),
+        )
+    pa, ia = p.alias("_p"), i.alias("_i")
+    cond = (F.col(f"_p.{point_time}") >= F.col(f"_i.{start}")) & (
+        F.col(f"_p.{point_time}") < F.col(f"_i.{end}")
+    )
+    if bucket_seconds is not None:
+        cond = (F.col("_p._bucket") == F.col("_i._bucket")) & cond
+    if on is not None:
+        cond = (F.col(f"_p.{on}") == F.col(f"_i.{on}")) & cond
+    out_point = [c for c in points.columns]
+    out_interval = [c for c in intervals.columns if c != on]
+    return pa.join(ia, cond).select(
+        *[F.col(f"_p.{c}").alias(c) for c in out_point],
+        *[F.col(f"_i.{c}").alias(c) for c in out_interval],
+    )
+
+
 def sessionize(
     events: DataFrame,
     key: str,

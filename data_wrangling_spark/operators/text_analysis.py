@@ -9,7 +9,7 @@ ops safe at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_wrangling_spark.functions import text as TX
@@ -65,6 +65,104 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stable md5-of-normalized-text fingerprint per document."""
     return df.withColumn("fingerprint", TX.fingerprint(text_col))
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Classic TF-IDF term weighting, top-k terms per document:
+    score = (tf / doc_len) * ln(n_docs / df), one row per kept term as
+    (id, term, tfidf, rank).
+
+    Scale shape: one explode of the corpus, a (doc, term) hash aggregate
+    (map-side partials do the heavy lifting), a vocabulary-sized document
+    -frequency aggregate joined back on term, and the corpus row count
+    broadcast — no collect, no driver loop. The per-doc top-k is a
+    ``row_number`` window over (doc, score) that Spark executes as
+    WindowGroupLimit (partial top-k before the shuffle).
+
+    Determinism across engines: the score is ROUNDED to ``round_dp``
+    BEFORE ranking, and ties order by term — so a last-ulp ``ln``
+    difference between libm implementations cannot flip ranks."""
+    words = df.select(F.col(id_col).alias("id"), F.explode(TX.tokens(text_col)).alias("term"))
+    tf = words.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    doc_len = tf.groupBy("id").agg(F.sum("tf").alias("doc_len"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(doc_len, "id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            F.round(
+                (F.col("tf").cast("double") / F.col("doc_len"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                round_dp,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, one row per document:
+    n_words, top_word_frac (most frequent word / total words),
+    top_bigram_frac and dup_bigram_frac (1 - distinct/total bigrams) —
+    the signals corpus filters cut on to drop boilerplate and generated
+    spam. Complements the type-token ratio in
+    functions/text.distinct_token_ratio.
+
+    Bigrams come from ``zip_with`` over two shifted slices (narrow,
+    JVM-side); the per-doc mode is explode + (doc, gram) hash aggregate
+    + per-doc max — partial aggregation keeps the shuffle at distinct-
+    gram cardinality, never a per-row Python pass. Single-word docs get
+    null bigram fractions (no bigrams exist)."""
+    toks = TX.tokens(text_col)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("_w"), bigrams.alias("_b")
+    )
+
+    def _mode_frac(exploded_col: str, out_prefix: str):
+        grams = base.select("id", F.explode(exploded_col).alias("g"))
+        per_gram = grams.groupBy("id", "g").agg(F.count("*").alias("cnt"))
+        return per_gram.groupBy("id").agg(
+            F.max("cnt").alias(f"_{out_prefix}_top"),
+            F.sum("cnt").alias(f"_{out_prefix}_n"),
+            F.count("*").alias(f"_{out_prefix}_distinct"),
+        )
+
+    wagg = _mode_frac("_w", "w")
+    bagg = _mode_frac("_b", "b")
+    return (
+        base.select("id")
+        .join(wagg, "id", "left")
+        .join(bagg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("_w_n").cast("int").alias("n_words"),
+            F.round(F.col("_w_top") / F.col("_w_n"), 6).alias("top_word_frac"),
+            F.round(F.col("_b_top") / F.col("_b_n"), 6).alias("top_bigram_frac"),
+            F.round(1 - F.col("_b_distinct") / F.col("_b_n"), 6).alias("dup_bigram_frac"),
+        )
+    )
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -44,7 +44,9 @@ QUERIES: dict[str, QuerySpec] = {}
 #: clean_tag_dispatch, q1-literal/q2 covered by q1_type_counts_union,
 #: jsonl/orc roundtrips covered by op_csv_roundtrip, cube covered by
 #: rollup, forward as-of covered by backward, rows-only HLL covered by
-#: the oracled count-min as the sketch-family representative) are
+#: the oracled count-min as the sketch-family representative,
+#: stratified-sample covered by dataset-split, anti-join covered by
+#: semi-join) are
 #: registered but ordered after the window — still pytest-oracled at
 #: sf0.001 every CI run, just not driver-gated. queries()/oracle_sql() emit this order;
 #: a registered name missing from both this list and the demoted tail
@@ -73,7 +75,7 @@ DRIVER_WINDOW: list[str] = [
     "ext_argmax_agg",
     "ext_pivot_status_by_priority",
     "ext_semi_join",
-    "ext_anti_join",
+    "ext_range_join_attribution",
     "ext_asof_latest_order",
     "ext_sessionize_events",
     "ext_scd2_intervals",
@@ -81,7 +83,7 @@ DRIVER_WINDOW: list[str] = [
     "ext_sql_api",
     "op_csv_roundtrip",
     "ext_dataset_split",
-    "ext_stratified_sample",
+    "ext_merge_upsert",
     "ext_skew_salted_distinct",
     # LLM-pipeline operators (X-*)
     "x_dedup_exact",

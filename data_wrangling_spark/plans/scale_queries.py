@@ -1281,6 +1281,215 @@ def x_text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_range_join_attribution",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events p JOIN events e
+          ON e.user_id = p.user_id
+         AND e.ts >= p.ts
+         AND e.ts <  p.ts + INTERVAL 1 DAY
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id
+        ORDER BY purchase_id
+    """,
+    doc="Interval/range join, keyed shape (operators/temporal.py "
+        "interval_join): attribute every event to each purchase by the "
+        "same user whose 1-day attribution window contains it — the "
+        "classic marketing-attribution join. The equality conjunct on "
+        "user makes it a plain equi shuffle join with the range "
+        "predicate as a post-join filter (never a nested-loop); event "
+        "values summed in int cents.",
+)
+def ext_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.select("event_id", "ts", "user_id", "value")
+    wins = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("w_end"),
+    )
+    pairs = interval_join(points, wins, "ts", "w_start", "w_end", on="user_id")
+    return (
+        pairs.groupBy("purchase_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@register(
+    "ext_range_join_bucketed",
+    oracle="""
+        WITH win AS (
+            SELECT w_start, w_start + INTERVAL 3 DAY AS w_end
+            FROM (SELECT DISTINCT date_trunc('day', ts) AS w_start
+                  FROM events ORDER BY w_start LIMIT 5)
+        )
+        SELECT w.w_start, COUNT(*) AS n_events
+        FROM win w JOIN events e
+          ON e.ts >= w.w_start AND e.ts < w.w_end
+        GROUP BY w.w_start
+        ORDER BY w.w_start
+    """,
+    doc="Interval join, KEYLESS bucketed shape: count events inside five "
+        "overlapping 3-day windows with no equi key at all. Naive Spark "
+        "plans this as BroadcastNestedLoopJoin (every event against "
+        "every window); interval_join(bucket_seconds=window length) "
+        "instead explodes each window to the <=2 buckets it overlaps "
+        "and joins on bucket equality — an ordinary hash join whose "
+        "blowup is bounded by len/W, with the exact range predicate "
+        "re-checked after the bucket match. The scale path for range "
+        "joins against large interval tables.",
+)
+def ext_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    win = (
+        ev.select(F.date_trunc("day", "ts").alias("w_start"))
+        .distinct()
+        .orderBy("w_start")
+        .limit(5)
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 3 DAYS"))
+    )
+    pairs = interval_join(ev, win, "ts", "w_start", "w_end", bucket_seconds=3 * 86400)
+    return pairs.groupBy("w_start").agg(F.count("*").alias("n_events")).orderBy("w_start")
+
+
+@register(
+    "x_text_tfidf",
+    oracle=r"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2
+        ), dl AS (
+            SELECT doc_id, SUM(tf) AS doc_len FROM tf GROUP BY 1
+        ), df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.term,
+                   ROUND((CAST(t.tf AS DOUBLE) / dl.doc_len)
+                         * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+            FROM tf t JOIN dl USING (doc_id) JOIN df USING (term), n
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term) AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, tfidf, rank FROM ranked
+        WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+    doc="TF-IDF top-3 terms per document (operators/text_analysis.py "
+        "tf_idf): corpus explode → (doc,term) partial-agg → vocabulary-"
+        "sized document-frequency join → broadcast corpus count → "
+        "WindowGroupLimit top-k. Score rounded BEFORE ranking with a "
+        "term tiebreak so a last-ulp libm ln() difference between "
+        "engines cannot flip ranks.",
+)
+def x_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.text_analysis import tf_idf
+
+    docs = _t(spark, sf_dir, "documents")
+    return tf_idf(docs, "doc_id", "text", top_k=3).orderBy("doc_id", "rank")
+
+
+@register(
+    "x_text_repetition",
+    oracle=r"""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        ), wtok AS (
+            SELECT doc_id, unnest(w) AS g FROM words
+        ), wcnt AS (
+            SELECT doc_id, g, COUNT(*) AS cnt FROM wtok GROUP BY 1, 2
+        ), wagg AS (
+            SELECT doc_id, MAX(cnt) AS top, SUM(cnt) AS n, COUNT(*) AS ndist
+            FROM wcnt GROUP BY 1
+        ), big AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(w)),
+                                  i -> w[i] || ' ' || w[i + 1]) AS b
+            FROM words
+        ), btok AS (
+            SELECT doc_id, unnest(b) AS g FROM big
+        ), bcnt AS (
+            SELECT doc_id, g, COUNT(*) AS cnt FROM btok GROUP BY 1, 2
+        ), bagg AS (
+            SELECT doc_id, MAX(cnt) AS top, SUM(cnt) AS n, COUNT(*) AS ndist
+            FROM bcnt GROUP BY 1
+        )
+        SELECT w.doc_id,
+               CAST(w.n AS INT) AS n_words,
+               ROUND(CAST(w.top AS DOUBLE) / w.n, 6) AS top_word_frac,
+               ROUND(CAST(b.top AS DOUBLE) / b.n, 6) AS top_bigram_frac,
+               ROUND(1 - CAST(b.ndist AS DOUBLE) / b.n, 6) AS dup_bigram_frac
+        FROM wagg w LEFT JOIN bagg b USING (doc_id)
+        ORDER BY w.doc_id
+    """,
+    doc="Gopher-style repetition quality signals per document "
+        "(operators/text_analysis.py repetition_signals): most-frequent-"
+        "word fraction, most-frequent-bigram fraction, duplicate-bigram "
+        "fraction. Bigrams via zip_with over shifted slices (narrow), "
+        "modes via explode + hash aggregate with map-side partials — "
+        "the filters corpus curation cuts on, exactly mirrored in "
+        "DuckDB list lambdas.",
+)
+def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.text_analysis import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "ext_merge_upsert",
+    oracle="""
+        WITH updates AS (
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                   'PROMO' AS c_mktsegment
+            FROM customer WHERE c_custkey % 97 = 0
+        )
+        SELECT * FROM updates
+        UNION ALL
+        SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+               c.c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM updates u
+                          WHERE u.c_custkey = c.c_custkey)
+        ORDER BY c_custkey
+    """,
+    doc="MERGE INTO-shaped SCD1 upsert (operators/merge.py): a derived "
+        "update batch (every 97th customer moves to segment PROMO) "
+        "replaces matching target rows, everything else passes through "
+        "— one left-anti join (update side broadcast when small) plus a "
+        "union, no table rewrite of unchanged rows. The partitioned-"
+        "table write twin (dynamic partition overwrite) is exercised in "
+        "tests/test_merge.py.",
+)
+def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.merge import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 97 == 0).withColumn(
+        "c_mktsegment", F.lit("PROMO")
+    )
+    return merge_upsert(cust, updates, "c_custkey").orderBy("c_custkey")
+
+
+@register(
     "x_sim_topk_ivf",
     oracle=None,  # approximate by construction; recall pinned in tests
     doc="X-SIM-SEARCH IVF path: Voronoi-cell partition of the corpus "
