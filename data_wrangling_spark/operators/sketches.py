@@ -35,7 +35,22 @@ _B0, _B_STEP = 774_583, 131
 def _bucket(key: Column, row: int, width: int) -> Column:
     a = _A0 + _A_STEP * row
     b = _B0 + _B_STEP * row
-    return ((key % _P) * F.lit(a) + F.lit(b)) % _P % width
+    # cast to long FIRST: an int32 key would overflow 32-bit arithmetic
+    # at (key % P) * a (ANSI mode raises, non-ANSI silently wraps to
+    # buckets that no longer match bucket_sql's oracle)
+    return ((key.cast("long") % _P) * F.lit(a) + F.lit(b)) % _P % width
+
+
+def _cells(key: Column, depth: int, width: int) -> Column:
+    """The (row, bucket) cell array for a key — ONE definition shared by
+    sketch build and probe, so the layouts cannot drift."""
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            _bucket(key, i, width).alias("bucket"),
+        )
+        for i in range(depth)
+    ])
 
 
 def bucket_sql(key_expr: str, row_expr: str, width: int) -> str:
@@ -52,17 +67,8 @@ def countmin_sketch(
     """Build the sketch: (row, bucket, cnt), at most depth×width rows.
     Merge two sketches by unioning and summing cnt per (row, bucket)."""
     key = F.col(key_col)
-    cells = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(i).alias("row"),
-                _bucket(key, i, width).alias("bucket"),
-            )
-            for i in range(depth)
-        ])
-    ).alias("cell")
     return (
-        df.select(cells)
+        df.select(F.explode(_cells(key, depth, width)).alias("cell"))
         .groupBy(F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -76,23 +82,17 @@ def countmin_estimate(
     width: int = 64,
 ) -> DataFrame:
     """Estimated frequency for each key in ``keys``: min over the
-    key's depth cells. The sketch (≤ depth×width rows) is broadcast,
-    so this is one scan of ``keys`` with no shuffle on the big side."""
+    key's depth cells, where an ABSENT sketch cell counts as 0 (a key
+    the stream never touched estimates 0, not a collision's count) —
+    hence the left join + coalesce. The sketch (≤ depth×width rows) is
+    broadcast, so this is one scan of ``keys`` with no shuffle on the
+    big side."""
     key = F.col(key_col)
     probes = keys.select(
-        key_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("row"),
-                    _bucket(key, i, width).alias("bucket"),
-                )
-                for i in range(depth)
-            ])
-        ).alias("cell"),
+        key_col, F.explode(_cells(key, depth, width)).alias("cell")
     ).select(key_col, "cell.row", "cell.bucket")
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )

@@ -137,6 +137,8 @@ def interval_join(
     overlap = (set(points.columns) & set(intervals.columns)) - {on}
     if overlap:
         raise ValueError(f"ambiguous columns on both sides: {sorted(overlap)}")
+    if bucket_seconds is not None and "_bucket" in set(points.columns) | set(intervals.columns):
+        raise ValueError("'_bucket' is reserved by interval_join's bucketed mode")
 
     def _seconds(df: DataFrame, colname: str) -> F.Column:
         # TIMESTAMP_NTZ / DATE have no direct double cast; route through

@@ -129,7 +129,9 @@ def repetition_signals(
     JVM-side); the per-doc mode is explode + (doc, gram) hash aggregate
     + per-doc max — partial aggregation keeps the shuffle at distinct-
     gram cardinality, never a per-row Python pass. Single-word docs get
-    null bigram fractions (no bigrams exist)."""
+    null bigram fractions (no bigrams exist); NULL-text docs are
+    dropped entirely (matching tf_idf and the SQL oracle, where
+    unnest(NULL) yields no rows)."""
     toks = TX.tokens(text_col)
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -152,9 +154,7 @@ def repetition_signals(
     wagg = _mode_frac("_w", "w")
     bagg = _mode_frac("_b", "b")
     return (
-        base.select("id")
-        .join(wagg, "id", "left")
-        .join(bagg, "id", "left")
+        wagg.join(bagg, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.col("_w_n").cast("int").alias("n_words"),

@@ -35,6 +35,48 @@ def write_parquet(
     w.parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction for a parquet landing zone: rewrite ``src``
+    into ``dst`` with file count sized to ``target_file_bytes`` (HDFS/S3
+    block-friendly 128 MB default). Returns the output file count.
+
+    The small-file problem is the classic failure mode of streaming /
+    micro-batch ingest at scale: thousands of KB-sized part files turn
+    a 100 TB scan into metadata-and-open-call soup. Compaction sizes
+    output files from the ACTUAL input bytes (driver-side file listing
+    — metadata only, no data read), then uses ``coalesce`` when
+    shrinking the file count (no shuffle: each output task concatenates
+    input splits) and ``repartition`` only when growing it (a shuffle
+    is unavoidable to split files).
+
+    Run it per-partition-directory on a partitioned zone so unchanged
+    partitions stay untouched (same pattern as the merge_upsert dynamic
+    -overwrite write path)."""
+    import math
+
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(src)
+    fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    total = 0
+    it = fs.listFiles(hadoop_path, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    df = spark.read.parquet(src)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    n_input = df.rdd.getNumPartitions()
+    out = df.coalesce(n_files) if n_files <= n_input else df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst)
+    return n_files
+
+
 #: per-table partition columns for the normalized star schema: tag tables
 #: partition by their low-cardinality `type` (aligned with Q1-Q3 filters)
 DEFAULT_PARTITIONING: dict[str, tuple[str, ...]] = {

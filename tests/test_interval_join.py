@@ -86,6 +86,15 @@ def test_refuses_ambiguous_columns(spark):
         interval_join(p, p.withColumnRenamed("pid", "iid"), "t", "t", "t", on="k")
 
 
+def test_reserved_bucket_column_refused(spark):
+    p, i = _points(spark), _intervals(spark)
+    with pytest.raises(ValueError, match="_bucket"):
+        interval_join(
+            p.withColumnRenamed("pid", "_bucket"), i, "t", "s", "e",
+            on="k", bucket_seconds=3600,
+        )
+
+
 def test_bucketed_plan_is_hash_join_not_nested_loop(spark):
     """The point of bucketing: the physical plan must contain a hash join
     on the bucket key, not BroadcastNestedLoopJoin."""

@@ -65,6 +65,42 @@ def test_countmin_merge_equals_single_build(spark):
     )
 
 
+def test_countmin_int32_key_no_overflow(spark):
+    """The hash must promote to 64-bit before multiplying: an INTEGER
+    key column near int32-max would otherwise overflow (ANSI raises,
+    non-ANSI silently diverges from bucket_sql's oracle)."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    df = spark.range(5).select((F.col("id") + 2_147_480_000).cast("int").alias("k"))
+    sketch = countmin_sketch(df, "k", depth=4, width=64)
+    est = countmin_estimate(sketch, df.distinct(), "k", 4, 64).collect()
+    assert len(est) == 5 and all(r.est >= 1 for r in est)
+
+
+def test_countmin_unseen_key_estimates_zero(spark):
+    """A key the stream never touched must estimate 0 when any of its
+    cells is empty — absent sketch cells count as 0, not as 'drop the
+    key' or 'report a collision's count'."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    stream = spark.range(3).select(F.col("id").alias("k"))  # keys 0,1,2
+    sketch = countmin_sketch(stream, "k", depth=4, width=1024)
+    # width 1024 >> 3 keys: the probe key's cells are collision-free-empty
+    probe = spark.range(500, 501).select(F.col("id").alias("k"))
+    est = countmin_estimate(sketch, probe, "k", 4, 1024).collect()
+    assert len(est) == 1 and est[0].est == 0
+
+
 def test_approx_percentile_error_bound(spark):
     """t-digest-style approx_percentile (the mergeable scale path the
     ext_percentiles doc points to) stays within 1% relative error of the

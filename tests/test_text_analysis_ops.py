@@ -53,6 +53,14 @@ def test_repetition_hand_computed(spark):
     assert r1.top_bigram_frac == 1.0 and r1.dup_bigram_frac == 0.0
 
 
+def test_repetition_null_text_dropped(spark):
+    """NULL-text docs must be absent (the SQL oracle's unnest(NULL)
+    yields no rows; emitting an all-null Spark row would be a row-count
+    divergence)."""
+    docs = spark.createDataFrame([(0, "a b"), (1, None)], "doc_id long, text string")
+    assert [r.doc_id for r in repetition_signals(docs).collect()] == [0]
+
+
 def test_repetition_single_word_doc_null_bigrams(spark):
     got = repetition_signals(_docs(spark, ["solo"])).collect()[0]
     assert got.n_words == 1
