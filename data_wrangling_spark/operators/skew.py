@@ -22,6 +22,39 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    salt_col: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi join: the big/skewed ``left`` gets a deterministic
+    salt in [0, buckets) from ``salt_col`` (any well-distributed left
+    column, e.g. the row id); ``right`` is replicated once per salt
+    value; the join key becomes (on..., salt) so a hot key's rows spread
+    across ``buckets`` reducers instead of one.
+
+    Results are exactly the plain join's (salt values partition the
+    left side; each left row still meets every matching right row,
+    exactly once — pinned in tests/test_skew.py).
+
+    When to use: AQE's skew-join handling (OptimizeSkewedJoin) already
+    splits oversized sort-merge partitions at runtime and is the first
+    choice. Explicit salting remains for the cases AQE can't rewrite —
+    skewed keys feeding a single-key aggregation downstream, stream-
+    static joins (no AQE in micro-batch plans until 4.x), or when the
+    replicated side is modest but above the broadcast threshold. Cost:
+    ``buckets``× replication shuffle of ``right`` — keep it small."""
+    keys = [on] if isinstance(on, str) else list(on)
+    l = left.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets)))
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return l.join(r, keys + ["_salt"], how).drop("_salt")
+
+
 def salted_distinct_count(
     df: DataFrame,
     key: str | Column,

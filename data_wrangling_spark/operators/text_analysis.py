@@ -165,6 +165,40 @@ def repetition_signals(
     )
 
 
+def keyword_search(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "all",
+) -> DataFrame:
+    """Documents matching a term set — the inverted-index access path:
+    explode to (doc, token) postings, keep only postings for the query
+    terms (the filter lands BEFORE the shuffle, so the aggregate sees
+    query-term postings only, not the corpus), distinct, then per-doc
+    term-count with ``mode='all'`` requiring every term (AND) or
+    ``mode='any'`` at least one (OR). Output: (id, n_matched).
+
+    At 100 TB the same plan runs against a PRE-BUILT posting table
+    (the explode+distinct materialized once, partitioned by token) and
+    becomes a token-key lookup join; the on-the-fly form here shares
+    every operator with it."""
+    if mode not in ("all", "any"):
+        raise ValueError("mode must be 'all' or 'any'")
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    postings = (
+        df.select(F.col(id_col).alias("id"), F.explode(TX.tokens(text_col)).alias("token"))
+        .filter(F.col("token").isin(terms))
+        .distinct()
+    )
+    agg = postings.groupBy("id").agg(F.countDistinct("token").alias("n_matched"))
+    need = len(set(terms)) if mode == "all" else 1
+    return agg.filter(F.col("n_matched") >= need).select(
+        F.col("id").alias(id_col), F.col("n_matched").cast("int").alias("n_matched")
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-level token statistics: one explode + one hash aggregate
     (partial agg map-side; shuffle is vocabulary-sized)."""

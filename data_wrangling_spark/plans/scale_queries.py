@@ -1166,6 +1166,55 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_text_keyword_search",
+    oracle=r"""
+        SELECT doc_id, CAST(COUNT(DISTINCT g) AS INT) AS n_matched
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS g
+              FROM documents)
+        WHERE g IN ('spark', 'window')
+        GROUP BY doc_id
+        HAVING COUNT(DISTINCT g) >= 2
+        ORDER BY doc_id
+    """,
+    doc="Inverted-index keyword search (operators/text_analysis.py "
+        "keyword_search): AND-match of a 2-term query via postings "
+        "explode with the term filter BEFORE the shuffle (the aggregate "
+        "sees query-term postings only). At 100 TB the identical plan "
+        "runs against a pre-built token-partitioned posting table.",
+)
+def x_text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.text_analysis import keyword_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return keyword_search(docs, ["spark", "window"], mode="all").orderBy("doc_id")
+
+
+@register(
+    "x_stream_enrich",
+    oracle="""
+        SELECT COALESCE(c.c_mktsegment, '<unknown>') AS segment,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    doc="Stream-static enrichment join (streaming/events.py "
+        "enrich_stream): events stream left-joins the broadcast "
+        "customer dimension per micro-batch, unmatched users kept "
+        "under '<unknown>', per-segment counts + int-cent value sums. "
+        "Batch-equivalent aggregate => full oracle parity for a "
+        "streaming job.",
+)
+def x_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.streaming.events import enrich_stream
+
+    out = enrich_stream(spark, sf_dir, table_name="q_stream_enrich")
+    return out.orderBy("segment")
+
+
+@register(
     "x_text_redact_pii",
     oracle=r"""
         SELECT doc_id,

@@ -147,6 +147,47 @@ def windowed_counts_to_parquet(
     q.awaitTermination()
 
 
+def enrich_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "stream_enriched",
+) -> DataFrame:
+    """Stream-static enrichment join — the canonical streaming pattern
+    the reference's batch joins invite: the events stream joins the
+    STATIC customer dimension (re-read and broadcast per micro-batch,
+    so dimension updates between batches are picked up), then
+    aggregates per market segment with event values in int cents.
+
+    Unmatched events (user ids outside the dimension) are counted under
+    segment '<unknown>' via a left join — silently dropping them is the
+    classic enrichment bug. Bounded drain via AvailableNow into a
+    memory sink; the aggregate is batch-equivalent, so this streaming
+    job carries a full DuckDB oracle (x_stream_enrich)."""
+    from data_wrangling_spark.sources.tables import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    joined = ev.join(F.broadcast(cust), "user_id", "left").withColumn(
+        "segment", F.coalesce(F.col("segment"), F.lit("<unknown>"))
+    )
+    agg = joined.groupBy("segment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)
+
+
 def dedup_stream(
     spark: SparkSession,
     sf_dir: str,
