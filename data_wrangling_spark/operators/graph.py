@@ -86,6 +86,68 @@ def connected_components(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 15,
+) -> DataFrame:
+    """PageRank over a directed edge list: (id, rank), sum of ranks = 1.
+    Fixed iteration count (the standard practice; convergence-delta
+    stopping adds a per-round action for little gain at ~15 rounds).
+
+    Scale shape per round — the same Pregel-style contract as
+    :func:`connected_components`: one shuffle join (ranks ⨝ edges on
+    src) + one groupBy-sum on dst, both hash-partitioned on node id;
+    ``localCheckpoint`` truncates the otherwise-exponentially-growing
+    iterative lineage. Dangling nodes (no out-edges) redistribute their
+    mass uniformly — computed as (1 - Σ flowed mass), one scalar-free
+    broadcast-joined aggregate, keeping Σrank = 1 exactly instead of
+    leaking mass each round.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # pre-join degree once; per-round joins then only touch (id, rank)
+    flow_edges = e.join(out_deg, "src").localCheckpoint(eager=True)
+
+    n = nodes.count()  # control-plane scalar, once
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+
+    for _ in range(n_iter):
+        contrib = (
+            flow_edges.join(ranks, flow_edges.src == ranks.id)
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("flowed"))
+        )
+        # dangling mass = what didn't flow through any edge this round
+        flowed_total = contrib.agg(F.sum("flowed").alias("t"))
+        new_ranks = (
+            ranks.join(contrib, ranks.id == contrib.dst, "left")
+            .crossJoin(F.broadcast(flowed_total))
+            .select(
+                "id",
+                (
+                    F.lit((1 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("flowed", F.lit(0.0))
+                        + (F.lit(1.0) - F.coalesce("t", F.lit(0.0))) / F.lit(n)
+                    )
+                ).alias("rank"),
+            )
+        )
+        ranks = new_ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "doc_a",

@@ -1166,6 +1166,189 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_graph_pagerank",
+    oracle=None,  # iterative fixed-point; pinned against an independent
+                  # dense power iteration in tests/test_graph.py
+    doc="PageRank (operators/graph.py) over the event-type transition "
+        "graph: per-user consecutive event pairs (lag window) become "
+        "directed edges, distinct; 15 Pregel-style rounds of join + "
+        "groupBy-sum with localCheckpoint lineage truncation and exact "
+        "dangling-mass redistribution (sum of ranks stays 1). The "
+        "iterative-computation representative beside the connected-"
+        "components clustering op.",
+)
+def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from data_wrangling_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .select(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .distinct()
+    )
+    out = pagerank(edges, n_iter=15)
+    return out.select(
+        F.col("id").alias("event_type"), F.round("rank", 6).alias("rank")
+    ).orderBy("event_type")
+
+
+@register(
+    "ext_unpivot_measures",
+    oracle="""
+        WITH m AS (
+            SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+            UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+        )
+        SELECT measure, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM m GROUP BY measure ORDER BY measure
+    """,
+    doc="UNPIVOT/melt (the inverse of ext_pivot_status_by_priority): "
+        "lineitem's four measures to long form via DataFrame.unpivot — "
+        "ONE scan emitting 4 rows per input row (Spark's Expand node), "
+        "not four self-unions — then per-measure totals in int cents. "
+        "The oracle states the same thing as portable UNION ALL.",
+)
+def ext_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return (
+        melted.groupBy("measure")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("val") * 100).cast("bigint")).alias("total_cents"),
+        )
+        .orderBy("measure")
+    )
+
+
+@register(
+    "ext_gapfill_daily",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, event_type
+            FROM events WHERE user_id < 10
+        ), bounds AS (
+            SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev
+        ), days AS (
+            SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM bounds
+        ), grid AS (
+            SELECT u.user_id, d.day
+            FROM (SELECT DISTINCT user_id FROM ev) u, days d
+        ), counts AS (
+            SELECT user_id, day, COUNT(*) AS n_events
+            FROM ev GROUP BY user_id, day
+        ), ranked AS (
+            SELECT user_id, day, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM ev
+        ), daily AS (
+            SELECT c.user_id, c.day, c.n_events, r.event_type AS day_last_type
+            FROM counts c JOIN ranked r
+              ON r.user_id = c.user_id AND r.day = c.day AND r.rn = 1
+        )
+        SELECT g.user_id,
+               strftime(g.day, '%Y-%m-%d') AS day,
+               COALESCE(d.n_events, 0) AS n_events,
+               last_value(d.day_last_type IGNORE NULLS)
+                   OVER (PARTITION BY g.user_id ORDER BY g.day
+                         ROWS UNBOUNDED PRECEDING) AS last_type
+        FROM grid g LEFT JOIN daily d USING (user_id, day)
+        ORDER BY g.user_id, day
+    """,
+    doc="Time-series gap fill: dense per-user daily timeline (generated "
+        "date spine × user dim, both tiny and broadcast) left-joined to "
+        "per-day aggregates — missing days become explicit zero rows "
+        "and the day's last event_type is carried FORWARD with "
+        "last(ignorenulls) over an expanding frame (the standard "
+        "forward-fill; O(n) per key, never a shrinking frame). Days "
+        "before a user's first event stay NULL by design.",
+)
+def ext_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", F.to_date("ts").alias("day"), "ts", "event_id", "event_type")
+    )
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    grid = ev.select("user_id").distinct().crossJoin(F.broadcast(days))
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_events"),
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("day_last_type"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("day_last_type", ignorenulls=True).over(w).alias("last_type"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@register(
+    "ext_histogram",
+    oracle="""
+        SELECT CAST(LEAST(FLOOR(value / 25), 19) AS INT) AS bucket,
+               COUNT(*) AS n,
+               CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS lo_cents,
+               CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS hi_cents
+        FROM events
+        GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Fixed-width histogram of events.value: bucket = floor(v/25) "
+        "capped at 19 — one narrow projection + one bounded hash "
+        "aggregate (at most 20 groups; map-side partials do everything), "
+        "bucket extents reported in exact int cents. IEEE double "
+        "division + floor is bit-identical across engines.",
+)
+def ext_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        ev.groupBy(
+            F.least(F.floor(F.col("value") / 25), F.lit(19)).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(cents).alias("lo_cents"),
+            F.max(cents).alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
     "x_text_keyword_search",
     oracle=r"""
         SELECT doc_id, CAST(COUNT(DISTINCT g) AS INT) AS n_matched

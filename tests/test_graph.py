@@ -80,3 +80,59 @@ def test_nonconvergence_raises(spark):
     # and with enough rounds the same graph succeeds
     out = connected_components(chain, max_iter=10).collect()
     assert all(r.component == 0 for r in out)
+
+
+def _reference_pagerank(edges, damping=0.85, n_iter=15):
+    """Independent dense power iteration with the same dangling policy
+    (uniform redistribution), for cross-checking the DataFrame form."""
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    rank = [1.0 / n] * n
+    for _ in range(n_iter):
+        flowed = [0.0] * n
+        for s, ds in out.items():
+            share = rank[idx[s]] / len(ds)
+            for d in ds:
+                flowed[idx[d]] += share
+        total_flowed = sum(flowed)
+        dangling = 1.0 - total_flowed
+        rank = [
+            (1 - damping) / n + damping * (f + dangling / n) for f in flowed
+        ]
+    return {nodes[i]: rank[i] for i in range(n)}
+
+
+def test_pagerank_two_node_cycle(spark):
+    from data_wrangling_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    got = {r.id: r.rank for r in pagerank(e).collect()}
+    assert abs(got["a"] - 0.5) < 1e-9 and abs(got["b"] - 0.5) < 1e-9
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    from data_wrangling_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (4, 2), (5, 0), (3, 0), (2, 6)]
+    # node 6 is dangling (no out-edges)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(e).collect()}
+    want = _reference_pagerank(edges)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # no mass leaks
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    from data_wrangling_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(i, 99) for i in range(10)] + [(99, 0)], "src long, dst long"
+    )
+    got = {r.id: r.rank for r in pagerank(e).collect()}
+    assert got[99] == max(got.values())
