@@ -118,6 +118,8 @@ def pagerank(
     flow_edges = e.join(out_deg, "src").localCheckpoint(eager=True)
 
     n = nodes.count()  # control-plane scalar, once
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))  # empty, right schema
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
 
     for _ in range(n_iter):
@@ -126,6 +128,10 @@ def pagerank(
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("flowed"))
+            # materialize once: contrib feeds BOTH the flowed_total agg
+            # and the rank join — unpinned, each round would execute the
+            # join+aggregate subtree twice
+            .localCheckpoint(eager=True)
         )
         # dangling mass = what didn't flow through any edge this round
         flowed_total = contrib.agg(F.sum("flowed").alias("t"))

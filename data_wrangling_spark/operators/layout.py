@@ -29,6 +29,14 @@ def interleave_bits(cols: list[Column], bits: int = BITS) -> Column:
     """Morton interleave: bit b of column i lands at position b*k + i.
     Inputs must already be integer bucket ordinals in [0, 2^bits)."""
     k = len(cols)
+    if bits * k > 63:
+        # JVM shiftleft wraps the shift amount mod 64 and position 63 is
+        # the long sign bit — exceeding 63 would silently corrupt the
+        # curve (bits colliding / sign flips breaking range order)
+        raise ValueError(
+            f"bits*len(cols) = {bits * k} exceeds 63 — reduce bits "
+            f"(e.g. bits={63 // k}) for {k} columns"
+        )
     z: Column = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         c = c.cast("long")
@@ -44,12 +52,19 @@ def zorder_value(
 ) -> tuple[DataFrame, str]:
     """Attach the z-value column (name returned) for ``cols``, linearly
     bucketing each column between its observed min/max."""
+    if "_z" in df.columns:
+        raise ValueError("'_z' is reserved by zorder_value")
     bounds = df.agg(
         *[F.min(c).alias(f"min_{c}") for c in cols],
         *[F.max(c).alias(f"max_{c}") for c in cols],
     ).first()
     buckets = []
     for c in cols:
+        if bounds[f"min_{c}"] is None or bounds[f"max_{c}"] is None:
+            raise ValueError(
+                f"cannot z-order on '{c}': no non-null values (empty "
+                "input or all-null column)"
+            )
         lo, hi = float(bounds[f"min_{c}"]), float(bounds[f"max_{c}"])
         span = (hi - lo) or 1.0
         scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit((1 << bits) - 1)

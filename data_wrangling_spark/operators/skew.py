@@ -46,7 +46,19 @@ def salted_join(
     skewed keys feeding a single-key aggregation downstream, stream-
     static joins (no AQE in micro-batch plans until 4.x), or when the
     replicated side is modest but above the broadcast threshold. Cost:
-    ``buckets``× replication shuffle of ``right`` — keep it small."""
+    ``buckets``× replication shuffle of ``right`` — keep it small.
+
+    Only left-preserving join types are allowed: under right/full outer
+    joins the replicated right rows with no left match would each
+    survive once PER SALT (buckets× duplicated null-padded output)."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only: '{how}' would "
+            "duplicate unmatched replicated right rows once per salt"
+        )
+    if "_salt" in set(left.columns) | set(right.columns):
+        raise ValueError("'_salt' is reserved by salted_join")
     keys = [on] if isinstance(on, str) else list(on)
     l = left.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets)))
     r = right.withColumn(

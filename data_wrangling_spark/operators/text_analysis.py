@@ -175,8 +175,8 @@ def keyword_search(
     """Documents matching a term set — the inverted-index access path:
     explode to (doc, token) postings, keep only postings for the query
     terms (the filter lands BEFORE the shuffle, so the aggregate sees
-    query-term postings only, not the corpus), distinct, then per-doc
-    term-count with ``mode='all'`` requiring every term (AND) or
+    query-term postings only, not the corpus), then one per-doc
+    countDistinct with ``mode='all'`` requiring every term (AND) or
     ``mode='any'`` at least one (OR). Output: (id, n_matched).
 
     At 100 TB the same plan runs against a PRE-BUILT posting table
@@ -187,11 +187,11 @@ def keyword_search(
         raise ValueError("mode must be 'all' or 'any'")
     if not terms:
         raise ValueError("terms must be non-empty")
-    postings = (
-        df.select(F.col(id_col).alias("id"), F.explode(TX.tokens(text_col)).alias("token"))
-        .filter(F.col("token").isin(terms))
-        .distinct()
-    )
+    postings = df.select(
+        F.col(id_col).alias("id"), F.explode(TX.tokens(text_col)).alias("token")
+    ).filter(F.col("token").isin(terms))
+    # countDistinct dedups per id on its own — a .distinct() here would
+    # just add a second full shuffle of the postings
     agg = postings.groupBy("id").agg(F.countDistinct("token").alias("n_matched"))
     need = len(set(terms)) if mode == "all" else 1
     return agg.filter(F.col("n_matched") >= need).select(

@@ -46,7 +46,10 @@ QUERIES: dict[str, QuerySpec] = {}
 #: rollup, forward as-of covered by backward, rows-only HLL covered by
 #: the oracled count-min as the sketch-family representative,
 #: stratified-sample covered by dataset-split, anti-join covered by
-#: semi-join) are
+#: semi-join, rows-only LSH/IVF/cluster forms covered by their pytest
+#: recall/equivalence pins plus the oracled exact/brute representatives,
+#: stats-agg covered by percentiles, quarantine covered by the oracled
+#: audit_fields plus node_tags) are
 #: registered but ordered after the window — still pytest-oracled at
 #: sf0.001 every CI run, just not driver-gated. queries()/oracle_sql() emit this order;
 #: a registered name missing from both this list and the demoted tail
@@ -61,7 +64,6 @@ DRIVER_WINDOW: list[str] = [
     "q4_top_users",
     "op_tag_split",
     "osm_pipeline_node_tags",
-    "osm_pipeline_quarantine",
     "x_stream_osm_ingest",
     # relational extensions (SURVEY §2.10)
     "ext_pricing_summary",
@@ -71,7 +73,6 @@ DRIVER_WINDOW: list[str] = [
     "ext_parts_revenue_by_brand",
     "ext_window_running_total",
     "ext_percentiles",
-    "ext_stats_agg",
     "ext_argmax_agg",
     "ext_pivot_status_by_priority",
     "ext_semi_join",
@@ -85,17 +86,20 @@ DRIVER_WINDOW: list[str] = [
     "ext_dataset_split",
     "ext_merge_upsert",
     "ext_skew_salted_distinct",
+    # relational extensions added in round 2
+    "ext_unpivot_measures",
+    "ext_gapfill_daily",
+    "ext_histogram",
     # LLM-pipeline operators (X-*)
     "x_dedup_exact",
     "x_dedup_ngram_jaccard",
-    "x_dedup_minhash_lsh",
-    "x_dedup_embedding_cosine",
-    "x_dedup_clusters",
     "x_sim_topk_bruteforce",
-    "x_sim_topk_ivf",
     "x_vec_normalize",
     "x_text_stats",
     "x_text_langid",
+    "x_text_tfidf",
+    "x_text_keyword_search",
+    "x_stream_enrich",
     "x_text_sequence_pack",
     "ext_fuzzy_join_levenshtein",
     "x_text_decontaminate",

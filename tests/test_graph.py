@@ -136,3 +136,11 @@ def test_pagerank_hub_ranks_highest(spark):
     )
     got = {r.id: r.rank for r in pagerank(e).collect()}
     assert got[99] == max(got.values())
+
+
+def test_pagerank_empty_edges(spark):
+    from data_wrangling_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(e)
+    assert out.columns == ["id", "rank"] and out.count() == 0

@@ -84,3 +84,20 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
     assert all(v < N_FILES for v in z_x + z_y), (z_x, z_y)
     # and rows survive the relayout intact
     assert spark.read.parquet(zord).count() == 40_000
+
+
+def test_interleave_rejects_over_63_bits(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="exceeds 63"):
+        interleave_bits([F.lit(1)] * 7, bits=10)
+
+
+def test_zorder_all_null_column_clear_error(spark):
+    import pytest
+
+    from data_wrangling_spark.operators.layout import zorder_value
+
+    df = spark.range(5).select(F.lit(None).cast("long").alias("x"), "id")
+    with pytest.raises(ValueError, match="no non-null values"):
+        zorder_value(df, ["x", "id"])

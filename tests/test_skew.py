@@ -54,3 +54,24 @@ def test_salt_actually_spreads_hot_key(spark):
         salted.filter(F.col("k") == 0).select("_salt").distinct().count()
     )
     assert n_salts == 8, "hot key's rows should land in every salt bucket"
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest
+
+    left, right = _skewed(spark)
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="duplicate unmatched"):
+            salted_join(left, right, "k", salt_col="row_id", how=how)
+
+
+def test_salted_join_left_anti_semi(spark):
+    left, right = _skewed(spark)
+    right = right.filter(F.col("k") < 5)
+    for how in ("left_semi", "left_anti"):
+        plain = sorted(r.row_id for r in left.join(right, "k", how).collect())
+        salted = sorted(
+            r.row_id
+            for r in salted_join(left, right, "k", salt_col="row_id", how=how).collect()
+        )
+        assert salted == plain, how
