@@ -1166,16 +1166,98 @@ def x_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_tpch_q10_returned_items",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+               n.n_name AS nation
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q10-shaped returned-item revenue: four-table join with "
+        "the nation dim broadcast, the returnflag filter pushed into "
+        "the lineitem scan, int-cents revenue, top-20 via "
+        "TakeOrderedAndProject (never a global sort of the full "
+        "aggregate). Deterministic custkey tiebreak.",
+)
+def ext_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg((F.sum(cents).cast("bigint") / 100.0).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "nation")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "ext_topn_per_group",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey, o_totalprice
+        FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey)
+                         AS rn
+              FROM orders)
+        WHERE rn <= 3
+        ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+    """,
+    doc="Top-N per group: 3 priciest orders per priority via row_number "
+        "— Spark executes this as WindowGroupLimit (per-partition "
+        "partial top-k BEFORE the shuffle, so the exchange carries at "
+        "most N rows per group per input partition, not the whole "
+        "table). Deterministic orderkey tiebreak. The generic form of "
+        "every per-entity top-k in the engine.",
+)
+def ext_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@register(
     "x_graph_pagerank",
     oracle=None,  # iterative fixed-point; pinned against an independent
                   # dense power iteration in tests/test_graph.py
-    doc="PageRank (operators/graph.py) over the event-type transition "
-        "graph: per-user consecutive event pairs (lag window) become "
-        "directed edges, distinct; 15 Pregel-style rounds of join + "
+    doc="PageRank (operators/graph.py) over the FREQUENT event-type "
+        "transition graph: per-user consecutive event pairs (lead "
+        "window) counted, transitions occurring >=390 times kept (an "
+        "integer-exact, deterministic cut producing an asymmetric "
+        "graph — the unthresholded graph is complete, which would make "
+        "every rank trivially 1/n). Pregel-style rounds of join + "
         "groupBy-sum with localCheckpoint lineage truncation and exact "
         "dangling-mass redistribution (sum of ranks stays 1). The "
         "iterative-computation representative beside the connected-"
-        "components clustering op.",
+        "components clustering op. Output is the (deterministic) "
+        "10-round iterate — fixed iteration count, the standard "
+        "PageRank practice; full 6dp convergence needs ~70 rounds of "
+        "pure job overhead on a 5-node graph.",
 )
 def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1188,10 +1270,14 @@ def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "ts", "event_id", "event_type")
         .withColumn("next_type", F.lead("event_type").over(w))
         .filter(F.col("next_type").isNotNull())
-        .select(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
-        .distinct()
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 390)
+        .select("src", "dst")
     )
-    out = pagerank(edges, n_iter=15)
+    out = pagerank(edges, n_iter=10)
     return out.select(
         F.col("id").alias("event_type"), F.round("rank", 6).alias("rank")
     ).orderBy("event_type")
