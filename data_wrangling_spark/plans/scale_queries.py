@@ -1484,6 +1484,34 @@ def x_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_stream_stream_join",
+    oracle="""
+        SELECT c.user_id, COUNT(*) AS n_pairs
+        FROM events c JOIN events p
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click'
+         AND p.event_type = 'purchase'
+         AND p.ts >= c.ts
+         AND p.ts <  c.ts + INTERVAL 1 HOUR
+        GROUP BY c.user_id
+        ORDER BY c.user_id
+    """,
+    doc="Stream-STREAM join (streaming/events.py attribution_stream): "
+        "clicks x purchases within a 1-hour event-time window per "
+        "user, both sides watermarked so buffered join state is "
+        "EVICTED past watermark+window instead of growing forever — "
+        "the state-boundedness requirement at 100 TB. Inner-join "
+        "emission is immediate, so the bounded drain equals the batch "
+        "join exactly: full oracle parity.",
+)
+def x_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.streaming.events import attribution_stream
+
+    out = attribution_stream(spark, sf_dir, table_name="q_stream_stream_join")
+    return out.orderBy("user_id")
+
+
+@register(
     "x_text_redact_pii",
     oracle=r"""
         SELECT doc_id,

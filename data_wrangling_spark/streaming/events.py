@@ -188,6 +188,75 @@ def enrich_stream(
     return spark.table(table_name)
 
 
+def attribution_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window_minutes: int = 60,
+    table_name: str = "stream_attribution",
+) -> DataFrame:
+    """Stream-STREAM join — clicks joined to the purchases that follow
+    them within ``window_minutes`` for the same user. Both sides carry
+    watermarks and the join condition carries the event-time range
+    (purchase.ts in [click.ts, click.ts + window)), which is what lets
+    Spark bound each side's buffered state: rows older than
+    watermark + window are evicted instead of accumulating forever —
+    the requirement for a stream-stream join to survive at 100 TB.
+
+    Per-user attributed-pair counts; bounded AvailableNow drain into a
+    memory sink. Inner join results are emitted as soon as matched (the
+    watermark gates only state eviction, not inner-join output), so the
+    drained result equals the batch join exactly — full DuckDB oracle
+    (x_stream_stream_join)."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        ),
+    )
+    # stream-stream joins emit in APPEND mode only; the matched pairs
+    # stream out as soon as both sides arrive, and the per-user rollup
+    # happens in batch over the drained sink (an aggregation stacked on
+    # the join would need append-mode finalization, which a bounded
+    # drain's final watermark never grants to the newest windows)
+    q = (
+        pairs.select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(table_name)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def dedup_stream(
     spark: SparkSession,
     sf_dir: str,

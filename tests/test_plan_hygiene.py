@@ -1,0 +1,88 @@
+"""Registry-wide physical-plan hygiene sweep — the scale-killer
+checklist as a regression net, not a one-off audit.
+
+Every registered query's executed plan (sf0.001, planning only — nothing
+is executed) is scanned for:
+- CartesianProduct: never acceptable;
+- BroadcastNestedLoopJoin: acceptable ONLY where it is a deliberate
+  broadcast of a provably-tiny side (probe vectors, scalar counts, date
+  spines) — whitelisted per query;
+- BatchEvalPython (row-at-a-time Python UDFs): never acceptable; the
+  only Python on any data path must be Arrow-batched
+  (ArrowEvalPython / mapInPandas).
+
+Streaming and iterative queries are excluded: building their DataFrame
+executes jobs (stream drains, Pregel rounds), and their scale posture is
+pinned by their own tests instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_wrangling_spark.plans.registry import QUERIES, queries
+
+queries()  # force registration
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: building these executes work (stream drains / iterative rounds /
+#: driver-side layout actions) — their shape is pinned in their own tests
+EXECUTES_ON_BUILD = {n for n in QUERIES if n.startswith("x_stream_")} | {
+    "x_graph_pagerank",
+    "x_dedup_clusters",
+}
+
+#: queries where a BroadcastNestedLoopJoin is the deliberate plan: a
+#: broadcast side that is provably tiny (<=8 centroids, <=5 probe
+#: vectors, a 1-row count/bounds aggregate, a generated date spine)
+BNLJ_ALLOWED = {
+    "x_sim_topk_bruteforce",   # 5 probe vectors broadcast
+    "x_sim_topk_lsh",          # query band rows broadcast
+    "x_sim_topk_ivf",          # 8 centroids broadcast
+    "x_sketch_countmin_heavy_hitters",  # 1-row total-count broadcast
+    "x_text_tfidf",            # 1-row corpus-count broadcast
+    "ext_gapfill_daily",       # 1-row bounds agg + generated date spine
+}
+# notable CLEAN plans (verified no BNLJ despite the pattern suggesting
+# one): ext_range_join_bucketed (bucket explode gives Catalyst an equi
+# conjunct), x_dedup_embedding_cosine, x_text_decontaminate,
+# x_sim_topk_mllib_brp
+
+PLANNABLE = sorted(set(QUERIES) - EXECUTES_ON_BUILD)
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name in PLANNABLE:
+        df = QUERIES[name].spark(spark, SF_DIR)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+@pytest.mark.parametrize("name", PLANNABLE)
+def test_no_cartesian_product(plans, name):
+    assert "CartesianProduct" not in plans[name], (
+        f"{name} plans a cartesian product"
+    )
+
+
+@pytest.mark.parametrize("name", PLANNABLE)
+def test_nested_loop_only_where_deliberate(plans, name):
+    if name in BNLJ_ALLOWED:
+        return
+    assert "BroadcastNestedLoopJoin" not in plans[name], (
+        f"{name} plans BroadcastNestedLoopJoin but is not whitelisted — "
+        "either the join lost its equi conjunct (scale bug) or the "
+        "broadcast side is deliberately tiny (add to BNLJ_ALLOWED with "
+        "a justification)"
+    )
+
+
+@pytest.mark.parametrize("name", PLANNABLE)
+def test_no_row_at_a_time_python(plans, name):
+    assert "BatchEvalPython" not in plans[name], (
+        f"{name} runs a row-at-a-time Python UDF — use built-in "
+        "expressions or an Arrow-batched form"
+    )
