@@ -43,6 +43,28 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def quantize_scale(a: Column | str) -> Column:
+    """Per-vector symmetric int8 quantization scale: max(|x|)/127.
+    NULL for all-zero vectors (nothing to quantize; try_divide keeps
+    ANSI mode from raising)."""
+    v = _c(a).cast("array<double>")
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # nullif: an all-zero vector must yield NULL scale (0.0 would make
+    # every q element a 0/0 try_divide NULL anyway, but a 0.0 scale
+    # masquerades as meaningful downstream — dequantize would emit 0s
+    # indistinguishable from real zeros)
+    return F.nullif(max_abs, F.lit(0.0)) / F.lit(127.0)
+
+
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric int8 quantization: round(x/scale) in [-127, 127] —
+    the 4x-smaller storage/bandwidth form ANN serving uses; dequantize
+    is q*scale. Whole vector stays a JVM higher-order expression."""
+    v = _c(a).cast("array<double>")
+    s = quantize_scale(a)
+    return F.transform(v, lambda x: F.round(F.try_divide(x, s)).cast("int"))
+
+
 def l2_distance(a: Column | str, b: Column | str) -> Column:
     diffs = F.zip_with(
         _c(a).cast("array<double>"), _c(b).cast("array<double>"), lambda x, y: x - y

@@ -454,6 +454,41 @@ def x_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_vec_quantize",
+    oracle="""
+        WITH s AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   NULLIF(list_max(list_transform(embedding::DOUBLE[],
+                                                  x -> abs(x))), 0)
+                       / 127.0 AS scale
+            FROM embeddings
+        )
+        SELECT vec_id,
+               ROUND(scale, 6) AS scale,
+               array_to_string(
+                   list_transform(v, x -> CAST(ROUND(x / scale) AS INT)),
+                   ',') AS q
+        FROM s ORDER BY vec_id
+    """,
+    doc="Symmetric int8 embedding quantization (functions/vectors.py): "
+        "per-vector scale = max|x|/127, q = round(x/scale) — the 4x "
+        "storage/bandwidth cut ANN serving applies before shipping "
+        "vectors. Pure higher-order JVM expressions, narrow, no "
+        "shuffle; int components joined to a string for the driver's "
+        "hasher, scale rounded 6dp on both engines.",
+)
+def x_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.functions.vectors import quantize_int8, quantize_scale
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(quantize_scale("embedding"), 6).alias("scale"),
+        F.concat_ws(",", quantize_int8("embedding")).alias("q"),
+    ).orderBy("vec_id")
+
+
+@register(
     "ext_parts_revenue_by_brand",
     oracle="""
         SELECT p_brand AS brand,
