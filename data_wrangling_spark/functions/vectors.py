@@ -56,12 +56,17 @@ def quantize_scale(a: Column | str) -> Column:
     return F.nullif(max_abs, F.lit(0.0)) / F.lit(127.0)
 
 
-def quantize_int8(a: Column | str) -> Column:
+def quantize_int8(a: Column | str, scale: Column | None = None) -> Column:
     """Symmetric int8 quantization: round(x/scale) in [-127, 127] —
     the 4x-smaller storage/bandwidth form ANN serving uses; dequantize
-    is q*scale. Whole vector stays a JVM higher-order expression."""
+    is q*scale. Whole vector stays a JVM higher-order expression.
+
+    Pass a pre-PROJECTED ``scale`` column on hot paths: higher-order
+    lambdas get no common-subexpression elimination, so an inlined
+    scale expression (array_max over the full vector) would re-execute
+    per ELEMENT — O(d^2) per vector at production dims."""
     v = _c(a).cast("array<double>")
-    s = quantize_scale(a)
+    s = scale if scale is not None else quantize_scale(a)
     return F.transform(v, lambda x: F.round(F.try_divide(x, s)).cast("int"))
 
 

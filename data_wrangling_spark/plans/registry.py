@@ -49,7 +49,11 @@ QUERIES: dict[str, QuerySpec] = {}
 #: semi-join, rows-only LSH/IVF/cluster forms covered by their pytest
 #: recall/equivalence pins plus the oracled exact/brute representatives,
 #: stats-agg covered by percentiles, quarantine covered by the oracled
-#: audit_fields plus node_tags) are
+#: audit_fields plus node_tags, TPC-H Q5 covered by the Q3/Q10/Q18/
+#: pricing multi-join spread, argmax covered by the generalizing
+#: top-N-per-group, vec-normalize covered by the strictly-richer
+#: quantize, streaming dedup covered by batch-dedup oracles plus the
+#: enrich/stream-stream streaming rows) are
 #: registered but ordered after the window — still pytest-oracled at
 #: sf0.001 every CI run, just not driver-gated. queries()/oracle_sql() emit this order;
 #: a registered name missing from both this list and the demoted tail
@@ -68,12 +72,12 @@ DRIVER_WINDOW: list[str] = [
     # relational extensions (SURVEY §2.10)
     "ext_pricing_summary",
     "ext_tpch_q3_shipping_priority",
-    "ext_tpch_q5_local_supplier",
+    "ext_tpch_q10_returned_items",
     "ext_tpch_q18_large_orders",
     "ext_parts_revenue_by_brand",
     "ext_window_running_total",
     "ext_percentiles",
-    "ext_argmax_agg",
+    "ext_topn_per_group",
     "ext_pivot_status_by_priority",
     "ext_semi_join",
     "ext_range_join_attribution",
@@ -94,7 +98,7 @@ DRIVER_WINDOW: list[str] = [
     "x_dedup_exact",
     "x_dedup_ngram_jaccard",
     "x_sim_topk_bruteforce",
-    "x_vec_normalize",
+    "x_vec_quantize",
     "x_text_stats",
     "x_text_langid",
     "x_text_tfidf",
@@ -108,7 +112,7 @@ DRIVER_WINDOW: list[str] = [
     "x_sketch_countmin_heavy_hitters",
     "x_multimodal_features",
     "x_stream_windowed_counts",
-    "x_stream_dedup",
+    "x_stream_stream_join",
 ]
 
 

@@ -13,7 +13,7 @@ BOTH engines so the driver's value hash is float-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_wrangling_spark.functions.text import BPE_ISH_PATTERN, bpe_ish_token_count, token_count
@@ -23,6 +23,16 @@ from data_wrangling_spark.sources.tables import load_table
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+#: revenue in exact integer cents — ONE definition for every lineitem
+#: revenue aggregate in this module (its SQL twin is the literal
+#: `CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)`
+#: in each oracle). Spark round() is HALF_UP, matching DuckDB ROUND.
+def _revenue_cents() -> Column:
+    return F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
 
 
 _Q3_DATE = "1998-06-15"
@@ -59,7 +69,7 @@ def ext_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp"))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp"))
-    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("bigint")
+    rev_cents = _revenue_cents()
     oc = (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -481,10 +491,18 @@ def x_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.functions.vectors import quantize_int8, quantize_scale
 
     emb = _t(spark, sf_dir, "embeddings")
-    return emb.select(
+    # scale projected ONCE, then referenced — inlining it would re-run
+    # the array_max per element inside the transform lambda (O(d^2))
+    scaled = emb.select(
+        "vec_id", "embedding", quantize_scale("embedding").alias("s")
+    )
+    q_str = F.concat_ws(",", quantize_int8("embedding", F.col("s")))
+    return scaled.select(
         "vec_id",
-        F.round(quantize_scale("embedding"), 6).alias("scale"),
-        F.concat_ws(",", quantize_int8("embedding")).alias("q"),
+        F.round("s", 6).alias("scale"),
+        # zero-vector guard: concat_ws over an all-NULL array gives ''
+        # but DuckDB's array_to_string gives NULL — emit NULL on both
+        F.when(F.col("s").isNull(), F.lit(None)).otherwise(q_str).alias("q"),
     ).orderBy("vec_id")
 
 
@@ -508,7 +526,7 @@ def x_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_parts_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
     li = _t(spark, sf_dir, "lineitem")
-    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("bigint")
+    rev_cents = _revenue_cents()
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
@@ -886,7 +904,7 @@ def ext_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "c_nationkey")
     )
     li = _t(spark, sf_dir, "lineitem")
-    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("bigint")
+    rev_cents = _revenue_cents()
     return (
         li.join(oc, li.l_orderkey == oc.o_orderkey)
         .join(
@@ -1227,9 +1245,7 @@ def ext_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = _t(spark, sf_dir, "nation")
-    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
-        "bigint"
-    )
+    cents = _revenue_cents()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -1280,19 +1296,18 @@ def ext_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_graph_pagerank",
     oracle=None,  # iterative fixed-point; pinned against an independent
                   # dense power iteration in tests/test_graph.py
-    doc="PageRank (operators/graph.py) over the FREQUENT event-type "
-        "transition graph: per-user consecutive event pairs (lead "
-        "window) counted, transitions occurring >=390 times kept (an "
-        "integer-exact, deterministic cut producing an asymmetric "
-        "graph — the unthresholded graph is complete, which would make "
-        "every rank trivially 1/n). Pregel-style rounds of join + "
-        "groupBy-sum with localCheckpoint lineage truncation and exact "
-        "dangling-mass redistribution (sum of ranks stays 1). The "
-        "iterative-computation representative beside the connected-"
-        "components clustering op. Output is the (deterministic) "
-        "10-round iterate — fixed iteration count, the standard "
-        "PageRank practice; full 6dp convergence needs ~70 rounds of "
-        "pure job overhead on a 5-node graph.",
+    doc="PageRank (operators/graph.py) over the event-type transition "
+        "graph restricted to the TOP-12 most frequent transitions "
+        "(count desc, (src,dst) tiebreak — deterministic and SCALE-"
+        "INVARIANT, unlike an absolute count cut: the unthresholded "
+        "graph is complete at every sf, which would make every rank "
+        "trivially 1/n, and absolute cuts degenerate to empty/complete "
+        "at other sfs). Pregel-style rounds of join + groupBy-sum with "
+        "localCheckpoint lineage truncation and exact dangling-mass "
+        "redistribution (sum of ranks stays 1). The iterative-"
+        "computation representative beside the connected-components "
+        "clustering op. Output is the (deterministic) 10-round iterate "
+        "— fixed iteration count, the standard PageRank practice.",
 )
 def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1301,6 +1316,7 @@ def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    topw = Window.orderBy(F.desc("n"), "src", "dst")
     edges = (
         ev.select("user_id", "ts", "event_id", "event_type")
         .withColumn("next_type", F.lead("event_type").over(w))
@@ -1309,7 +1325,8 @@ def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("src"), F.col("next_type").alias("dst")
         )
         .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 390)
+        .withColumn("rn", F.row_number().over(topw))
+        .filter(F.col("rn") <= 12)
         .select("src", "dst")
     )
     out = pagerank(edges, n_iter=10)
