@@ -61,6 +61,62 @@ def bucket_sql(key_expr: str, row_expr: str, width: int) -> str:
     )
 
 
+def bloom_positions(key: Column, k: int = 7, m: int = 1 << 20) -> Column:
+    """The k bit positions for a key in an m-bit Bloom filter: k
+    independent xxhash64 draws (seeded by index) mod m."""
+    return F.array(
+        *[F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m)) for i in range(k)]
+    )
+
+
+def bloom_build(df: DataFrame, key_col: str, k: int = 7, m: int = 1 << 20) -> DataFrame:
+    """Build a Bloom filter as its SET BIT POSITIONS — one row per set
+    bit, at most min(k*|keys|, m) rows of one long each. The relational
+    representation keeps it mergeable (union+distinct) and broadcast-
+    joinable; Spark's own runtime bloom (`bloom_filter_agg`) is not in
+    the public function registry, and this form additionally lets the
+    probe side run as a plain join.
+
+    Membership is ONE-SIDED like any Bloom filter: every inserted key
+    probes positive (no false negatives); non-members probe positive
+    with ~(1 - e^{-k*n/m})^k probability. Size m for the expected key
+    count (k=7, m/n=16 gives ~0.5% FP)."""
+    return (
+        df.select(F.explode(bloom_positions(F.col(key_col), k, m)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_might_contain(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    k: int = 7,
+    m: int = 1 << 20,
+) -> DataFrame:
+    """Probe the Bloom filter: a key tests positive iff ALL k of its
+    positions are set. One scan of ``probes`` with the (tiny) position
+    set broadcast — the decontamination / blocklist membership shape
+    when the reference set is too large to broadcast verbatim but its
+    bit positions aren't. Adds boolean ``might_contain``."""
+    exploded = probes.select(
+        "*", F.explode(bloom_positions(F.col(key_col), k, m)).alias("pos")
+    )
+    hits = (
+        exploded.join(F.broadcast(bloom), "pos")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("_n_set"))
+        .filter(F.col("_n_set") == k)
+        .select(F.col(key_col).alias("_hit_key"))
+    )
+    return probes.join(
+        hits, probes[key_col] == hits["_hit_key"], "left"
+    ).select(
+        *[probes[c] for c in probes.columns],
+        F.col("_hit_key").isNotNull().alias("might_contain"),
+    )
+
+
 def countmin_sketch(
     df: DataFrame, key_col: str, depth: int = 4, width: int = 64
 ) -> DataFrame:

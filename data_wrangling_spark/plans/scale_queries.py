@@ -1336,6 +1336,60 @@ def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_fuzzy_join_snm",
+    oracle="""
+        WITH s AS (
+            SELECT p_partkey AS id, p_name AS txt,
+                   substring(p_name, 1, 2) AS pfx
+            FROM part
+        ), l AS (
+            SELECT id, txt,
+                   LEAD(id, 1) OVER w AS nid1, LEAD(txt, 1) OVER w AS ntxt1,
+                   LEAD(id, 2) OVER w AS nid2, LEAD(txt, 2) OVER w AS ntxt2,
+                   LEAD(id, 3) OVER w AS nid3, LEAD(txt, 3) OVER w AS ntxt3,
+                   LEAD(id, 4) OVER w AS nid4, LEAD(txt, 4) OVER w AS ntxt4
+            FROM s WINDOW w AS (PARTITION BY pfx ORDER BY txt, id)
+        ), p AS (
+            SELECT id, txt, nid1 AS nid, ntxt1 AS ntxt FROM l WHERE nid1 IS NOT NULL
+            UNION ALL SELECT id, txt, nid2, ntxt2 FROM l WHERE nid2 IS NOT NULL
+            UNION ALL SELECT id, txt, nid3, ntxt3 FROM l WHERE nid3 IS NOT NULL
+            UNION ALL SELECT id, txt, nid4, ntxt4 FROM l WHERE nid4 IS NOT NULL
+        ), c AS (
+            SELECT CASE WHEN id < nid THEN id ELSE nid END AS id_a,
+                   CASE WHEN id < nid THEN nid ELSE id END AS id_b,
+                   CASE WHEN id < nid THEN txt ELSE ntxt END AS txt_a,
+                   CASE WHEN id < nid THEN ntxt ELSE txt END AS txt_b
+            FROM p
+        )
+        SELECT id_a, id_b, txt_a, txt_b,
+               CAST(levenshtein(txt_a, txt_b) AS INT) AS distance
+        FROM c WHERE levenshtein(txt_a, txt_b) <= 2
+        ORDER BY id_a, id_b
+    """,
+    doc="Sorted-neighborhood fuzzy self-join (operators/fuzzy.py "
+        "sorted_neighborhood_join): the complementary blocking strategy "
+        "to the brand-equality blocks of ext_fuzzy_join_levenshtein — "
+        "sort part names within 2-char-prefix blocks, compare each "
+        "record to its 4 sorted neighbors, thresholded JVM levenshtein "
+        "verify. One shuffle on the prefix, <=window candidates per "
+        "record, no global sort. The oracle states the identical "
+        "window+union construction in SQL.",
+)
+def ext_fuzzy_join_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.fuzzy import sorted_neighborhood_join
+
+    part = _t(spark, sf_dir, "part")
+    out = sorted_neighborhood_join(
+        part, id_col="p_partkey", text_col="p_name", window=4, prefix_len=2,
+        max_distance=2,
+    )
+    return out.select(
+        "id_a", "id_b", "txt_a", "txt_b",
+        F.col("distance").cast("int").alias("distance"),
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "ext_unpivot_measures",
     oracle="""
         WITH m AS (

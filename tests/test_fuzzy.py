@@ -74,3 +74,58 @@ def _lev(s: str, t: str) -> int:
             cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
         prev = cur
     return prev[-1]
+
+
+def test_sorted_neighborhood_matches_brute_force_on_adjacent_typos(spark):
+    """Names differing by one LATE-character edit share a prefix and
+    sort adjacently — SNM must find exactly the brute-force pairs."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.operators.fuzzy import sorted_neighborhood_join
+
+    base = [
+        "apple", "banana", "carrot", "dolphin", "elephant", "falcon",
+        "guitar", "hammer", "island", "jacket", "kitten", "ladder",
+    ]  # pairwise Levenshtein > 2: only planted variants can pair
+    rows = []
+    for i, name in enumerate(base):
+        rows.append((2 * i, name))
+        rows.append((2 * i + 1, name + "x"))  # 1-edit variant, same prefix
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_join(df, "id", "name", window=4).collect()
+    )
+    # brute force ground truth
+    import itertools
+
+    brute = sorted(
+        (a_id, b_id)
+        for (a_id, a_n), (b_id, b_n) in itertools.combinations(rows, 2)
+        if _lev(a_n, b_n) <= 2
+    )
+    assert got == brute
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+def test_sorted_neighborhood_pairs_unique_and_canonical(spark):
+    from data_wrangling_spark.operators.fuzzy import sorted_neighborhood_join
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aab"), (3, "aac"), (4, "aad")], "id long, name string"
+    )
+    out = sorted_neighborhood_join(df, "id", "name", window=4).collect()
+    pairs = [(r.id_a, r.id_b) for r in out]
+    assert len(pairs) == len(set(pairs))          # no duplicates
+    assert all(a < b for a, b in pairs)           # canonical order
+    txt = {(r.id_a, r.id_b): (r.txt_a, r.txt_b) for r in out}
+    assert txt[(1, 2)] == ("aaa", "aab")          # texts follow their ids

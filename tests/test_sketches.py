@@ -114,3 +114,43 @@ def test_approx_percentile_error_bound(spark):
         F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.01, row
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Every inserted key probes positive (the one-sided guarantee);
+    non-members false-positive at roughly the designed rate, bounded
+    loosely here (k=7, m/n=16 -> ~0.5% expected)."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    members = spark.range(1000).select(F.concat(F.lit("gram_"), "id").alias("g"))
+    bloom = bloom_build(members, "g", k=7, m=16 * 1000)
+    # members: all positive
+    got = bloom_might_contain(members, bloom, "g", k=7, m=16 * 1000)
+    assert got.filter(~F.col("might_contain")).count() == 0
+    # non-members: few positives
+    others = spark.range(2000).select(F.concat(F.lit("other_"), "id").alias("g"))
+    fp = (
+        bloom_might_contain(others, bloom, "g", k=7, m=16 * 1000)
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    assert fp <= 2000 * 0.05, f"false-positive rate too high: {fp}/2000"
+
+
+def test_bloom_merge_is_union(spark):
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.operators.sketches import bloom_build
+
+    a = spark.range(100).select(F.concat(F.lit("a"), "id").alias("g"))
+    b = spark.range(100).select(F.concat(F.lit("b"), "id").alias("g"))
+    merged = bloom_build(a, "g").unionByName(bloom_build(b, "g")).distinct()
+    single = bloom_build(a.unionByName(b), "g")
+    assert sorted(r.pos for r in merged.collect()) == sorted(
+        r.pos for r in single.collect()
+    )
