@@ -70,21 +70,49 @@ def bloom_positions(key: Column, k: int = 7, m: int = 1 << 20) -> Column:
 
 
 def bloom_build(df: DataFrame, key_col: str, k: int = 7, m: int = 1 << 20) -> DataFrame:
-    """Build a Bloom filter as its SET BIT POSITIONS — one row per set
-    bit, at most min(k*|keys|, m) rows of one long each. The relational
-    representation keeps it mergeable (union+distinct) and broadcast-
-    joinable; Spark's own runtime bloom (`bloom_filter_agg`) is not in
-    the public function registry, and this form additionally lets the
-    probe side run as a plain join.
+    """Build a Bloom filter as a DENSE BITSET: a ONE-row DataFrame whose
+    ``words`` column is an array of m/64 longs. Spark's own runtime
+    bloom (`bloom_filter_agg`) is not in the public function registry;
+    this form broadcasts as a single array (m=2^20 -> 128 KB) and
+    probes with O(1) ``element_at`` — no join, no shuffle of the probe
+    side. Two filters over the same (k, m) merge by element-wise OR
+    (``zip_with``), equal to a single build over the unioned keys.
 
     Membership is ONE-SIDED like any Bloom filter: every inserted key
     probes positive (no false negatives); non-members probe positive
     with ~(1 - e^{-k*n/m})^k probability. Size m for the expected key
-    count (k=7, m/n=16 gives ~0.5% FP)."""
-    return (
+    count (k=7, m/n=16 gives ~0.5% FP). Build cost: the key set
+    explodes to k positions and aggregates to <=m/64 word rows — tiny
+    compared to any real reference set."""
+    if m % 64 != 0:
+        raise ValueError("m must be a multiple of 64")
+    n_words = m // 64
+    word_bits = (
         df.select(F.explode(bloom_positions(F.col(key_col), k, m)).alias("pos"))
         .distinct()
+        # shiftleft's amount must be a literal in the Python API; the
+        # SQL form takes a column
+        .selectExpr(
+            "CAST(pos / 64 AS LONG) AS w",
+            "shiftleft(1L, CAST(pos % 64 AS INT)) AS bit",
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
     )
+    dense = (
+        F.broadcast(
+            # dense index 0..n_words-1 so absent words become 0, and the
+            # collect_list below is position-aligned
+            df.sparkSession.range(n_words).select(F.col("id").alias("w"))
+        )
+        .join(word_bits, "w", "left")
+        .select("w", F.coalesce("word", F.lit(0)).alias("word"))
+    )
+    # sort_array over (w, word) structs: collect_list order is NOT
+    # guaranteed through an aggregation, the struct sort is
+    return dense.agg(
+        F.sort_array(F.collect_list(F.struct("w", "word"))).alias("s")
+    ).select(F.col("s.word").alias("words"))
 
 
 def bloom_might_contain(
@@ -93,27 +121,30 @@ def bloom_might_contain(
     key_col: str,
     k: int = 7,
     m: int = 1 << 20,
+    out_col: str = "might_contain",
 ) -> DataFrame:
-    """Probe the Bloom filter: a key tests positive iff ALL k of its
-    positions are set. One scan of ``probes`` with the (tiny) position
-    set broadcast — the decontamination / blocklist membership shape
-    when the reference set is too large to broadcast verbatim but its
-    bit positions aren't. Adds boolean ``might_contain``."""
-    exploded = probes.select(
-        "*", F.explode(bloom_positions(F.col(key_col), k, m)).alias("pos")
-    )
-    hits = (
-        exploded.join(F.broadcast(bloom), "pos")
-        .groupBy(key_col)
-        .agg(F.count("*").alias("_n_set"))
-        .filter(F.col("_n_set") == k)
-        .select(F.col(key_col).alias("_hit_key"))
-    )
-    return probes.join(
-        hits, probes[key_col] == hits["_hit_key"], "left"
-    ).select(
-        *[probes[c] for c in probes.columns],
-        F.col("_hit_key").isNotNull().alias("might_contain"),
+    """Probe the Bloom filter: a key tests positive iff ALL k of its bit
+    positions are set. The one-row bitset cross-joins in (broadcast, no
+    shuffle) and each row evaluates k O(1) ``element_at`` word lookups
+    — one scan of ``probes``, row-local, so duplicate and NULL probe
+    keys behave exactly like unique ones. Adds boolean ``out_col``."""
+    reserved = {"_bloom_words", "_bloom_pos", out_col} & set(probes.columns)
+    if reserved:
+        raise ValueError(f"columns reserved by bloom_might_contain: {sorted(reserved)}")
+    bits = bloom.select(F.col("words").alias("_bloom_words"))
+    return (
+        probes.crossJoin(F.broadcast(bits))
+        .withColumn("_bloom_pos", bloom_positions(F.col(key_col), k, m))
+        # SQL forall: the Python shiftleft only takes a literal amount
+        .withColumn(
+            out_col,
+            F.expr(
+                "forall(_bloom_pos, p -> "
+                "(element_at(_bloom_words, CAST(p / 64 AS INT) + 1) "
+                " & shiftleft(1L, CAST(p % 64 AS INT))) != 0)"
+            ),
+        )
+        .drop("_bloom_words", "_bloom_pos")
     )
 
 

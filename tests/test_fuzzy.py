@@ -108,15 +108,6 @@ def test_sorted_neighborhood_matches_brute_force_on_adjacent_typos(spark):
     assert got == brute
 
 
-def _lev(a: str, b: str) -> int:
-    dp = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        prev, dp[0] = dp[0], i
-        for j, cb in enumerate(b, 1):
-            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
-    return dp[len(b)]
-
-
 def test_sorted_neighborhood_pairs_unique_and_canonical(spark):
     from data_wrangling_spark.operators.fuzzy import sorted_neighborhood_join
 

@@ -128,14 +128,14 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
     )
 
     members = spark.range(1000).select(F.concat(F.lit("gram_"), "id").alias("g"))
-    bloom = bloom_build(members, "g", k=7, m=16 * 1000)
+    bloom = bloom_build(members, "g", k=7, m=16 * 1024)
     # members: all positive
-    got = bloom_might_contain(members, bloom, "g", k=7, m=16 * 1000)
+    got = bloom_might_contain(members, bloom, "g", k=7, m=16 * 1024)
     assert got.filter(~F.col("might_contain")).count() == 0
     # non-members: few positives
     others = spark.range(2000).select(F.concat(F.lit("other_"), "id").alias("g"))
     fp = (
-        bloom_might_contain(others, bloom, "g", k=7, m=16 * 1000)
+        bloom_might_contain(others, bloom, "g", k=7, m=16 * 1024)
         .filter(F.col("might_contain"))
         .count()
     )
@@ -143,14 +143,56 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
 
 
 def test_bloom_merge_is_union(spark):
+    """Element-wise OR of two bitsets == one build over the unioned
+    keys — the mergeability that lets per-shard filters roll up."""
     from pyspark.sql import functions as F
 
     from data_wrangling_spark.operators.sketches import bloom_build
 
     a = spark.range(100).select(F.concat(F.lit("a"), "id").alias("g"))
     b = spark.range(100).select(F.concat(F.lit("b"), "id").alias("g"))
-    merged = bloom_build(a, "g").unionByName(bloom_build(b, "g")).distinct()
-    single = bloom_build(a.unionByName(b), "g")
-    assert sorted(r.pos for r in merged.collect()) == sorted(
-        r.pos for r in single.collect()
+    wa = bloom_build(a, "g", m=4096).collect()[0].words
+    wb = bloom_build(b, "g", m=4096).collect()[0].words
+    merged = [x | y for x, y in zip(wa, wb)]
+    single = bloom_build(a.unionByName(b), "g", m=4096).collect()[0].words
+    assert merged == single
+
+
+def test_bloom_duplicate_and_null_probe_keys(spark):
+    """Row-local probing: duplicate probe rows each get the member
+    verdict (the join-based form false-negatived them), and NULL keys
+    behave consistently between build and probe."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
     )
+
+    members = spark.createDataFrame([("x",), ("y",), (None,)], "g string")
+    bloom = bloom_build(members, "g", m=4096)
+    probes = spark.createDataFrame(
+        [("x",), ("x",), ("x",), (None,), ("zzz_not_member",)], "g string"
+    )
+    got = bloom_might_contain(probes, bloom, "g", m=4096).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r.g, []).append(r.might_contain)
+    assert by_key["x"] == [True, True, True]  # every duplicate row positive
+    assert by_key[None] == [True]             # build/probe NULL-consistent
+
+
+def test_bloom_reserved_output_column_refused(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    members = spark.range(5).select(F.col("id").cast("string").alias("g"))
+    bloom = bloom_build(members, "g", m=4096)
+    probes = members.withColumn("might_contain", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        bloom_might_contain(probes, bloom, "g", m=4096)
