@@ -1336,6 +1336,78 @@ def x_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_correlated_subquery",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c.c_custkey
+    """,
+    doc="Correlated scalar subquery (customers above their own nation's "
+        "average balance), written AS a correlated subquery through the "
+        "SQL front-end: Catalyst decorrelates it into one aggregate + "
+        "one join instead of a per-row re-execution — the rewrite that "
+        "makes such predicates tractable at 100 TB. Balance compared "
+        "raw (exact), displayed in int cents.",
+)
+def ext_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("_ext_corr_customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM _ext_corr_customer c
+        WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal)
+                             FROM _ext_corr_customer c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+@register(
+    "ext_ntile_deciles",
+    oracle="""
+        SELECT decile,
+               COUNT(*) AS n,
+               CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS lo_cents,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS hi_cents
+        FROM (SELECT o_totalprice,
+                     NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                         AS decile
+              FROM orders)
+        GROUP BY decile ORDER BY decile
+    """,
+    doc="NTILE decile banding of order values with exact int-cent band "
+        "extents — the rank-based cousin of ext_histogram's fixed-width "
+        "buckets. Deterministic orderkey tiebreak; the global-order "
+        "window is the documented cost (one range repartition), the "
+        "follow-up aggregate is 10 groups.",
+)
+def ext_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(cents.alias("cents"), F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
     "ext_fuzzy_join_snm",
     oracle="""
         WITH s AS (
