@@ -26,15 +26,24 @@ def salted_join(
     left: DataFrame,
     right: DataFrame,
     on: str | list[str],
-    salt_col: str,
+    salt_col: str | None = None,
     buckets: int = 16,
     how: str = "inner",
 ) -> DataFrame:
     """Skew-safe equi join: the big/skewed ``left`` gets a deterministic
-    salt in [0, buckets) from ``salt_col`` (any well-distributed left
-    column, e.g. the row id); ``right`` is replicated once per salt
+    salt in [0, buckets) from ``salt_col`` (any NON-NULL, well-distributed
+    left column, e.g. the row id); ``right`` is replicated once per salt
     value; the join key becomes (on..., salt) so a hot key's rows spread
     across ``buckets`` reducers instead of one.
+
+    ``salt_col`` caveat: ``xxhash64`` maps every NULL to the same value,
+    and a low-cardinality column yields at most that many buckets — in
+    either case the hot key's rows co-bucket and the salting silently
+    does nothing (results stay correct; only the spread is lost). When no
+    single column is known-good, omit ``salt_col``: the default salts by
+    a whole-row hash over every left column, which spreads any key whose
+    rows differ in at least one column (only fully-identical duplicate
+    rows still co-bucket).
 
     Results are exactly the plain join's (salt values partition the
     left side; each left row still meets every matching right row,
@@ -60,7 +69,12 @@ def salted_join(
     if "_salt" in set(left.columns) | set(right.columns):
         raise ValueError("'_salt' is reserved by salted_join")
     keys = [on] if isinstance(on, str) else list(on)
-    l = left.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets)))
+    salt_src = (
+        [F.col(salt_col)]
+        if salt_col is not None
+        else [F.col(c) for c in left.columns]
+    )
+    l = left.withColumn("_salt", F.pmod(F.xxhash64(*salt_src), F.lit(buckets)))
     r = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )

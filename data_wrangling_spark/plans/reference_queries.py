@@ -382,18 +382,26 @@ def ext_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey AS user_id FROM customer
         EXCEPT
-        SELECT o_custkey AS user_id FROM orders
+        SELECT o_custkey AS user_id FROM orders WHERE o_orderstatus = 'F'
         ORDER BY user_id
     """,
-    doc="Set-op extension (SURVEY §2.8): EXCEPT (customers with no orders).",
+    doc="Set-op extension (SURVEY §2.8): EXCEPT (customers with no "
+        "finished order). The status slice keeps the result non-empty at "
+        "every scale factor (5/71/511 rows at sf0.001/0.01/0.1) — the "
+        "unfiltered form returned 0 rows at small SFs, a zero-information "
+        "green (round-2 verdict defect #1).",
 )
 def ext_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
-    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("user_id"))
+    finished = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("user_id"))
+    )
     # subtract IS EXCEPT DISTINCT for any input multiplicity —
     # exceptAll(distinct()).distinct() only matched it while c_custkey
     # happened to be unique
-    return customer.subtract(orders).orderBy("user_id")
+    return customer.subtract(finished).orderBy("user_id")
 
 
 # ---------------------------------------------------------------------------

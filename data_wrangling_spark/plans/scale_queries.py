@@ -1094,18 +1094,23 @@ def op_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_anti_join",
     oracle="""
         SELECT c_custkey, c_name FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '5-LOW')
         ORDER BY c_custkey
     """,
     doc="Left anti join (SURVEY.md §2.7 extension surface): customers "
-        "with no orders. Physical: broadcast/shuffled hash anti join — "
-        "the orders side is reduced to its join key by Catalyst.",
+        "with no 5-LOW-priority order. The priority slice keeps the "
+        "result non-empty at every scale factor (20/220/2053 rows at "
+        "sf0.001/0.01/0.1) — 'no orders at all' returned 0 rows, a "
+        "zero-information green (round-2 verdict defect #1). Physical: "
+        "broadcast/shuffled hash anti join — the orders side is reduced "
+        "to its pushed-filter slice + join key by Catalyst.",
 )
 def ext_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    low = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "5-LOW")
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(low, cust.c_custkey == low.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
@@ -1385,9 +1390,14 @@ def ext_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="NTILE decile banding of order values with exact int-cent band "
         "extents — the rank-based cousin of ext_histogram's fixed-width "
-        "buckets. Deterministic orderkey tiebreak; the global-order "
-        "window is the documented cost (one range repartition), the "
-        "follow-up aggregate is 10 groups.",
+        "buckets. Deterministic orderkey tiebreak. SCALE NOTE: an "
+        "unpartitioned NTILE window plans Exchange SinglePartition — "
+        "every row flows through ONE task; that single-partition sort is "
+        "the documented cost here, acceptable only because this query is "
+        "a semantics showcase, not a bench path. The scalable form of "
+        "decile banding is two-pass: approx/exact percentile boundaries "
+        "first (ext_percentiles), then a narrow width_bucket-style "
+        "banding join against the 9 broadcast cut points.",
 )
 def ext_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

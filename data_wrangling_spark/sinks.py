@@ -56,8 +56,23 @@ def compact_parquet(
 
     Run it per-partition-directory on a partitioned zone so unchanged
     partitions stay untouched (same pattern as the merge_upsert dynamic
-    -overwrite write path)."""
+    -overwrite write path).
+
+    ``dst`` must differ from ``src``: an overwrite-mode write into the
+    path being lazily read would truncate the landing zone before the
+    scan runs — the guard below refuses it (same defensive style as the
+    reserved-column and cartesian refusals elsewhere)."""
     import math
+    import os
+
+    if os.path.abspath(src.removeprefix("file:")) == os.path.abspath(
+        dst.removeprefix("file:")
+    ):
+        raise ValueError(
+            f"compact_parquet: dst == src ({src!r}) — overwrite while "
+            "lazily reading the same path would destroy the input; "
+            "compact into a sibling directory and swap"
+        )
 
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc

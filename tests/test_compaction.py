@@ -38,3 +38,21 @@ def test_compact_respects_target_size(spark, tmp_path):
     assert n == 3
     assert len(_parquet_files(dst)) == 3
     assert spark.read.parquet(dst).count() == 50_000
+
+
+def test_compact_refuses_dst_equals_src(spark, tmp_path):
+    """Overwrite-while-lazily-reading the same path would truncate the
+    landing zone before the scan runs (ADVICE r2) — must refuse."""
+    import pytest
+
+    from data_wrangling_spark.sinks import compact_parquet
+
+    src = str(tmp_path / "zone")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="dst == src"):
+        compact_parquet(spark, src, src)
+    # path-spelling variants of the same location are also refused
+    with pytest.raises(ValueError, match="dst == src"):
+        compact_parquet(spark, src, src + "/")
+    # the input survived
+    assert spark.read.parquet(src).count() == 10

@@ -1,8 +1,9 @@
 """Registry-wide physical-plan hygiene sweep — the scale-killer
 checklist as a regression net, not a one-off audit.
 
-Every registered query's executed plan (sf0.001, planning only — nothing
-is executed) is scanned for:
+Every registered query's executed plan at sf0.001 is scanned for (plan
+construction only — except the EXECUTES_ON_BUILD set below, whose
+DataFrame construction itself runs Spark jobs):
 - CartesianProduct: never acceptable;
 - BroadcastNestedLoopJoin: acceptable ONLY where it is a deliberate
   broadcast of a provably-tiny side (probe vectors, scalar counts, date
@@ -31,6 +32,10 @@ SF_DIR = "/root/testdata/sf0.001"
 EXECUTES_ON_BUILD = {n for n in QUERIES if n.startswith("x_stream_")} | {
     "x_graph_pagerank",
     "x_dedup_clusters",
+    # BucketedRandomProjectionLSH.fit runs real jobs when the DataFrame is
+    # built; its BNLJ-cleanliness is noted in the CLEAN-plans comment below
+    # and pinned by tests/test_similarity.py
+    "x_sim_topk_mllib_brp",
 }
 
 #: queries where a BroadcastNestedLoopJoin is the deliberate plan: a

@@ -56,6 +56,34 @@ def test_salt_actually_spreads_hot_key(spark):
     assert n_salts == 8, "hot key's rows should land in every salt bucket"
 
 
+def test_default_whole_row_salt_spreads_null_salt_col(spark):
+    """xxhash64(NULL) is a constant, so a NULL-heavy salt_col co-buckets
+    the hot key (ADVICE r2). The salt_col=None default hashes the whole
+    row and must both spread the hot key and keep results exact."""
+    left, right = _skewed(spark)
+    # a salt column that is NULL on every hot-key row — worst case
+    left = left.withColumn(
+        "bad_salt", F.when(F.col("k") != 0, F.col("row_id"))
+    )
+    plain = left.join(right, "k")
+    salted = salted_join(left, right, "k", buckets=8)  # default: whole-row hash
+    assert _rows(salted.select("row_id", "k", "payload", "name")) == _rows(
+        plain.select("row_id", "k", "payload", "name")
+    )
+    spread = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8)),
+    )
+    n_salts = spread.filter(F.col("k") == 0).select("_salt").distinct().count()
+    assert n_salts == 8, "whole-row salt should hit every bucket for the hot key"
+    # and the documented failure mode is real: salting BY the null column
+    # degenerates to one bucket
+    degen = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("bad_salt")), F.lit(8))
+    )
+    assert degen.filter(F.col("k") == 0).select("_salt").distinct().count() == 1
+
+
 def test_salted_join_rejects_right_outer(spark):
     import pytest
 
