@@ -31,6 +31,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _seconds(df: DataFrame, colname: str) -> F.Column:
+    """Epoch seconds as double for any time-like column. TIMESTAMP_NTZ /
+    DATE have no direct double cast; route through the session-zone
+    timestamp (monotone, so ordering/bucketing stays consistent across
+    columns converted the same way)."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    c = F.col(colname)
+    if isinstance(df.schema[colname].dataType, (TimestampType, TimestampNTZType, DateType)):
+        c = c.cast("timestamp_ltz")
+    return c.cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -140,17 +153,6 @@ def interval_join(
     if bucket_seconds is not None and "_bucket" in set(points.columns) | set(intervals.columns):
         raise ValueError("'_bucket' is reserved by interval_join's bucketed mode")
 
-    def _seconds(df: DataFrame, colname: str) -> F.Column:
-        # TIMESTAMP_NTZ / DATE have no direct double cast; route through
-        # the session-zone timestamp (monotone, so bucket membership
-        # stays consistent between the point and interval sides)
-        from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
-
-        c = F.col(colname)
-        if isinstance(df.schema[colname].dataType, (TimestampType, TimestampNTZType, DateType)):
-            c = c.cast("timestamp_ltz")
-        return c.cast("double")
-
     p, i = points, intervals
     if bucket_seconds is not None:
         w = float(bucket_seconds)
@@ -202,7 +204,8 @@ def sessionize(
     """
     order = [ts] + ([order_tiebreak] if order_tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
-    gap = F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(w)
+    secs = _seconds(events, ts)
+    gap = secs - F.lag(secs).over(w)
     new_session = F.when(
         gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
     ).otherwise(F.lit(0))

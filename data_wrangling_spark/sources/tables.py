@@ -33,13 +33,25 @@ TABLES = (
 
 
 def ensure_utc(spark: SparkSession) -> None:
-    """Pin the session timezone to UTC (idempotent). Timestamp semantics
-    must not depend on who built the SparkSession: the engine's queries
-    are defined over UTC wall-clock values and the DuckDB oracle reads
-    parquet timestamps as-is, so a caller session left on a local zone
-    would shift every timestamp crossing the Arrow boundary."""
+    """Pin the session timezone to UTC and parquet timestamp inference to
+    session-zone TimestampType (idempotent). Timestamp semantics must not
+    depend on who built the SparkSession: the engine's queries are defined
+    over UTC wall-clock values and the DuckDB oracle reads parquet
+    timestamps as-is, so a caller session left on a local zone would shift
+    every timestamp crossing the Arrow boundary.
+
+    ``inferTimestampNTZ`` must be OFF because the testdata's parquet
+    annotates timestamps ``isAdjustedToUTC=false``; left on, Spark 4 scans
+    them as TIMESTAMP_NTZ — a different column type than the engine's
+    declared model (plain TimestampType under a UTC session, identical
+    wall-clock values), which breaks double-casts, window arithmetic and
+    schema stability. Disabling it at the scan keeps the type native to
+    the parquet reader, so filter pushdown is unaffected (no cast wrapped
+    around the scan column)."""
     if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -61,6 +73,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = _load_parquet_nanos_safe(spark, path)
     else:
         df = spark.read.parquet(path)
+    # belt-and-braces vs ensure_utc's inferTimestampNTZ=false: if a future
+    # Spark stops honoring that conf, normalize any NTZ column to the
+    # session-zone type here (UTC session → identical wall-clock values;
+    # normally a no-op so scans keep native-type filter pushdown)
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     _TABLE_CACHE[key] = df
     return df
 

@@ -23,23 +23,47 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: streaming reads require an explicit schema; ts is read as raw int64
+#: (valid for any parquet timestamp physical encoding) and converted to
+#: TimestampType per the file's actual unit — see _ts_micros_expr
+_RAW_EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def _ts_micros_expr(path: str) -> str:
+    """SQL expr converting the raw int64 ``ts`` of this file to epoch
+    MICROseconds, from the parquet footer's declared unit. Driver-side
+    O(1) footer probe — the testdata has shipped both TIMESTAMP(NANOS)
+    and TIMESTAMP(MICROS) across rounds, so the unit must be read, not
+    assumed (a wrong divisor silently shrinks every timestamp 1000x)."""
+    import pyarrow.parquet as pq
+
+    unit = str(pq.read_schema(path).field("ts").type)
+    if unit.startswith("timestamp[ns"):
+        return "ts div 1000"
+    if unit.startswith("timestamp[ms"):
+        return "ts * 1000"
+    if unit.startswith("timestamp[s"):
+        return "ts * 1000000"
+    return "ts"  # timestamp[us]
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema must be given
-    explicitly for streaming reads). ts arrives as ns int64 in this
-    dataset → converted exactly as the batch loader does."""
+    explicitly for streaming reads). ts arrives as int64 in the file's
+    native unit → converted to TimestampType exactly, unit per footer."""
     from data_wrangling_spark.sources.tables import ensure_utc
 
     ensure_utc(spark)
-    raw_schema = (
-        "event_id long, ts long, user_id long, "
-        "event_type string, value double, props string"
-    )
+    src = f"{sf_dir}/events.parquet"
     # the file streaming source requires a DIRECTORY (its 'basePath');
     # stage a symlink dir pointing at the bounded file — on a cluster this
     # would simply be the landing directory new files arrive in
-    stage = _staged_dir("events", f"{sf_dir}/events.parquet")
-    stream = spark.readStream.schema(raw_schema).format("parquet").load(stage)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stage = _staged_dir("events", src)
+    stream = spark.readStream.schema(_RAW_EVENTS_SCHEMA).format("parquet").load(stage)
+    return stream.withColumn("ts", F.timestamp_micros(F.expr(_ts_micros_expr(src))))
 
 
 #: memoized staging dirs: repeated calls (bench loops, test suites) reuse
@@ -276,15 +300,11 @@ def dedup_stream(
     from data_wrangling_spark.sources.tables import ensure_utc
 
     ensure_utc(spark)
-    raw_schema = (
-        "event_id long, ts long, user_id long, "
-        "event_type string, value double, props string"
-    )
     src = f"{sf_dir}/events.parquet"
     stage = _staged_dir("dedup", src, src)
     stream = (
-        spark.readStream.schema(raw_schema).format("parquet").load(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        spark.readStream.schema(_RAW_EVENTS_SCHEMA).format("parquet").load(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr(_ts_micros_expr(src))))
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type")
