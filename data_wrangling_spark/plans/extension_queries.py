@@ -378,6 +378,34 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@register(
+    "x_multimodal_digest",
+    oracle="""
+        SELECT doc_id AS media_id,
+               'application/octet-stream' AS mime,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS digest
+        FROM documents ORDER BY media_id
+    """,
+    doc="X-MULTIMODAL's first hash-checked row (round-2 verdict item 6): "
+        "the deterministic columns of the media feature pipeline — mime, "
+        "byte length, sha256 digest — are engine-independent, so this runs "
+        "the REAL Arrow mapInPandas extract_features path and oracles its "
+        "output against DuckDB's sha256/octet_length over the same "
+        "documents. Only the stub-derived feature vector stays rows-only "
+        "(x_multimodal_features).",
+)
+def x_multimodal_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.multimodal import (
+        extract_features,
+        synth_media_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = extract_features(synth_media_from_documents(docs))
+    return feats.select("media_id", "mime", "n_bytes", "digest").orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # streaming (Structured Streaming, AvailableNow over the bounded source)
 # ---------------------------------------------------------------------------

@@ -701,6 +701,32 @@ def x_sketch_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_sketch_hll_bound",
+    oracle="""
+        SELECT CAST(weekofyear(ts) AS INT) AS week,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS within_bound
+        FROM events GROUP BY 1 ORDER BY week
+    """,
+    doc="Sketch-family's second ORACLED row (round-2 verdict item 9): the "
+        "HLL estimate itself is engine-specific, but its ERROR BOUND is "
+        "not — within_bound asserts |approx - exact| / exact <= 5% (Spark "
+        "hll_sketch_agg default lgConfigK=12 => ~1.6% RSE; 5% is 3 sigma). "
+        "The oracle expects within_bound = TRUE for every week, so a "
+        "sketch regression flips the hash. Same mergeable per-day -> "
+        "weekly-union rollup as x_sketch_hll_weekly_users.",
+)
+def x_sketch_hll_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    weekly = x_sketch_hll_weekly_users(spark, sf_dir)
+    rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    return weekly.select(
+        "week",
+        "exact_users",
+        (rel_err <= F.lit(0.05)).alias("within_bound"),
+    ).orderBy("week")
+
+
 def _countmin_oracle() -> str:
     from data_wrangling_spark.operators.sketches import bucket_sql
 
@@ -1169,13 +1195,52 @@ def ext_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_stream_sessionize",
-    oracle=None,  # stateful streaming; equivalence to the batch sessionize
-                  # op is pinned in tests/test_streaming_sessionize.py
+    # Full ANSI oracle (round-2 verdict item 3): batch gap-sessionization
+    # plus the EXACT emission rule of the bounded drain — every session is
+    # emitted except each user's trailing one when its event-time timeout
+    # (session_end + gap, ms-truncated as Spark computes timeouts) has not
+    # been STRICTLY passed by the final watermark (max ts - 30 min delay,
+    # also ms-truncated). Exact-set equality is additionally pinned
+    # Spark-side in tests/test_streaming_sessionize.py.
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM flagged
+        ), agg AS (
+            SELECT user_id, session_no, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM sess GROUP BY user_id, session_no
+        ), wm AS (
+            SELECT epoch_us(max(ts)) // 1000 - 1800000 AS watermark_ms
+            FROM events
+        ), last_s AS (
+            SELECT user_id, max(session_no) AS last_no
+            FROM agg GROUP BY user_id
+        )
+        SELECT a.user_id, a.session_start, a.session_end, a.n_events
+        FROM agg a JOIN last_s l USING (user_id), wm
+        WHERE NOT (a.session_no = l.last_no
+                   AND epoch_us(a.session_end) // 1000 + 1800000
+                       >= wm.watermark_ms)
+        ORDER BY a.user_id, a.session_start
+    """,
     doc="Custom stateful streaming operator (applyInPandasWithState, "
         "event-time timeouts): gap sessionization with per-user "
         "(start, end, n) state — state bounded by active users, not "
         "events. Emits exactly the sessions the batch operator computes; "
-        "sessions still open at the final watermark stay in state.",
+        "sessions still open at the final watermark stay in state. "
+        "Oracled: the emission set is deterministic for a bounded drain "
+        "(see oracle comment).",
 )
 def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.streaming.events import sessionize_stream

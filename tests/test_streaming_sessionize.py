@@ -1,10 +1,13 @@
 """Streaming sessionization (applyInPandasWithState) vs the batch
-window-based ``sessionize``: every session the stream emits must be
-byte-identical to a batch session, and every batch session that closed
-safely before the final watermark must have been emitted."""
+window-based ``sessionize``: the stream's bounded-drain output must equal
+the batch sessions EXACTLY, minus each user's trailing session when its
+event-time timeout (session_end + gap, ms-truncated) has not been
+strictly passed by the final watermark (max ts - delay, ms-truncated) —
+the same rule the x_stream_sessionize DuckDB oracle encodes in SQL."""
 
 from __future__ import annotations
 
+import calendar
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -18,7 +21,14 @@ GAP_MIN = 30
 WATERMARK_MIN = 30
 
 
-def test_stream_matches_batch_sessions(spark):
+def _epoch_ms(ts: dt.datetime) -> int:
+    """Naive-UTC datetime -> epoch milliseconds, truncated like Spark's
+    event-time-to-watermark conversion (integer floor, no float round)."""
+    us = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+    return us // 1000
+
+
+def test_stream_equals_batch_minus_open_trailing_sessions(spark):
     streamed = sessionize_stream(
         spark, SF_DIR, gap_minutes=GAP_MIN, watermark=f"{WATERMARK_MIN} minutes",
         table_name="t_stream_sessions",
@@ -29,17 +39,27 @@ def test_stream_matches_batch_sessions(spark):
     ).collect()
 
     got = {(r.user_id, r.session_start, r.session_end, r.n_events) for r in streamed}
-    want = {(r.user_id, r.session_start, r.session_end, r.n_events) for r in batch}
 
-    # soundness: nothing emitted that batch doesn't agree with
-    assert got <= want, f"stream emitted non-batch sessions: {sorted(got - want)[:3]}"
-
-    # completeness: sessions closed strictly before the final watermark
-    # (max_ts - watermark) by more than the gap MUST have been emitted
     max_ts = load_table(spark, SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
-    cutoff = max_ts - dt.timedelta(minutes=WATERMARK_MIN + GAP_MIN)
-    must_emit = {s for s in want if s[2] < cutoff}
-    missing = must_emit - got
-    assert not missing, f"{len(missing)} closed sessions not emitted: {sorted(missing)[:3]}"
-    # and the stream emitted the vast bulk of all sessions
-    assert len(got) >= 0.9 * len(want)
+    watermark_ms = _epoch_ms(max_ts) - WATERMARK_MIN * 60_000
+    last_no = {}
+    for r in batch:
+        last_no[r.user_id] = max(last_no.get(r.user_id, 0), r.session_no)
+    # emission rule: trailing session withheld unless its timeout
+    # (end + gap) is STRICTLY below the final watermark
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch
+        if not (
+            r.session_no == last_no[r.user_id]
+            and _epoch_ms(r.session_end) + GAP_MIN * 60_000 >= watermark_ms
+        )
+    }
+
+    assert got == want, (
+        f"stream/batch emission drift: extra={sorted(got - want)[:3]} "
+        f"missing={sorted(want - got)[:3]}"
+    )
+    # the withheld tail must be small relative to the corpus
+    n_batch = len({(r.user_id, r.session_no) for r in batch})
+    assert len(got) >= 0.9 * n_batch
