@@ -321,17 +321,28 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     method: str = "lsh",
     planes: int = 16,
+    bands: int = 4,
 ) -> DataFrame:
     """Near-duplicate detection by embedding cosine similarity.
 
     ``method='brute'``: all-pairs (id_a < id_b) — exact, O(n²); only for
     small n / oracle verification.
     ``method='lsh'``: random-hyperplane signatures (sign of dot with
-    ``planes`` deterministic pseudo-random hyperplanes) bucket the
-    vectors; cosine is verified exactly within buckets. Two vectors with
-    cosine ≥ 0.95 agree on a plane with P ≈ 1 - acos(s)/π ≈ 0.9, so
-    16-plane full-match recall ≈ 0.2 per table; production would union
-    several rotations — here we add 4 band views of 8 planes each."""
+    ``planes`` deterministic pseudo-random hyperplanes), BANDED: the
+    signature splits into ``bands`` bands of ``planes/bands`` planes, a
+    candidate pair is any two vectors agreeing on ALL planes of AT LEAST
+    ONE band (OR across bands), and cosine is then verified exactly, so
+    precision is always 1.0 and only recall is probabilistic.
+
+    Recall math (pinned by test_embedding_lsh_recall_at_threshold): two
+    vectors at cosine s agree on one plane with p = 1 - acos(s)/π (s=0.95
+    → p≈0.899); a 4-plane band fully matches with p⁴ ≈ 0.65; four bands
+    miss simultaneously with (1-p⁴)⁴ ≈ 0.015 → recall ≈ 0.985 at the
+    0.95 threshold, higher above it. Raise ``bands`` (more, shorter
+    bands) for recall, lower it for fewer candidate collisions.
+
+    Scale: candidate generation is an equi self-join on (band, bucket) —
+    one shuffle; no all-pairs path anywhere."""
     from data_wrangling_spark.functions.vectors import cosine
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
@@ -339,8 +350,9 @@ def embedding_near_duplicates(
     if method == "brute":
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
+        if planes % bands != 0:
+            raise ValueError(f"planes ({planes}) must divide into bands ({bands})")
         sig_df = _hyperplane_signatures(df, id_col, vec_col, planes)
-        bands = 4
         per_band = planes // bands
         entries = sig_df.select(
             F.col(id_col).alias("doc"),

@@ -79,8 +79,9 @@ def synth_media_from_documents(docs: DataFrame) -> DataFrame:
 
 def decode_stub(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic fake 'decoder': derives a dim-float feature from the
-    byte content. Replace with a real codec (PIL/librosa/ffmpeg) outside
-    this container. Raises on None so missing payloads surface."""
+    byte content. The codec-free path for opaque/synthetic payloads and
+    for containers without Pillow. Raises on None so missing payloads
+    surface."""
     if payload is None:
         raise NotImplementedError(
             "payload fetch by URI not implemented in this environment"
@@ -91,10 +92,76 @@ def decode_stub(payload: bytes, dim: int = 8) -> list[float]:
     ]
 
 
-def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+def _pil_image_module():
+    """Pillow's Image module, or None when the codec isn't installed —
+    the optional-import gate for the real decode path (round-2 verdict
+    item 7). Called at use time on whichever process decodes (driver for
+    resolution, executor inside the Arrow batch fn)."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL image decode (requires Pillow): open the encoded image from
+    bytes, grayscale, resize to a (dim × 1) strip, return the dim
+    normalized pixel intensities in [0, 1]. Deterministic for a given
+    payload. Raises NotImplementedError when Pillow is absent — callers
+    choose the stub explicitly or via decoder='auto'; nothing falls back
+    silently."""
+    if payload is None:
+        raise NotImplementedError(
+            "payload fetch by URI not implemented in this environment"
+        )
+    Image = _pil_image_module()
+    if Image is None:
+        raise NotImplementedError(
+            "Pillow is not installed in this environment — use "
+            "decoder='stub' (deterministic fake) or install PIL for the "
+            "real decode path"
+        )
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        strip = im.convert("L").resize((dim, 1))
+        return [p / 255.0 for p in strip.getdata()]
+
+
+#: decoder registry: name → (payload, dim) → list[float]
+_DECODERS = {"stub": decode_stub, "image": decode_image}
+
+
+def resolve_decoder(name: str = "auto"):
+    """'stub' | 'image' | 'auto'. 'auto' picks the real image decoder
+    when Pillow is importable in THIS process, else the stub — resolved
+    eagerly at plan-build time so the chosen path is visible/loggable,
+    not decided row-by-row on executors."""
+    if name == "auto":
+        return decode_image if _pil_image_module() is not None else decode_stub
+    try:
+        return _DECODERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown decoder {name!r}: expected 'stub', 'image' or 'auto'"
+        ) from None
+
+
+def extract_features(
+    media: DataFrame, dim: int = 8, decoder: str = "stub"
+) -> DataFrame:
     """Decode/feature-extract via mapInPandas: Arrow-batched, vectorized
     per batch, no driver collection. The batch function works on pandas
-    DataFrames whose ``payload`` column holds raw bytes."""
+    DataFrames whose ``payload`` column holds raw bytes.
+
+    ``decoder``: 'stub' (default — correct for the synthetic opaque
+    payloads the registered queries use), 'image' (real Pillow decode,
+    raises without the codec), or 'auto' (real when Pillow is present).
+    The pipeline — schema, batching, partitioning — is identical across
+    decoders; only the per-payload function changes."""
+    decode = resolve_decoder(decoder)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -112,7 +179,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     "mime": [m["mime"] for m in pdf["meta"]],
                     "n_bytes": [len(p) for p in pdf["payload"]],
                     "digest": [hashlib.sha256(p).hexdigest() for p in pdf["payload"]],
-                    "feature": [decode_stub(p, dim) for p in pdf["payload"]],
+                    "feature": [decode(p, dim) for p in pdf["payload"]],
                 }
             )
             yield out

@@ -48,6 +48,72 @@ def test_feature_values_match_stub_to_float32(spark):
         assert np.allclose(np.array(got, dtype=np.float32), want)
 
 
+def test_decoder_resolution_and_pil_gate(spark):
+    """The optional-import decode gate (round-2 verdict item 7): 'stub'
+    always resolves; 'image' raises NotImplementedError without Pillow;
+    'auto' picks whichever path this environment supports. In THIS
+    container Pillow is absent, so the stub branch of each assertion is
+    the one CI exercises; on a Pillow-equipped cluster the same test
+    exercises the real branch — no code change either way."""
+    import pytest
+
+    from data_wrangling_spark.operators.multimodal import (
+        _pil_image_module,
+        decode_image,
+        resolve_decoder,
+    )
+
+    assert resolve_decoder("stub") is decode_stub
+    with pytest.raises(ValueError):
+        resolve_decoder("nope")
+
+    if _pil_image_module() is None:
+        assert resolve_decoder("auto") is decode_stub
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image(b"\x89PNG... irrelevant")
+        # the full pipeline surfaces the same contract, not a crash later
+        docs = load_table(spark, SF_DIR, "documents").limit(3)
+        with pytest.raises(Exception, match="Pillow|NotImplementedError"):
+            extract_features(
+                synth_media_from_documents(docs), decoder="image"
+            ).collect()
+    else:
+        assert resolve_decoder("auto") is decode_image
+
+
+def test_extract_features_real_decode_with_pil(spark):
+    """Real-codec path, skipped where Pillow is absent: a synthetic 8x1
+    grayscale PNG decodes through the SAME mapInPandas pipeline, and the
+    feature comes out as the normalized pixel strip — proving only the
+    per-payload function differs between stub and real decode."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    pixels = [0, 32, 64, 96, 128, 160, 192, 255]
+    im = Image.new("L", (8, 1))
+    im.putdata(pixels)
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(1, payload, None, ("image/png", 8, 1, len(payload)))],
+        schema="media_id long, payload binary, payload_uri string, "
+               "meta struct<mime:string,width:int,height:int,n_bytes:bigint>",
+    )
+    feats = extract_features(media, dim=8, decoder="image").collect()
+    assert len(feats) == 1
+    import numpy as np
+
+    got = np.array(feats[0].feature, dtype=np.float32)
+    want = np.array([p / 255.0 for p in pixels], dtype=np.float32)
+    assert np.allclose(got, want, atol=1e-6)
+
+
 def test_resize_media_composes(spark):
     from data_wrangling_spark.operators.multimodal import resize_media
 

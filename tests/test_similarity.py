@@ -65,6 +65,53 @@ def test_mllib_brp_cross_check(spark):
             assert abs(r.distance - want) < 1e-4, (key, r.distance, want)
 
 
+def test_ivf_lloyd_centroids_beat_raw_sample(spark):
+    """Round-2 verdict item 5: Lloyd iterations must IMPROVE recall over
+    the raw hash-sampled seed, pinned on a corpus with actual cluster
+    structure (the sf embeddings table is near-uniform on the sphere —
+    checked: brute top-5 neighbors share the generator label only ~8% of
+    the time — so no centroid choice can beat the scanned fraction
+    there). 10 deterministic well-separated clusters, nprobe=1: the raw
+    sample sometimes seeds two centroids in one cluster and splits it;
+    3 Lloyd rounds re-center and recover it."""
+    import hashlib
+
+    def prand(*key) -> float:
+        h = int.from_bytes(
+            hashlib.md5(":".join(map(str, key)).encode()).digest()[:4], "big"
+        )
+        return h / 2**32 - 0.5
+
+    dim, n_clusters, per = 16, 10, 40
+    rows = []
+    for c in range(n_clusters):
+        center = [4.0 * prand("c", c, d) for d in range(dim)]
+        for i in range(per):
+            rows.append(
+                (c * per + i,
+                 [center[d] + 0.3 * prand("p", c, i, d) for d in range(dim)])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") % per < 2)  # 2 queries per cluster
+
+    brute = {(r.query_id, r.neighbor_id) for r in topk_bruteforce(df, q, k=5).collect()}
+
+    def recall(iters: int) -> float:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in topk_ivf(
+                df, q, k=5, n_cells=10, nprobe=1, kmeans_iters=iters
+            ).collect()
+        }
+        return len(got & brute) / len(brute)
+
+    r_sample, r_lloyd = recall(0), recall(3)
+    assert r_lloyd >= 0.85, f"Lloyd-IVF recall {r_lloyd:.2f}"
+    assert r_lloyd >= r_sample + 0.05, (
+        f"Lloyd must beat the raw sample: {r_lloyd:.2f} vs {r_sample:.2f}"
+    )
+
+
 def test_ivf_topk_recall(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
