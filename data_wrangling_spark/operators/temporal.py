@@ -52,18 +52,31 @@ def asof_join(
     right_time: str,
     payload: dict[str, str],
     direction: str = "backward",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the payload of the most recent right row
     with the same ``on`` key and right_time <= left_time (direction
-    'backward'; ties on right_time must be pre-deduplicated by the caller
-    for determinism). Left rows with no prior right row keep nulls —
+    'backward'). Left rows with no prior right row keep nulls —
     i.e. LEFT ASOF JOIN semantics (DuckDB: ``ASOF LEFT JOIN``).
 
     ``payload`` maps right-side column -> output alias.
 
+    Ties on right_time: either pre-deduplicate the right side, or pass
+    ``right_tiebreak`` — a right-side column; among right rows with equal
+    (key, time) the GREATEST tiebreak value wins. This folds the
+    deduplication into the carry window's existing sort (the winning row
+    sorts last, and ``last(ignorenulls)`` naturally carries it), which is
+    one whole shuffle + two hash aggregates cheaper than a groupBy
+    pre-dedup — the same rows flow through the one hash exchange this
+    operator already needs. For smallest-wins semantics, negate into a
+    helper column and pass that.
+
     direction 'forward' attaches the EARLIEST right row at-or-after
     left_time instead (DuckDB: ``ASOF LEFT JOIN ... ON l.t <= r.t``) —
     same single-shuffle shape, with the carry window running backward.
+    (``right_tiebreak`` still means greatest-wins: the traversal is
+    reversed in time only; equal-time right rows keep ascending tiebreak
+    order before their left rows.)
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -76,6 +89,7 @@ def asof_join(
     # [unboundedPreceding, currentRow] carries the smallest rt >= t in
     # O(n) per key — a [currentRow, unboundedFollowing] frame would be
     # the O(n^2) shrinking-frame evaluator at scale.
+    tb_type = right.schema[right_tiebreak].dataType if right_tiebreak else None
     l_tagged = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
@@ -83,6 +97,7 @@ def asof_join(
         F.struct(*lcols).alias("_l"),
         *[F.lit(None).cast(right.schema[src].dataType).alias(f"_p_{dst}")
           for src, dst in payload.items()],
+        *([F.lit(None).cast(tb_type).alias("_tb")] if right_tiebreak else []),
     )
     r_tagged = right.select(
         F.col(on).alias("_k"),
@@ -92,11 +107,19 @@ def asof_join(
             l_tagged.schema["_l"].dataType
         ).alias("_l"),
         *[F.col(src).alias(f"_p_{dst}") for src, dst in payload.items()],
+        *([F.col(right_tiebreak).alias("_tb")] if right_tiebreak else []),
     )
     t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    # _m splits right(0) before left(1) at equal time; _tb orders equal-
+    # time right rows ascending so the greatest sorts last and wins the
+    # last(ignorenulls) carry (left rows' _tb is NULL — asc-nulls-first
+    # keeps them after every right row only via _m, which precedes _tb)
+    order_cols = [t_order, F.col("_m")] + (
+        [F.col("_tb").asc_nulls_first()] if right_tiebreak else []
+    )
     w = (
         Window.partitionBy("_k")
-        .orderBy(t_order, "_m")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(

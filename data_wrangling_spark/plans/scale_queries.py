@@ -98,29 +98,28 @@ def ext_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY e.event_id
     """,
     doc="As-of (temporal) join: each event gets the user's most recent "
-        "order at-or-before its timestamp; right side pre-deduplicated "
-        "per (custkey, date) by max orderkey for determinism. Spark side "
-        "is the union-marker + last(ignorenulls) window — ONE hash "
-        "shuffle on the key, no range cross-product (operators/"
-        "temporal.py). Oracle uses DuckDB's native ASOF LEFT JOIN.",
+        "order at-or-before its timestamp; (custkey, date) ties resolve "
+        "to the max orderkey via the operator's right_tiebreak, which "
+        "folds the dedup into the carry window's sort instead of a "
+        "groupBy pre-pass — the whole query is ONE hash shuffle on the "
+        "key, no range cross-product, no aggregate exchange "
+        "(operators/temporal.py). Oracle uses DuckDB's native ASOF LEFT "
+        "JOIN over the max-orderkey dedup, which is equivalent.",
     bench=True,
 )
 def ext_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.temporal import asof_join
 
     events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(F.max("o_orderkey").alias("o_orderkey"))
-        .select(F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
     )
     # no final global orderBy: the driver canonicalizes by sorting rows
     # anyway, and the sort was ~1/3 of this query's bench wall time;
     # event_id is a deterministic key so the SET of rows is stable
     return asof_join(
         events, orders, on="user_id", left_time="ts", right_time="o_orderdate",
-        payload={"o_orderkey": "last_orderkey"},
+        payload={"o_orderkey": "last_orderkey"}, right_tiebreak="o_orderkey",
     )
 
 
