@@ -67,6 +67,34 @@ def dedup_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def keep_best_representative(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Curation-style dedup: per ``group_col`` group keep the single row
+    with the HIGHEST ``score_col`` (ties broken by smallest ``id_col`` —
+    fully deterministic). Adds ``n_duplicates`` = group size.
+
+    The canonical corpus-curation policy: when a document cluster is a
+    duplicate set, keep the best-quality member rather than an arbitrary
+    or lowest-id one. Executes as one hash shuffle on the group key with
+    both window functions sharing a single sort; the rank filter is the
+    argmax pattern Spark runs with partial top-1 pushdown
+    (WindowGroupLimit) before the exchange."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.desc(score_col), F.asc(id_col))
+    wcnt = Window.partitionBy(group_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_duplicates", F.count("*").over(wcnt))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------

@@ -379,6 +379,64 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_dedup_keep_best",
+    oracle=rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                                           '[^a-z0-9 ]', '', 'g'))) AS fingerprint,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS INT) AS n_punct,
+                   CAST(len(list_filter(list_distinct(string_split_regex(trim(text), '\s+')),
+                                        x -> x IN ({_STOPWORDS_SQL}))) AS INT) AS n_stopwords
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, fingerprint,
+                   ROUND(CAST(n_stopwords AS DOUBLE) / n_tokens * 0.5
+                         + least(CAST(n_tokens AS DOUBLE), 100.0) / 100.0 * 0.3
+                         + (1.0 - CAST(n_punct AS DOUBLE) / n_tokens) * 0.2, 6)
+                       AS quality_score
+            FROM t
+        ), ranked AS (
+            SELECT doc_id, fingerprint, quality_score,
+                   ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                      ORDER BY quality_score DESC, doc_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY fingerprint) AS n_duplicates
+            FROM scored
+        )
+        SELECT doc_id, fingerprint, quality_score, n_duplicates
+        FROM ranked WHERE rk = 1 ORDER BY doc_id
+    """,
+    doc="Curation-policy dedup (keep-BEST, not keep-first): fingerprint "
+        "duplicate groups keep their highest-quality member (fixed quality "
+        "formula, rounded 6dp BEFORE ranking on both engines; ties -> min "
+        "doc_id). One hash shuffle on the fingerprint; the rank filter is "
+        "the WindowGroupLimit argmax pattern "
+        "(operators/dedup.py keep_best_representative).",
+)
+def x_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.functions.text import normalized
+    from data_wrangling_spark.operators.dedup import keep_best_representative
+    from data_wrangling_spark.operators.text_analysis import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = (
+        quality_features(docs, "text")
+        .withColumn("fingerprint", F.md5(normalized("text")))
+        .select(
+            "doc_id", "fingerprint", F.round("quality_score", 6).alias("quality_score")
+        )
+    )
+    best = keep_best_representative(
+        scored, group_col="fingerprint", score_col="quality_score", id_col="doc_id"
+    )
+    return best.select(
+        "doc_id", "fingerprint", "quality_score",
+        F.col("n_duplicates").cast("bigint").alias("n_duplicates"),
+    ).orderBy("doc_id")
+
+
+@register(
     "x_multimodal_digest",
     oracle="""
         SELECT doc_id AS media_id,

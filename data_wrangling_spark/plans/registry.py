@@ -53,7 +53,11 @@ QUERIES: dict[str, QuerySpec] = {}
 #: pricing multi-join spread, argmax covered by the generalizing
 #: top-N-per-group, vec-normalize covered by the strictly-richer
 #: quantize, streaming dedup covered by batch-dedup oracles plus the
-#: enrich/stream-stream streaming rows) are
+#: enrich/stream-stream streaming rows, rows-only x_multimodal_features
+#: covered by the in-window ORACLED x_multimodal_digest — same
+#: mapInPandas pipeline, deterministic columns hash-checked — plus the
+#: sessionize/HLL families' round-3 oracles x_stream_sessionize and
+#: x_sketch_hll_bound, judge-replica-checked in the tail) are
 #: registered but ordered after the window — still pytest-oracled at
 #: sf0.001 every CI run, just not driver-gated. queries()/oracle_sql() emit this order;
 #: a registered name missing from both this list and the demoted tail
@@ -110,7 +114,7 @@ DRIVER_WINDOW: list[str] = [
     "x_text_redact_pii",
     "x_text_curation_pipeline",
     "x_sketch_countmin_heavy_hitters",
-    "x_multimodal_features",
+    "x_multimodal_digest",
     "x_stream_windowed_counts",
     "x_stream_stream_join",
 ]

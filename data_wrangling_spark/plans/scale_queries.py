@@ -1482,6 +1482,72 @@ def ext_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_deciles_scalable",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), b AS (
+            SELECT list_transform(
+                       quantile_cont(cents, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                             0.6, 0.7, 0.8, 0.9]),
+                       x -> round(x, 4)) AS bs
+            FROM c
+        )
+        SELECT CAST(1 + len(list_filter(b.bs, x -> c.cents > x)) AS INT)
+                   AS decile,
+               COUNT(*) AS n,
+               MIN(cents) AS lo_cents,
+               MAX(cents) AS hi_cents
+        FROM c, b
+        GROUP BY 1 ORDER BY decile
+    """,
+    doc="SCALABLE decile banding — the two-pass percentile-boundary form "
+        "the ext_ntile_deciles scale note promises: pass 1 computes the 9 "
+        "exact interpolated decile boundaries (one tiny aggregate), pass "
+        "2 assigns each row by counting boundaries below its value "
+        "against the BROADCAST cut points (narrow, no sort) and "
+        "aggregates per band. No Exchange SinglePartition anywhere — "
+        "contrast NTILE, which funnels every row through one task. "
+        "Semantics differ from NTILE at ties: equal values always land "
+        "in the same band (boundary banding) instead of being split to "
+        "force equal counts. Cross-engine determinism: banding compares "
+        "int cents against boundaries ROUNDED to 4dp on both engines, so "
+        "a last-ulp interpolation difference cannot flip a band.",
+)
+def ext_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    c = orders.select(cents.alias("cents"))
+    bounds = c.agg(
+        F.transform(
+            F.expr(
+                "percentile(cents, array(0.1, 0.2, 0.3, 0.4, 0.5, "
+                "0.6, 0.7, 0.8, 0.9))"
+            ),
+            lambda x: F.round(x, 4),
+        ).alias("bs")
+    )
+    return (
+        c.crossJoin(F.broadcast(bounds))
+        .select(
+            "cents",
+            (
+                F.lit(1)
+                + F.size(F.filter("bs", lambda b: F.col("cents") > b))
+            ).cast("int").alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
     "ext_fuzzy_join_snm",
     oracle="""
         WITH s AS (

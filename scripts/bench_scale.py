@@ -33,7 +33,8 @@ Scaled data construction (key-shifted replication):
   is therefore the first one where intra-query parallelism is even
   possible. SCALING.md calls this out.
 
-Environment knobs: SPARK_GRAFT_SCALE_MULT (default 20),
+Environment knobs: SPARK_GRAFT_SCALE_MULTS (comma-separated, default
+"20" — e.g. "20,100" adds a 60M-lineitem point),
 SPARK_GRAFT_SCALE_WORKDIR (default /tmp/dws-scale),
 SPARK_GRAFT_CPUS (default 32).
 """
@@ -163,25 +164,32 @@ def main() -> None:
     from data_wrangling_spark.plans.registry import bench_queries
     from data_wrangling_spark.session import get_spark
 
-    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "20"))
+    mults = [
+        int(m) for m in os.environ.get("SPARK_GRAFT_SCALE_MULTS", "20").split(",")
+    ]
     workdir = os.environ.get("SPARK_GRAFT_SCALE_WORKDIR", "/tmp/dws-scale")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    scaled_dir = os.path.join(workdir, f"mult{mult}")
 
     spark = get_spark(app_name="dws-bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
     specs = bench_queries()
 
-    t0 = time.perf_counter()
-    rows_scaled = materialize(spark, "/root/testdata/sf0.1", scaled_dir, mult)
-    mat_s = round(time.perf_counter() - t0, 1)
-    print(f"materialized {mult}x at {scaled_dir} in {mat_s}s", file=sys.stderr)
-
+    mat_s = 0.0
+    rows_by_mult: dict[int, dict[str, int]] = {}
     scales = [
         ("sf0.01", "/root/testdata/sf0.01", 0.1),
         ("sf0.1", "/root/testdata/sf0.1", 1.0),
-        (f"{mult}x sf0.1", scaled_dir, float(mult)),
     ]
+    for mult in mults:
+        scaled_dir = os.path.join(workdir, f"mult{mult}")
+        t0 = time.perf_counter()
+        rows_by_mult[mult] = materialize(
+            spark, "/root/testdata/sf0.1", scaled_dir, mult
+        )
+        mat_s += round(time.perf_counter() - t0, 1)
+        print(f"materialized {mult}x at {scaled_dir} in {mat_s}s", file=sys.stderr)
+        scales.append((f"{mult}x sf0.1", scaled_dir, float(mult)))
+
     results: dict[str, dict[str, float]] = {}
     conc_totals: dict[str, float] = {}
     for label, d, _ratio in scales:
@@ -190,27 +198,33 @@ def main() -> None:
         conc_totals[label] = conc
         print(f"{label}: conc={conc}s {json.dumps(timings)}", file=sys.stderr)
 
-    plan_txt = final_plan(spark, specs[PLAN_QUERY].spark(spark, scaled_dir))
+    top_mult = mults[-1]
+    plan_txt = final_plan(
+        spark, specs[PLAN_QUERY].spark(spark, os.path.join(workdir, f"mult{top_mult}"))
+    )
 
     write_scaling_md(
         os.path.join(repo, "SCALING.md"),
-        mult, rows_scaled, scales, results, conc_totals, plan_txt, mat_s,
+        top_mult, rows_by_mult, scales, results, conc_totals, plan_txt, mat_s,
     )
     print(json.dumps({"scales": {s: conc_totals[s] for s, _, _ in scales},
-                      "queries": results[f"{mult}x sf0.1"]}))
+                      "queries": results[f"{top_mult}x sf0.1"]}))
     spark.stop()
 
 
-def write_scaling_md(path, mult, rows_scaled, scales, results, conc_totals,
+def write_scaling_md(path, mult, rows_by_mult, scales, results, conc_totals,
                      plan_txt, mat_s) -> None:
-    base_label, top_label = scales[1][0], scales[2][0]
+    base_label, top_label = scales[1][0], scales[-1][0]
     names = list(results[base_label])
     lines = []
     a = lines.append
     a("# SCALING — measured multi-scale benchmark evidence")
     a("")
-    a(f"Regenerate with: `python scripts/bench_scale.py` (materializes the {mult}x")
-    a(f"data under `$SPARK_GRAFT_SCALE_WORKDIR`, default /tmp/dws-scale — {mat_s}s —")
+    mults_env = ",".join(str(m) for m in rows_by_mult)
+    a(f"Regenerate with: `SPARK_GRAFT_SCALE_MULTS={mults_env} python "
+      "scripts/bench_scale.py`")
+    a("(materializes the scaled data under `$SPARK_GRAFT_SCALE_WORKDIR`, default "
+      f"/tmp/dws-scale — {mat_s}s total —")
     a("then times every bench query at each scale and rewrites this file).")
     a("")
     a("## Method")
@@ -233,13 +247,18 @@ def write_scaling_md(path, mult, rows_scaled, scales, results, conc_totals,
     a("")
     a("## Row counts")
     a("")
-    a("| table | sf0.1 | " + top_label + " |")
-    a("|---|---|---|")
+    mult_labels = [f"{m}x sf0.1" for m in rows_by_mult]
+    a("| table | sf0.1 | " + " | ".join(mult_labels) + " |")
+    a("|---|---|" + "---|" * len(mult_labels))
     base_rows = {"customer": 15000, "orders": 150000, "lineitem": 600000,
                  "events": 100000, "documents": 5000, "embeddings": 2000}
     for t, n in base_rows.items():
-        a(f"| {t} | {n:,} | {rows_scaled.get(t, n * mult):,} |")
-    a("| region/nation/part/supplier | dims | constant |")
+        cells = " | ".join(
+            f"{rows_by_mult[m].get(t, n * m):,}" for m in rows_by_mult
+        )
+        a(f"| {t} | {n:,} | {cells} |")
+    a("| region/nation/part/supplier | dims | " + " | ".join(
+        "constant" for _ in mult_labels) + " |")
     a("")
     a("## Per-query latency (median of 3, seconds)")
     a("")
@@ -248,7 +267,7 @@ def write_scaling_md(path, mult, rows_scaled, scales, results, conc_totals,
     a("|---|" + "---|" * (len(scales) + 2))
     for n in names:
         r = [results[s][n] for s, _, _ in scales]
-        ratio = r[2] / r[1] if r[1] else float("nan")
+        ratio = r[-1] / r[1] if r[1] else float("nan")
         a(f"| {n} | " + " | ".join(f"{x:.3f}" for x in r)
           + f" | {ratio:.1f}x | {mult}x |")
     a("")

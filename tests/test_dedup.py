@@ -180,6 +180,30 @@ def test_embedding_corpus_has_no_near_dups(spark):
     assert brute.count() == 0  # documents why the registered query is empty
 
 
+def test_keep_best_representative_policy(spark):
+    """Keep-best curation dedup: highest score wins its group, ties break
+    to the smallest id, singletons pass through, n_duplicates = group
+    size."""
+    df = spark.createDataFrame(
+        [
+            (1, "g1", 0.5),
+            (2, "g1", 0.9),   # winner of g1 (best score)
+            (3, "g1", 0.9),   # same score, larger id → loses the tie
+            (4, "g2", 0.1),   # singleton
+            (6, "g3", 0.7),
+            (5, "g3", 0.7),   # tie → id 5 wins
+        ],
+        "doc_id long, grp string, score double",
+    )
+    out = {
+        r.doc_id: r.n_duplicates
+        for r in dedup.keep_best_representative(
+            df, group_col="grp", score_col="score", id_col="doc_id"
+        ).collect()
+    }
+    assert out == {2: 3, 4: 1, 5: 2}
+
+
 def test_dedup_exact_null_subset_value_kept(spark):
     """A NULL in the subset column is a group like any other — the old
     groupBy+join-back implementation silently dropped it (null-unsafe

@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "x_sketch_countmin_heavy_hitters",  # 1-row total-count broadcast
     "x_text_tfidf",            # 1-row corpus-count broadcast
     "ext_gapfill_daily",       # 1-row bounds agg + generated date spine
+    "ext_deciles_scalable",    # 1-row decile-boundary agg broadcast
 }
 # notable CLEAN plans (verified no BNLJ despite the pattern suggesting
 # one): ext_range_join_bucketed (bucket explode gives Catalyst an equi
@@ -91,3 +92,16 @@ def test_no_row_at_a_time_python(plans, name):
         f"{name} runs a row-at-a-time Python UDF — use built-in "
         "expressions or an Arrow-batched form"
     )
+
+
+def test_scalable_deciles_have_no_single_partition_exchange(plans):
+    """ext_deciles_scalable exists BECAUSE NTILE funnels every row
+    through one task; its own plan must not re-introduce that funnel.
+    (The boundary aggregate is a 1-row reduce — Spark plans it as a
+    partial+final aggregate, not a SinglePartition sort of the data.)"""
+    plan = plans["ext_deciles_scalable"]
+    assert "Exchange SinglePartition" not in plan, (
+        "the scalable decile path planned a single-partition exchange"
+    )
+    # its showcase cousin DOES (documented): the contrast is the point
+    assert "Exchange SinglePartition" in plans["ext_ntile_deciles"]
