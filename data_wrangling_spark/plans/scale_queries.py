@@ -1504,39 +1504,42 @@ def ext_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="SCALABLE decile banding — the two-pass percentile-boundary form "
         "the ext_ntile_deciles scale note promises: pass 1 computes the 9 "
-        "exact interpolated decile boundaries (one tiny aggregate), pass "
-        "2 assigns each row by counting boundaries below its value "
-        "against the BROADCAST cut points (narrow, no sort) and "
-        "aggregates per band. No Exchange SinglePartition anywhere — "
-        "contrast NTILE, which funnels every row through one task. "
-        "Semantics differ from NTILE at ties: equal values always land "
-        "in the same band (boundary banding) instead of being split to "
-        "force equal counts. Cross-engine determinism: banding compares "
-        "int cents against boundaries ROUNDED to 4dp on both engines, so "
-        "a last-ulp interpolation difference cannot flip a band.",
+        "exact interpolated decile boundaries via "
+        "operators.quantiles.exact_quantiles (iterative histogram "
+        "refinement: distributed hash-agg strata counts, O(strata) "
+        "control-plane collects — the RangePartitioner boundary pattern, "
+        "NEVER Spark's exact percentile aggregate, whose partial buffer "
+        "holds every value and funnels the column through one task); "
+        "pass 2 assigns each row by counting LITERAL cut points below "
+        "its value (narrow expression, no join, no sort) and aggregates "
+        "per band. No Exchange SinglePartition carries data rows in any "
+        "job — contrast NTILE, which funnels every row through one task. "
+        "Builds eagerly (boundary jobs run at plan-build time, like the "
+        "layout operators). Semantics differ from NTILE at ties: equal "
+        "values always land in the same band (boundary banding) instead "
+        "of being split to force equal counts. Cross-engine determinism: "
+        "banding compares int cents against boundaries ROUNDED to 4dp on "
+        "both engines (python HALF_UP == Spark F.round == DuckDB round), "
+        "so a last-ulp interpolation difference cannot flip a band.",
 )
 def ext_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.quantiles import (
+        _round_half_up,
+        exact_quantiles,
+    )
+
     orders = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     c = orders.select(cents.alias("cents"))
-    bounds = c.agg(
-        F.transform(
-            F.expr(
-                "percentile(cents, array(0.1, 0.2, 0.3, 0.4, 0.5, "
-                "0.6, 0.7, 0.8, 0.9))"
-            ),
-            lambda x: F.round(x, 4),
-        ).alias("bs")
+    probs = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    bounds = [
+        _round_half_up(b, 4) for b in exact_quantiles(c, "cents", probs)
+    ]
+    decile = F.lit(1) + sum(
+        (F.col("cents") > F.lit(b)).cast("int") for b in bounds
     )
     return (
-        c.crossJoin(F.broadcast(bounds))
-        .select(
-            "cents",
-            (
-                F.lit(1)
-                + F.size(F.filter("bs", lambda b: F.col("cents") > b))
-            ).cast("int").alias("decile"),
-        )
+        c.select("cents", decile.cast("int").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),

@@ -36,6 +36,10 @@ EXECUTES_ON_BUILD = {n for n in QUERIES if n.startswith("x_stream_")} | {
     # built; its BNLJ-cleanliness is noted in the CLEAN-plans comment below
     # and pinned by tests/test_similarity.py
     "x_sim_topk_mllib_brp",
+    # exact_quantiles boundary passes run eagerly at build time (tiny
+    # control-plane histogram jobs); the returned plan is asserted by the
+    # dedicated single-partition test below
+    "ext_deciles_scalable",
 }
 
 #: queries where a BroadcastNestedLoopJoin is the deliberate plan: a
@@ -48,7 +52,6 @@ BNLJ_ALLOWED = {
     "x_sketch_countmin_heavy_hitters",  # 1-row total-count broadcast
     "x_text_tfidf",            # 1-row corpus-count broadcast
     "ext_gapfill_daily",       # 1-row bounds agg + generated date spine
-    "ext_deciles_scalable",    # 1-row decile-boundary agg broadcast
 }
 # notable CLEAN plans (verified no BNLJ despite the pattern suggesting
 # one): ext_range_join_bucketed (bucket explode gives Catalyst an equi
@@ -94,14 +97,26 @@ def test_no_row_at_a_time_python(plans, name):
     )
 
 
-def test_scalable_deciles_have_no_single_partition_exchange(plans):
+def test_scalable_deciles_have_no_single_partition_exchange(spark, plans):
     """ext_deciles_scalable exists BECAUSE NTILE funnels every row
     through one task; its own plan must not re-introduce that funnel.
-    (The boundary aggregate is a 1-row reduce — Spark plans it as a
-    partial+final aggregate, not a SinglePartition sort of the data.)"""
-    plan = plans["ext_deciles_scalable"]
+
+    Round-3 regression this pins: the boundary pass used Spark's exact
+    ``percentile`` aggregate, whose PARTIAL BUFFER holds every input
+    value — so its final-merge Exchange SinglePartition shipped the
+    whole column through one task. The rewrite computes boundaries with
+    operators.quantiles.exact_quantiles (strata histogram refinement,
+    constant-size aggregate buffers, O(strata) driver collects) and
+    bands against literal cut points, so the returned plan has no
+    single-partition exchange and no percentile aggregate at all."""
+    df = QUERIES["ext_deciles_scalable"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, (
         "the scalable decile path planned a single-partition exchange"
+    )
+    assert "percentile" not in plan, (
+        "exact percentile's partial buffer holds every value — use "
+        "exact_quantiles for boundary computation"
     )
     # its showcase cousin DOES (documented): the contrast is the point
     assert "Exchange SinglePartition" in plans["ext_ntile_deciles"]

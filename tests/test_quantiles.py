@@ -1,0 +1,90 @@
+"""exact_quantiles: value parity with Spark's exact percentile aggregate
+(the semantics we refused only for its plan, not its answers), edge
+cases, and refinement-level bounds."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangling_spark.operators.quantiles import (
+    _round_half_up,
+    exact_quantiles,
+)
+
+PROBS = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+def _spark_percentile(spark, values, probs):
+    df = spark.createDataFrame([(int(v),) for v in values], "v bigint")
+    arr = ", ".join(str(p) for p in probs)
+    return df.agg(F.expr(f"percentile(v, array({arr}))")).first()[0]
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        list(range(100)),
+        [5] * 40,                          # all-equal
+        [-(10**9), -3, 0, 7, 10**9],       # huge range -> multi-level
+        [1, 2],                            # n=2 interpolation
+        [42],                              # n=1: every quantile = 42
+        [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5], # duplicates
+    ],
+)
+def test_matches_spark_exact_percentile(spark, values):
+    got = exact_quantiles(
+        spark.createDataFrame([(int(v),) for v in values], "v bigint"),
+        "v",
+        PROBS,
+        strata=16,  # tiny strata forces multiple refinement levels
+    )
+    want = _spark_percentile(spark, values, PROBS)
+    assert all(
+        math.isclose(g, float(w), rel_tol=0, abs_tol=0) for g, w in zip(got, want)
+    ), f"{got} != {want}"
+
+
+def test_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [(None,), (1,), (None,), (3,)], "v bigint"
+    )
+    assert exact_quantiles(df, "v", [0.5]) == [2.0]
+
+
+def test_empty_input_raises(spark):
+    df = spark.createDataFrame([], "v bigint")
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "v", [0.5])
+
+
+def test_round_half_up_matches_spark_round(spark):
+    cases = [4499.7, 0.00005, 2.5e-5, 123.45675, 1.0000499999]
+    want = (
+        spark.createDataFrame([(c,) for c in cases], "v double")
+        .select(F.round("v", 4).alias("r"))
+        .collect()
+    )
+    for c, row in zip(cases, want):
+        assert _round_half_up(c, 4) == row["r"], c
+
+
+def test_orders_cents_parity_sf0001(spark):
+    """The exact use ext_deciles_scalable makes of the operator, against
+    Spark's percentile on the same derived column."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    c = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    probs = [i / 10 for i in range(1, 10)]
+    got = exact_quantiles(c, "cents", probs)
+    want = c.agg(
+        F.expr(
+            "percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        )
+    ).first()[0]
+    assert [_round_half_up(g, 4) for g in got] == [
+        _round_half_up(float(w), 4) for w in want
+    ]
