@@ -59,7 +59,14 @@ def asof_join(
     'backward'). Left rows with no prior right row keep nulls —
     i.e. LEFT ASOF JOIN semantics (DuckDB: ``ASOF LEFT JOIN``).
 
-    ``payload`` maps right-side column -> output alias.
+    ``payload`` maps right-side column -> output alias. The payload is
+    carried as ONE struct through a single ``last(ignorenulls)`` — a
+    struct with NULL fields is itself non-NULL, so the carry picks one
+    right ROW atomically: a NULL payload field in the winning right row
+    stays NULL in the output instead of being silently backfilled from
+    an older right row (per-column carries stitch fields from different
+    rows — the round-3 advice defect). One window expression also
+    evaluates cheaper than N.
 
     Ties on right_time: either pre-deduplicate the right side, or pass
     ``right_tiebreak`` — a right-side column; among right rows with equal
@@ -69,7 +76,8 @@ def asof_join(
     one whole shuffle + two hash aggregates cheaper than a groupBy
     pre-dedup — the same rows flow through the one hash exchange this
     operator already needs. For smallest-wins semantics, negate into a
-    helper column and pass that.
+    helper column and pass that. Row-atomic carry makes this equivalence
+    exact even with NULL payload fields.
 
     direction 'forward' attaches the EARLIEST right row at-or-after
     left_time instead (DuckDB: ``ASOF LEFT JOIN ... ON l.t <= r.t``) —
@@ -90,24 +98,39 @@ def asof_join(
     # O(n) per key — a [currentRow, unboundedFollowing] frame would be
     # the O(n^2) shrinking-frame evaluator at scale.
     tb_type = right.schema[right_tiebreak].dataType if right_tiebreak else None
-    l_tagged = left.select(
-        F.col(on).alias("_k"),
-        F.col(left_time).alias("_t"),
-        F.lit(1).alias("_m"),
-        F.struct(*lcols).alias("_l"),
-        *[F.lit(None).cast(right.schema[src].dataType).alias(f"_p_{dst}")
-          for src, dst in payload.items()],
-        *([F.lit(None).cast(tb_type).alias("_tb")] if right_tiebreak else []),
-    )
+    # shuffle-width economy: left columns ride as plain nullable columns
+    # (they are only read back on left rows, so no atomicity concern —
+    # unlike the right payload, which MUST be one struct, see above);
+    # the key/time columns are not stored twice when _k/_t can exactly
+    # reconstruct them (identical types on both sides — a union type
+    # promotion would otherwise change the output schema)
+    reconstructable = {
+        c
+        for c, tagged in ((on, "_k"), (left_time, "_t"))
+        if left.schema[c].dataType
+        == right.schema[on if tagged == "_k" else right_time].dataType
+    }
+    carry_cols = [c for c in lcols if c not in reconstructable]
     r_tagged = right.select(
         F.col(on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_m"),
-        F.lit(None).cast(
-            l_tagged.schema["_l"].dataType
-        ).alias("_l"),
-        *[F.col(src).alias(f"_p_{dst}") for src, dst in payload.items()],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"_lc_{c}")
+            for c in carry_cols
+        ],
+        F.struct(
+            *[F.col(src).alias(dst) for src, dst in payload.items()]
+        ).alias("_p"),
         *([F.col(right_tiebreak).alias("_tb")] if right_tiebreak else []),
+    )
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_m"),
+        *[F.col(c).alias(f"_lc_{c}") for c in carry_cols],
+        F.lit(None).cast(r_tagged.schema["_p"].dataType).alias("_p"),
+        *([F.lit(None).cast(tb_type).alias("_tb")] if right_tiebreak else []),
     )
     t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     # _m splits right(0) before left(1) at equal time; _tb orders equal-
@@ -124,13 +147,23 @@ def asof_join(
     )
     carried = l_tagged.unionByName(r_tagged).select(
         "_m",
-        "_l",
-        *[F.last(f"_p_{dst}", ignorenulls=True).over(w).alias(f"_c_{dst}")
-          for dst in payload.values()],
+        "_k",
+        "_t",
+        *[f"_lc_{c}" for c in carry_cols],
+        F.last("_p", ignorenulls=True).over(w).alias("_c"),
     )
     return carried.filter(F.col("_m") == 1).select(
-        *[F.col(f"_l.{c}").alias(c) for c in lcols],
-        *[F.col(f"_c_{dst}").alias(dst) for dst in payload.values()],
+        *[
+            F.col(
+                "_k"
+                if c == on and c in reconstructable
+                else "_t"
+                if c == left_time and c in reconstructable
+                else f"_lc_{c}"
+            ).alias(c)
+            for c in lcols
+        ],
+        *[F.col(f"_c.{dst}").alias(dst) for dst in payload.values()],
     )
 
 

@@ -95,3 +95,41 @@ def test_asof_forward_basic(spark):
     assert out[1] == 100  # equal timestamp counts (at-or-after)
     assert out[2] == 200  # next right row after t=30 is t=40
     assert out[3] is None  # nothing at-or-after t=60
+
+
+def test_asof_null_payload_field_carried_atomically(spark):
+    """A NULL payload field in the winning right row stays NULL — the
+    struct carry picks one right ROW, never stitching a field from an
+    older right row (the round-3 per-column-carry defect)."""
+    left = spark.createDataFrame(
+        [(1, "a", _ts(30))], "event_id long, k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(5), 100, "old"), ("a", _ts(20), None, "new")],
+        "k string, rt timestamp, v int, tag string",
+    )
+    row = asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        payload={"v": "v", "tag": "tag"},
+    ).collect()[0]
+    assert row.tag == "new"
+    assert row.v is None  # NOT backfilled to 100 from the t=5 row
+
+
+def test_asof_tiebreak_atomic_with_null_fields(spark):
+    """right_tiebreak keeps row-atomic semantics: the greatest-tiebreak
+    row's NULL field wins as NULL even when a tie-losing row has a
+    value."""
+    left = spark.createDataFrame(
+        [(1, "a", _ts(30))], "event_id long, k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(20), 1, 111, "lo"), ("a", _ts(20), 2, None, "hi")],
+        "k string, rt timestamp, seq int, v int, tag string",
+    )
+    row = asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        payload={"v": "v", "tag": "tag"}, right_tiebreak="seq",
+    ).collect()[0]
+    assert row.tag == "hi"
+    assert row.v is None
