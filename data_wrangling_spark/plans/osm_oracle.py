@@ -1,0 +1,208 @@
+"""Independent golden oracle for the OSM-fixture queries.
+
+Round-3 verdict gap 1: ``osm_pipeline_node_tags`` and
+``x_stream_osm_ingest`` were the driver window's only ``no_oracle``
+rows, because their input is XML rather than one of the pre-registered
+parquet views. This module closes that: it computes the EXPECTED output
+rows with an implementation deliberately independent of the Spark
+pipeline, writes them to parquet, and the query registrations point
+their DuckDB oracle at that parquet — making both queries hash-checked
+like every other entry.
+
+Independence, per table:
+
+- ``expected_node_tags`` is a second implementation of the documented
+  split/clean semantics (reference S2:242-279 split, S2:32-53 cleaners
+  — the same spec ``functions/cleaning.py`` implements as Spark
+  expressions) in ~40 lines of plain Python over the fixture's tag
+  corpus. A defect in the Spark expressions cannot also appear here.
+- ``expected_stream_rows`` constructs what the fixture XML CONTAINS
+  directly from the fixture constants (same attribute formulas as
+  ``build_osm_xml``), exercising the distributed iterparse + streaming
+  plumbing against a parser-free derivation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+
+from data_wrangling_spark.sources.osm_fixture import (
+    NODE_TAG_CASES,
+    WAY_CASES,
+)
+
+_PROBLEM = re.compile(r"[=\+/&<>;'\"\?%#$@\,\. \t\r\n]")
+_SPLIT = re.compile(r"^([a-z_]+):(.+)$")
+
+#: last-token street expansions the reference's update_name applies
+#: (S2:42-53 mapping; audited suffixes)
+_STREET_MAP = {
+    "St": "Street",
+    "St.": "Street",
+    "Rd": "Road",
+    "Rd.": "Road",
+    "Ave": "Avenue",
+    "Blvd": "Boulevard",
+    "Dr": "Drive",
+    "Ln": "Lane",
+    "Cv": "Cove",
+    "Ct": "Court",
+    "Trl": "Trail",
+}
+#: street names accepted as-is (reference `expected` list, S2:32-40)
+_STREET_EXPECTED = {
+    "Street", "Avenue", "Boulevard", "Drive", "Court", "Place",
+    "Square", "Lane", "Road", "Trail", "Parkway", "Commons", "Bend",
+    "Circle", "Cove", "Crossing", "Highway", "Hollow", "Loop", "Park",
+    "Pass", "Path", "Plaza", "Point", "Ridge", "Row", "Run", "Terrace",
+    "Trace", "View", "Walk", "Way",
+}
+
+
+def _clean(key: str, value: str) -> str:
+    if key == "street":
+        tokens = value.split()
+        if tokens and tokens[-1] not in _STREET_EXPECTED:
+            repl = _STREET_MAP.get(tokens[-1])
+            if repl:
+                return " ".join(tokens[:-1] + [repl])
+        return value
+    if key == "phone":
+        digits = re.sub(r"\D", "", value)
+        if len(digits) == 11 and digits.startswith("1"):
+            digits = digits[1:]
+        if len(digits) == 10:
+            return f"{digits[:3]}-{digits[3:6]}-{digits[6:]}"
+        return value
+    if key == "postcode":
+        m = re.search(r"\d{5}", value)
+        return m.group(0) if m else ""
+    if key == "state":
+        return "Texas" if value.lower() in ("tx", "texas") else value
+    if key == "city":
+        city = value.split(",")[0].strip()
+        return "Round Rock" if city == "Round" else city
+    return value  # housenumber + regular keys: identity (NB Step-2)
+
+
+def expected_node_tags() -> list[tuple[int, str, str, str]]:
+    rows = []
+    for idx, (k, v) in enumerate(NODE_TAG_CASES):
+        if _PROBLEM.search(k):
+            continue
+        m = _SPLIT.match(k)
+        if m:
+            ktype, key = m.group(1), m.group(2).split(":")[0]
+        else:
+            ktype, key = "regular", k
+        rows.append((1000 + idx, key, _clean(key, v), ktype))
+    return rows
+
+
+def _node_attrs(i: int) -> dict:
+    return {
+        "element": "node",
+        "id": i,
+        "lat": 30.3 + (i % 100) * 1e-3,
+        "lon": -97.4 + (i % 100) * 1e-3,
+        "user": f"user_{i % 7}",
+        "uid": 100 + i % 7,
+        "version": str(1 + i % 3),
+        "changeset": 9_000_000 + i,
+        "timestamp": (
+            f"2016-0{1 + i % 9}-1{i % 10}T0{i % 10}:2{i % 10}:3{i % 10}Z"
+        ),
+    }
+
+
+def _tags_json(tags: list[tuple[str, str]]) -> str:
+    return json.dumps(
+        [{"k": k, "v": v} for k, v in tags], separators=(",", ":")
+    )
+
+
+def expected_stream_rows(n_extra_nodes: int = 20) -> list[dict]:
+    rows = []
+    for idx, (k, v) in enumerate(NODE_TAG_CASES):
+        rows.append(
+            {**_node_attrs(1000 + idx), "tags_json": _tags_json([(k, v)]),
+             "nds_json": "[]"}
+        )
+    for j in range(n_extra_nodes):
+        rows.append(
+            {**_node_attrs(2000 + j), "tags_json": "[]", "nds_json": "[]"}
+        )
+    for way_id, nds, tags in WAY_CASES:
+        rows.append({
+            "element": "way", "id": way_id, "lat": None, "lon": None,
+            "user": "mapper", "uid": 55, "version": "2",
+            "changeset": 9_100_000 + way_id,
+            "timestamp": "2016-05-05T12:00:00Z",
+            "tags_json": _tags_json(tags),
+            "nds_json": json.dumps(nds, separators=(",", ":")),
+        })
+    rows.append({
+        "element": "relation", "id": 7001, "lat": None, "lon": None,
+        "user": "mapper", "uid": 55, "version": "1",
+        "changeset": 9_200_000, "timestamp": "2016-06-06T12:00:00Z",
+        "tags_json": _tags_json([("type", "multipolygon")]),
+        "nds_json": "[]",
+    })
+    return rows
+
+
+_ORACLE_CACHE: dict[str, str] = {}
+
+
+def oracle_parquet(table: str) -> str:
+    """Path to the materialized golden parquet for ``table`` (written
+    once per process into a temp dir; tiny control-plane files)."""
+    cached = _ORACLE_CACHE.get(table)
+    if cached is not None and os.path.exists(cached):
+        return cached
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stage = tempfile.mkdtemp(prefix="dws-osm-oracle-")
+    path = f"{stage}/{table}.parquet"
+    if table == "node_tags":
+        ids, keys, vals, types = zip(*expected_node_tags())
+        t = pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "key": pa.array(keys, pa.string()),
+                "value": pa.array(vals, pa.string()),
+                "type": pa.array(types, pa.string()),
+            }
+        )
+    elif table == "stream_rows":
+        rows = expected_stream_rows()
+        t = pa.table(
+            {
+                "element": pa.array([r["element"] for r in rows], pa.string()),
+                "id": pa.array([r["id"] for r in rows], pa.int64()),
+                "lat": pa.array([r["lat"] for r in rows], pa.float64()),
+                "lon": pa.array([r["lon"] for r in rows], pa.float64()),
+                "user": pa.array([r["user"] for r in rows], pa.string()),
+                "uid": pa.array([r["uid"] for r in rows], pa.int64()),
+                "version": pa.array([r["version"] for r in rows], pa.string()),
+                "changeset": pa.array(
+                    [r["changeset"] for r in rows], pa.int64()
+                ),
+                "timestamp": pa.array(
+                    [r["timestamp"] for r in rows], pa.string()
+                ),
+                "tags_json": pa.array(
+                    [r["tags_json"] for r in rows], pa.string()
+                ),
+                "nds_json": pa.array([r["nds_json"] for r in rows], pa.string()),
+            }
+        )
+    else:
+        raise ValueError(f"unknown oracle table: {table}")
+    pq.write_table(t, path)
+    _ORACLE_CACHE[table] = path
+    return path

@@ -2,11 +2,11 @@
 §2.4 — OP-SRC-XML + OP-SHAPE end to end).
 
 The driver's testdata has no OSM XML, so the query materializes the
-deterministic fixture (tests/osm_fixture.py corpus) into a temp file at
+deterministic fixture (sources/osm_fixture.py corpus) into a temp file at
 call time, runs the distributed parse + full normalization, and returns
-the cleaned nodes_tags table. Rows-only driver check (no XML in the DuckDB
-views); the golden value/semantics assertions live in
-tests/test_osm_pipeline.py.
+the cleaned nodes_tags table. Hash-checked against the independent
+golden parquet (plans/osm_oracle.py); semantic/property assertions live
+in tests/test_osm_pipeline.py.
 """
 
 from __future__ import annotations
@@ -39,12 +39,25 @@ def _fixture_path(include_invalid: bool = False) -> str:
     return path
 
 
+from data_wrangling_spark.plans.osm_oracle import oracle_parquet
+
+
 @register(
     "osm_pipeline_node_tags",
-    oracle=None,  # ingest source is XML, not one of the oracle's views
+    # the ingest source is XML, not one of the oracle's views — so the
+    # oracle reads the INDEPENDENT golden (plans/osm_oracle.py: a second
+    # pure-Python implementation of the split/clean spec over the same
+    # fixture corpus), materialized to parquet at registration time
+    oracle=f"""
+        SELECT id, key, value, type
+        FROM read_parquet('{oracle_parquet("node_tags")}')
+        ORDER BY id, key
+    """,
     doc="OP-SRC-XML → OP-SHAPE end to end: distributed iterparse of OSM "
         "XML, problem-char filter, namespace split, per-key cleaning, "
-        "validation split; returns the cleaned nodes_tags table.",
+        "validation split; returns the cleaned nodes_tags table. "
+        "Hash-checked against the independent dual-implementation golden "
+        "in plans/osm_oracle.py (round-3 verdict gap 1).",
 )
 def osm_pipeline_node_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.normalize import normalize
@@ -78,8 +91,16 @@ def osm_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_stream_osm_ingest",
-    oracle=None,  # XML source; batch==stream parity pinned in
-                  # tests/test_streaming_osm.py
+    # golden = parser-free construction of what the fixture XML contains
+    # (plans/osm_oracle.py expected_stream_rows, from the same fixture
+    # constants build_osm_xml renders); batch==stream parity additionally
+    # pinned in tests/test_streaming_osm.py
+    oracle=f"""
+        SELECT element, id, lat, lon, "user", uid, version, changeset,
+               "timestamp", tags_json, nds_json
+        FROM read_parquet('{oracle_parquet("stream_rows")}')
+        ORDER BY element, id
+    """,
     doc="Streaming OSM ingest (SURVEY §2.10 extension): readStream "
         "wholetext over a landing directory, mapInPandas iterparse, "
         "AvailableNow drain. Returns the raw element rows — identical "
