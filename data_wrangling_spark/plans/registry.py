@@ -39,84 +39,75 @@ QUERIES: dict[str, QuerySpec] = {}
 #: The driver's correctness gate checks only the FIRST 50 entries of
 #: ``queries()`` (round-1 finding: 30 of 80 registered queries got no
 #: correctness row because registration order buried them). This list
-#: pins the window explicitly so every distinct operator family gets a
-#: driver row; near-duplicates (individual cleaners covered by
-#: clean_tag_dispatch, q1-literal/q2 covered by q1_type_counts_union,
-#: jsonl/orc roundtrips covered by op_csv_roundtrip, cube covered by
-#: rollup, forward as-of covered by backward, rows-only HLL covered by
-#: the oracled count-min as the sketch-family representative,
-#: stratified-sample covered by dataset-split, anti-join covered by
-#: semi-join, rows-only LSH/IVF/cluster forms covered by their pytest
-#: recall/equivalence pins plus the oracled exact/brute representatives,
-#: stats-agg covered by percentiles, quarantine covered by the oracled
-#: audit_fields plus node_tags, TPC-H Q5 covered by the Q3/Q10/Q18/
-#: pricing multi-join spread, argmax covered by the generalizing
-#: top-N-per-group, vec-normalize covered by the strictly-richer
-#: quantize, streaming dedup covered by batch-dedup oracles plus the
-#: enrich/stream-stream streaming rows, rows-only x_multimodal_features
-#: covered by the in-window ORACLED x_multimodal_digest — same
-#: mapInPandas pipeline, deterministic columns hash-checked — plus the
-#: sessionize/HLL families' round-3 oracles x_stream_sessionize and
-#: x_sketch_hll_bound, judge-replica-checked in the tail) are
-#: registered but ordered after the window — still pytest-oracled at
-#: sf0.001 every CI run, just not driver-gated. queries()/oracle_sql() emit this order;
-#: a registered name missing from both this list and the demoted tail
-#: fails loudly in _ordered_names().
+#: pins the window explicitly. ROUND-4 ROTATION (round-3 verdict gap 2):
+#: the 25 registered queries that had no driver correctness row across
+#: r1-r3 (all judge-replica-verified green at sf0.01 in round 3) are
+#: swapped IN so every registered query has >=1 driver row across
+#: r1-r4; their slots come from near-duplicates already proven green in
+#: three consecutive driver rounds. Kept representatives: every bench.py
+#: headline query, every query whose implementation changed in round 4
+#: (ext_asof_latest_order struct carry, ext_deciles_scalable histogram
+#: quantiles, the two newly-oracled OSM queries), and one member of each
+#: operator family (audit, cleaning dispatch, tag split, roundtrip
+#: sinks, dedup, ANN, text, streaming, merge/skew/split). Demoted
+#: entries remain registered after the window — still pytest-oracled at
+#: sf0.001 every CI run and carrying r1-r3 driver rows.
+#: queries()/oracle_sql() emit this order; a registered name missing
+#: from both this list and the demoted tail fails loudly in
+#: _ordered_names().
 DRIVER_WINDOW: list[str] = [
-    # reference parity surface (SURVEY §2.1-§2.9)
+    # -- representatives kept from the r1-r3 proven set --------------
     "audit_fields",
-    "clean_street",
     "clean_tag_dispatch",
     "q1_type_counts_union",
     "q3_join_filter",
     "q4_top_users",
     "op_tag_split",
-    "osm_pipeline_node_tags",
-    "x_stream_osm_ingest",
-    # relational extensions (SURVEY §2.10)
+    "osm_pipeline_node_tags",   # newly oracled this round
+    "x_stream_osm_ingest",      # newly oracled this round
     "ext_pricing_summary",
     "ext_tpch_q3_shipping_priority",
-    "ext_tpch_q10_returned_items",
-    "ext_tpch_q18_large_orders",
-    "ext_parts_revenue_by_brand",
-    "ext_window_running_total",
-    "ext_percentiles",
+    "ext_asof_latest_order",    # implementation changed this round
     "ext_topn_per_group",
-    "ext_pivot_status_by_priority",
     "ext_semi_join",
     "ext_range_join_attribution",
-    "ext_asof_latest_order",
     "ext_sessionize_events",
-    "ext_scd2_intervals",
-    "ext_date_dim",
     "ext_sql_api",
     "op_csv_roundtrip",
     "ext_dataset_split",
     "ext_merge_upsert",
     "ext_skew_salted_distinct",
-    # relational extensions added in round 2
-    "ext_unpivot_measures",
-    "ext_gapfill_daily",
-    "ext_histogram",
-    # LLM-pipeline operators (X-*)
     "x_dedup_exact",
     "x_dedup_ngram_jaccard",
     "x_sim_topk_bruteforce",
-    "x_vec_quantize",
     "x_text_stats",
-    "x_text_langid",
-    "x_text_tfidf",
-    "x_text_keyword_search",
-    "x_stream_enrich",
-    "x_text_sequence_pack",
-    "ext_fuzzy_join_levenshtein",
-    "x_text_decontaminate",
-    "x_text_redact_pii",
     "x_text_curation_pipeline",
-    "x_sketch_countmin_heavy_hitters",
-    "x_multimodal_digest",
-    "x_stream_windowed_counts",
-    "x_stream_stream_join",
+    # -- first-ever driver rows (round-4 rotation set) ---------------
+    "x_dedup_keep_best",
+    "x_vec_normalize",
+    "ext_argmax_agg",
+    "ext_stats_agg",
+    "x_sketch_hll_weekly_users",
+    "x_sketch_hll_bound",
+    "x_sim_topk_mllib_brp",
+    "ext_stratified_sample",
+    "ext_tpch_q5_local_supplier",
+    "ext_cube_counts",
+    "op_jsonl_roundtrip",
+    "op_orc_roundtrip",
+    "ext_anti_join",
+    "x_stream_sessionize",
+    "x_dedup_clusters",
+    "x_stream_dedup",
+    "x_graph_pagerank",
+    "ext_correlated_subquery",
+    "ext_ntile_deciles",
+    "ext_deciles_scalable",     # round-4 rewrite: histogram quantiles
+    "ext_fuzzy_join_snm",
+    "x_text_lexical_diversity",
+    "ext_range_join_bucketed",
+    "x_text_repetition",
+    "x_sim_topk_ivf",
 ]
 
 
