@@ -18,15 +18,22 @@ footer caches, then timed executions re-run the full physical plan every
 time (scans, shuffles, final sort — nothing cached across runs).
 
 Two numbers are reported:
-- "queries": per-query sequential latency (median of 3) — one query at a
-  time, nothing else on the cluster.
+- "queries": per-query sequential latency (median of 5 after 2 warmups)
+  — one query at a time, nothing else on the cluster.
 - "value" (headline): total wall to complete ALL headline queries with
-  the suite submitted concurrently (median of 3). Spark's scheduler
+  the suite submitted concurrently (median of 5). Spark's scheduler
   overlaps independent jobs across cores exactly as a shared cluster
   does; the testdata's single-row-group parquet files serialize each
   individual scan, so inter-query overlap — not intra-query parallelism
   — is where the 32 cores get used. "sequential_total" (sum of the
   per-query medians) is included alongside for the one-at-a-time view.
+
+Noise armor (round-3 lesson: a contended container run archived a 3x
+per-query regression that never reproduced): 2 warmups + median of 5,
+plus per-query relative spread ((max-min)/median over the timed runs) in
+"spread_pct" and any query whose spread exceeds 50% listed in "noisy" —
+a contended run is visibly flagged in the archived line instead of
+masquerading as a code regression.
 """
 
 from __future__ import annotations
@@ -60,27 +67,34 @@ def main() -> None:
     prepared = {name: spec.spark(spark, sf_dir) for name, spec in specs.items()}
     for df in prepared.values():
         run(df)
+        run(df)  # second warmup: first can still hit codegen compilation
 
-    # steady state: median of 3 timed executions of the prepared plan
+    # steady state: median of 5 timed executions of the prepared plan,
+    # with the relative spread recorded as a contention canary
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, df in prepared.items():
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             run(df)
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 4)
+        runs.sort()
+        med = runs[2]
+        timings[name] = round(med, 4)
+        spreads[name] = round(100.0 * (runs[-1] - runs[0]) / med, 1)
 
-    # headline: whole suite submitted concurrently (median of 3)
+    # headline: whole suite submitted concurrently (median of 5)
     from concurrent.futures import ThreadPoolExecutor
 
     conc_runs = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=len(prepared)) as ex:
             list(ex.map(run, prepared.values()))
         conc_runs.append(time.perf_counter() - t0)
-    total = round(sorted(conc_runs)[1], 4)
+    conc_runs.sort()
+    total = round(conc_runs[2], 4)
 
     print(
         json.dumps(
@@ -91,6 +105,11 @@ def main() -> None:
                 "queries": timings,
                 "sequential_total": round(sum(timings.values()), 4),
                 "sf": sf,
+                "spread_pct": spreads,
+                "concurrent_spread_pct": round(
+                    100.0 * (conc_runs[-1] - conc_runs[0]) / total, 1
+                ),
+                "noisy": sorted(n for n, s in spreads.items() if s > 50.0),
             }
         )
     )
