@@ -87,8 +87,10 @@ def lloyd_centroids(
       corpus scan against a BROADCAST centroid table — narrow), then
       recompute means by (cell, dimension) partial-sum aggregation
       (posexplode → groupBy(cell, pos).avg — map-side combine makes the
-      shuffle n_cells×dim rows, not corpus-sized). No vector ever
-      reaches the driver.
+      shuffle n_cells×dim rows, not corpus-sized). The only driver
+      traffic is the n_cells-row centroid table collected per round
+      (control-plane, RangePartitioner-style) to truncate the doubling
+      lineage; no corpus vector ever reaches the driver.
     - empty cells keep their previous centroid (left join + coalesce),
       so the cell count is stable.
 
@@ -136,6 +138,13 @@ def lloyd_centroids(
                 F.coalesce("new_centroid", "centroid").alias("centroid"),
             )
         )
+        # cent_{i+1} references cent_i twice (directly and via means), so
+        # an unmaterialized lineage doubles per round and re-scans the
+        # corpus up to 2^iters-1 times. The centroid table is n_cells
+        # rows — materializing it to a local literal each round is free
+        # and keeps every iteration at exactly one corpus scan.
+        spark = corpus.sparkSession
+        cent = spark.createDataFrame(cent.collect(), cent.schema)
     return cent
 
 

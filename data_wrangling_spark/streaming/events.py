@@ -40,7 +40,7 @@ def _ts_micros_expr(path: str) -> str:
     assumed (a wrong divisor silently shrinks every timestamp 1000x)."""
     import pyarrow.parquet as pq
 
-    unit = str(pq.read_schema(path).field("ts").type)
+    unit = _ts_unit(path)
     if unit.startswith("timestamp[ns"):
         return "ts div 1000"
     if unit.startswith("timestamp[ms"):
@@ -48,6 +48,32 @@ def _ts_micros_expr(path: str) -> str:
     if unit.startswith("timestamp[s"):
         return "ts * 1000000"
     return "ts"  # timestamp[us]
+
+
+def _ts_unit(path: str) -> str:
+    import pyarrow.parquet as pq
+
+    return str(pq.read_schema(path).field("ts").type)
+
+
+def _assert_uniform_ts_unit(stage: str, expected: str) -> None:
+    """The unit divisor is baked into the stream at plan-build time from
+    ONE footer probe, so a landing directory must be single-unit: a
+    later-arriving file with a different timestamp unit would be
+    silently misconverted by a fixed 1000x factor. Fail loudly instead.
+    (On a real deployment this check runs in the ingest path that admits
+    files to the landing directory.)"""
+    mixed = {
+        f: _ts_unit(os.path.join(stage, f))
+        for f in sorted(os.listdir(stage))
+        if _ts_unit(os.path.join(stage, f)) != expected
+    }
+    if mixed:
+        raise ValueError(
+            f"mixed parquet timestamp units in streaming dir {stage}: "
+            f"expected {expected}, found {mixed} — the stream's unit "
+            "conversion is fixed at plan-build time"
+        )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,6 +88,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage a symlink dir pointing at the bounded file — on a cluster this
     # would simply be the landing directory new files arrive in
     stage = _staged_dir("events", src)
+    _assert_uniform_ts_unit(stage, _ts_unit(src))
     stream = spark.readStream.schema(_RAW_EVENTS_SCHEMA).format("parquet").load(stage)
     return stream.withColumn("ts", F.timestamp_micros(F.expr(_ts_micros_expr(src))))
 
@@ -302,6 +329,7 @@ def dedup_stream(
     ensure_utc(spark)
     src = f"{sf_dir}/events.parquet"
     stage = _staged_dir("dedup", src, src)
+    _assert_uniform_ts_unit(stage, _ts_unit(src))
     stream = (
         spark.readStream.schema(_RAW_EVENTS_SCHEMA).format("parquet").load(stage)
         .withColumn("ts", F.timestamp_micros(F.expr(_ts_micros_expr(src))))
