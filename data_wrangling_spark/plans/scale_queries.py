@@ -1250,8 +1250,45 @@ def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_dedup_clusters",
-    oracle=None,  # iterative fixpoint (SURVEY §5: non-SQL-expressible);
-                  # pinned against pure-Python union-find in tests/test_graph.py
+    # connected components IS SQL-expressible: transitive closure by a
+    # recursive CTE (UNION fixpoint) over the same Jaccard pairs the
+    # oracled x_dedup_ngram_jaccard pins, then min-reachable-id per node
+    # — an engine-independent check of the iterative Pregel loop. Also
+    # pinned against pure-Python union-find in tests/test_graph.py.
+    oracle=r"""
+        WITH RECURSIVE docs AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents WHERE doc_id < 200
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            )) AS shingle
+            FROM docs WHERE len(toks) >= 3
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), jac AS (
+            SELECT p.doc_a, p.doc_b
+            FROM cand p JOIN sizes sa ON p.doc_a = sa.doc_id
+                        JOIN sizes sb ON p.doc_b = sb.doc_id
+            WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= 0.3
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM jac
+            UNION ALL
+            SELECT doc_b, doc_a FROM jac
+        ), cc_nodes AS (
+            SELECT DISTINCT a AS id FROM edges
+        ), reach(id, r) AS (
+            SELECT id, id FROM cc_nodes
+            UNION
+            SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+        )
+        SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
+    """,
     doc="Pair→cluster collapse for dedup: connected components by "
         "min-label propagation over the exact n-gram Jaccard pairs "
         "(doc_id < 200 corpus slice). Each near-duplicate group gets its "
@@ -1361,10 +1398,68 @@ def ext_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle_sql(n_iter: int = 10, damping: float = 0.85,
+                         top: int = 12) -> str:
+    """DuckDB oracle for x_graph_pagerank: a fixed iteration count makes
+    power iteration SQL-expressible as a CHAIN of materialized CTEs —
+    one (flows, dangling-total, new-ranks) triple per round, generated
+    programmatically. MATERIALIZED is load-bearing: DuckDB would
+    otherwise inline each CTE into its consumers and the 10-round chain
+    re-expands exponentially (the unmaterialized form did not finish)."""
+    parts = [r"""
+        WITH ev AS MATERIALIZED (
+            SELECT event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ), edges_n AS MATERIALIZED (
+            SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
+            FROM ev WHERE next_type IS NOT NULL GROUP BY 1, 2
+        ), base AS MATERIALIZED (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (ORDER BY n DESC, src, dst) AS rn
+                FROM edges_n
+            ) WHERE rn <= %d
+        ), nodes AS MATERIALIZED (
+            SELECT DISTINCT id FROM (SELECT src AS id FROM base
+                                     UNION SELECT dst FROM base)
+        ), cnt AS MATERIALIZED (SELECT COUNT(*) AS c FROM nodes),
+        deg AS MATERIALIZED (
+            SELECT src, COUNT(*) AS out_deg FROM base GROUP BY 1
+        ),
+        it0 AS MATERIALIZED (
+            SELECT id, 1.0 / (SELECT c FROM cnt) AS rank FROM nodes
+        )""" % top]
+    for k in range(1, n_iter + 1):
+        parts.append("""
+        , f%d AS MATERIALIZED (
+            SELECT e.dst AS id, SUM(p.rank / d.out_deg) AS flowed
+            FROM it%d p JOIN base e ON p.id = e.src
+                        JOIN deg d ON e.src = d.src
+            GROUP BY 1
+        ), t%d AS MATERIALIZED (
+            SELECT COALESCE(SUM(flowed), 0) AS total FROM f%d
+        ), it%d AS MATERIALIZED (
+            SELECT n.id,
+                   %r / (SELECT c FROM cnt)
+                   + %r * (COALESCE(f.flowed, 0)
+                           + (1 - (SELECT total FROM t%d))
+                             / (SELECT c FROM cnt)) AS rank
+            FROM nodes n LEFT JOIN f%d f ON n.id = f.id
+        )""" % (k, k - 1, k, k, k, 1 - damping, damping, k, k))
+    parts.append("""
+        SELECT id AS event_type, ROUND(rank, 6) AS rank
+        FROM it%d ORDER BY event_type""" % n_iter)
+    return "".join(parts)
+
+
 @register(
     "x_graph_pagerank",
-    oracle=None,  # iterative fixed-point; pinned against an independent
-                  # dense power iteration in tests/test_graph.py
+    # fixed-round power iteration IS SQL-expressible (chained CTEs, one
+    # per round — see _pagerank_oracle_sql); also pinned against an
+    # independent dense power iteration in tests/test_graph.py
+    oracle=_pagerank_oracle_sql(),
     doc="PageRank (operators/graph.py) over the event-type transition "
         "graph restricted to the TOP-12 most frequent transitions "
         "(count desc, (src,dst) tiebreak — deterministic and SCALE-"
