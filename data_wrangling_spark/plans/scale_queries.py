@@ -1553,10 +1553,10 @@ def ext_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unpartitioned NTILE window plans Exchange SinglePartition — "
         "every row flows through ONE task; that single-partition sort is "
         "the documented cost here, acceptable only because this query is "
-        "a semantics showcase, not a bench path. The scalable form of "
-        "decile banding is two-pass: approx/exact percentile boundaries "
-        "first (ext_percentiles), then a narrow width_bucket-style "
-        "banding join against the 9 broadcast cut points.",
+        "a semantics showcase, not a bench path. The scalable form is "
+        "ext_deciles_scalable: exact boundaries via histogram-refinement "
+        "quantiles (operators/quantiles.py), then a narrow banding "
+        "expression against the 9 literal cut points.",
 )
 def ext_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -170,6 +170,11 @@ def main() -> None:
     workdir = os.environ.get("SPARK_GRAFT_SCALE_WORKDIR", "/tmp/dws-scale")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+    # the 100x point needs a real heap: Spark's 1g local-mode default
+    # gives 32 task threads ~18 MB of execution memory each and the
+    # large aggregates OOM (the first genuine cliff this script found —
+    # documented in SCALING.md). Overridable via SPARK_GRAFT_DRIVER_MEM.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark(app_name="dws-bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
     specs = bench_queries()
@@ -287,6 +292,19 @@ def write_scaling_md(path, mult, rows_by_mult, scales, results, conc_totals,
     a("- Ratios well under the data ratio on the heavy queries are the evidence the")
     a("  round-2 verdict asked for: the plans' costs grow with rows/cores, not with")
     a("  plan pathology (no cartesian blow-up, no per-key collect, no skew cliff).")
+    a("")
+    a("## Found-and-fixed cliff at 100x: local-JVM heap, not the plans")
+    a("")
+    a("The first 100x attempt died with `UNABLE_TO_ACQUIRE_MEMORY` during the")
+    a("large hash aggregates: Spark's DEFAULT local-mode driver heap is 1g, so")
+    a("32 concurrent task threads shared ~0.6g of execution memory (~18 MB per")
+    a("task) — fine through 20x, exhausted at 100x. This is a deployment sizing")
+    a("cliff, not a plan defect: every query's shape is unchanged, and the same")
+    a("plans complete at 100x once the heap is sized to the machine")
+    a("(`SPARK_GRAFT_DRIVER_MEM`, default 24g in this script; on a real cluster")
+    a("this is spark-submit `--executor-memory`, never code). Spill-to-disk also")
+    a("needs execution memory headroom per task to hold its sort buffers — the")
+    a("per-task floor is what the 1g heap violated.")
     a("")
     a(f"## AQE-final plan: {PLAN_QUERY} at {top_label}")
     a("")
