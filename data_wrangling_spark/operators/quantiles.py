@@ -145,8 +145,131 @@ def exact_quantiles(
     for pos in positions:
         fl = math.floor(pos)
         frac = pos - fl
-        v = value_at[fl]
-        if frac > 0:
-            v = v + frac * (value_at[min(fl + 1, n - 1)] - v)
+        v = _interpolate(value_at[fl], value_at[min(fl + 1, n - 1)], frac)
         out.append(v)
+    return out
+
+
+def _interpolate(lo: float, hi: float, frac: float) -> float:
+    """lo*(1-frac) + hi*frac — bit-identical to Spark's Percentile
+    interpolation (NOT the algebraically-equal lo + frac*(hi-lo), which
+    can differ in the last ulp and break value-hash parity with the
+    exact-percentile formulations used in tests/oracles)."""
+    return lo * (1.0 - frac) + hi * frac if frac > 0 else lo
+
+
+def exact_quantiles_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: list[float],
+    *,
+    strata: int = 8192,
+    max_levels: int = 16,
+) -> dict[object, list[float]]:
+    """Per-group exact continuous quantiles — the grouped form of
+    :func:`exact_quantiles`, for LOW-cardinality group columns (status
+    codes, priorities: driver state is O(groups x strata)).
+
+    Same histogram-refinement algorithm, but ONE distributed job per
+    level regardless of group count: each group's active value intervals
+    go into a broadcast table, the data joins it on the group key (equi
+    join -> BroadcastHashJoin, never a nested loop), and one
+    ``groupBy(group, interval, stratum).count()`` covers every group's
+    refinement simultaneously. Groups with NULL values-only or no rows
+    are omitted from the result (matching aggregate NULL semantics).
+    """
+    probe = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    )
+    bounds = (
+        probe.where(F.col("_v").isNotNull())
+        .groupBy("_g")
+        .agg(F.min("_v").alias("lo"), F.max("_v").alias("hi"),
+             F.count("_v").alias("n"))
+        .collect()  # O(groups) control-plane rows
+    )
+    spark = df.sparkSession
+    # per group: rank -> (interval_lo, interval_hi, rows_below)
+    meta: dict[object, tuple[int, list[float]]] = {}
+    state: dict[object, dict[int, tuple[int, int, int]]] = {}
+    for r in bounds:
+        g, lo, hi, n = r["_g"], int(r["lo"]), int(r["hi"]), int(r["n"])
+        positions = [p * (n - 1) for p in probs]
+        ranks = sorted(
+            {math.floor(pos) for pos in positions}
+            | {min(math.floor(pos) + 1, n - 1) for pos in positions}
+        )
+        meta[g] = (n, positions)
+        state[g] = {k: (lo, hi, 0) for k in ranks}
+
+    for _ in range(max_levels):
+        # one broadcast interval table covering every group's open work
+        iv_rows = []
+        for g, st in state.items():
+            for iv_id, (l, h) in enumerate(
+                sorted({(l, h) for (l, h, _) in st.values() if l < h})
+            ):
+                w = max(1, math.ceil((h - l + 1) / strata))
+                iv_rows.append((g, iv_id, l, h, w))
+        if not iv_rows:
+            break
+        from pyspark.sql import types as T
+
+        iv_schema = T.StructType(
+            [
+                T.StructField("_g", probe.schema["_g"].dataType),
+                T.StructField("_iv", T.IntegerType()),
+                T.StructField("_lo", T.LongType()),
+                T.StructField("_hi", T.LongType()),
+                T.StructField("_w", T.LongType()),
+            ]
+        )
+        ivs = spark.createDataFrame(iv_rows, iv_schema)
+        hist_rows = (
+            probe.join(F.broadcast(ivs), "_g")
+            .where(F.col("_v").between(F.col("_lo"), F.col("_hi")))
+            .groupBy(
+                "_g",
+                "_iv",
+                F.floor((F.col("_v") - F.col("_lo")) / F.col("_w")).alias("_st"),
+            )
+            .count()
+            .collect()  # O(groups * strata) tiny control-plane rows
+        )
+        hist: dict[tuple, dict[int, int]] = defaultdict(dict)
+        for r in hist_rows:
+            hist[(r["_g"], r["_iv"])][r["_st"]] = r["count"]
+        for g, st in state.items():
+            actives = sorted({(l, h) for (l, h, _) in st.values() if l < h})
+            iv_index = {iv: i for i, iv in enumerate(actives)}
+            for k, (l, h, below) in st.items():
+                if l >= h:
+                    continue
+                i = iv_index[(l, h)]
+                w = max(1, math.ceil((h - l + 1) / strata))
+                cum = below
+                for s in sorted(hist[(g, i)]):
+                    cnt = hist[(g, i)][s]
+                    if cum + cnt > k:
+                        st[k] = (l + s * w, min(h, l + (s + 1) * w - 1), cum)
+                        break
+                    cum += cnt
+                else:  # pragma: no cover
+                    raise AssertionError("rank outside histogram mass")
+    out: dict[object, list[float]] = {}
+    for g, st in state.items():
+        unresolved = [k for k, (l, h, _) in st.items() if l < h]
+        if unresolved:  # pragma: no cover
+            raise AssertionError(f"unresolved ranks for group {g!r}")
+        n, positions = meta[g]
+        value_at = {k: float(l) for k, (l, _, _) in st.items()}
+        vals = []
+        for pos in positions:
+            fl = math.floor(pos)
+            frac = pos - fl
+            vals.append(
+                _interpolate(value_at[fl], value_at[min(fl + 1, n - 1)], frac)
+            )
+        out[g] = vals
     return out

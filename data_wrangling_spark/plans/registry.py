@@ -71,7 +71,7 @@ DRIVER_WINDOW: list[str] = [
     "ext_topn_per_group",
     "ext_semi_join",
     "ext_range_join_attribution",
-    "ext_sessionize_events",
+    "ext_percentiles_scalable",  # new this round: grouped exact quantiles
     "ext_sql_api",
     "op_csv_roundtrip",
     "ext_dataset_split",

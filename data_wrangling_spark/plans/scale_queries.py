@@ -286,10 +286,11 @@ def x_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Exact interpolated percentiles per group (Spark `percentile` == "
         "DuckDB `quantile_cont`, both linear interpolation; rounded 4dp "
-        "against ulp drift). The scale path is approx_percentile "
-        "(t-digest sketch, mergeable map-side) — exposed in the library, "
-        "sketch values engine-specific so the exact form carries the "
-        "oracle.",
+        "against ulp drift). SCALE NOTE: exact `percentile` buffers "
+        "every group member in one aggregation buffer — at scale use "
+        "ext_percentiles_scalable (exact, histogram-refinement "
+        "boundaries) or approx_percentile (t-digest, engine-specific "
+        "values).",
 )
 def ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -299,6 +300,77 @@ def ext_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
             F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
             F.count("*").alias("cnt"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "ext_percentiles_scalable",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderstatus AS status,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), b AS (
+            SELECT status,
+                   ROUND(quantile_cont(cents, 0.5), 4) AS p50_cents,
+                   ROUND(quantile_cont(cents, 0.95), 4) AS p95_cents
+            FROM c GROUP BY status
+        )
+        SELECT c.status, b.p50_cents, b.p95_cents,
+               COUNT(*) AS cnt,
+               CAST(SUM(CASE WHEN c.cents <= b.p50_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_le_p50,
+               CAST(SUM(CASE WHEN c.cents <= b.p95_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_le_p95
+        FROM c JOIN b USING (status)
+        GROUP BY c.status, b.p50_cents, b.p95_cents
+        ORDER BY status
+    """,
+    doc="SCALABLE grouped exact percentiles — upgrades ext_percentiles' "
+        "documented weakness (exact `percentile` per group buffers every "
+        "group member in one aggregation buffer; its honest scale path "
+        "was approx_percentile, which breaks oracle parity). Boundaries "
+        "come from operators.quantiles.exact_quantiles_grouped: ONE "
+        "distributed histogram job per refinement level covering ALL "
+        "groups (data equi-joins a broadcast interval table - "
+        "BroadcastHashJoin, no nested loop), O(groups x strata) "
+        "control-plane collects, constant-size aggregate buffers. The "
+        "final pass is distributed: each row bands against its group's "
+        "literal cut points (broadcast 3-row boundary table) and "
+        "per-group counts below each boundary are aggregated - same "
+        "DuckDB quantile_cont oracle, exact int-cent arithmetic. Builds "
+        "eagerly (boundary jobs at plan-build time).",
+)
+def ext_percentiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.quantiles import (
+        _round_half_up,
+        exact_quantiles_grouped,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    c = orders.select(
+        F.col("o_orderstatus").alias("status"), cents.alias("cents")
+    )
+    qs = exact_quantiles_grouped(c, "status", "cents", [0.5, 0.95])
+    bounds = spark.createDataFrame(
+        [
+            (g, _round_half_up(v[0], 4), _round_half_up(v[1], 4))
+            for g, v in sorted(qs.items())
+        ],
+        "status string, p50_cents double, p95_cents double",
+    )
+    return (
+        c.join(F.broadcast(bounds), "status")
+        .groupBy("status", "p50_cents", "p95_cents")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum((F.col("cents") <= F.col("p50_cents")).cast("bigint"))
+            .alias("n_le_p50"),
+            F.sum((F.col("cents") <= F.col("p95_cents")).cast("bigint"))
+            .alias("n_le_p95"),
         )
         .orderBy("status")
     )

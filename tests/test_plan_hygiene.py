@@ -40,6 +40,7 @@ EXECUTES_ON_BUILD = {n for n in QUERIES if n.startswith("x_stream_")} | {
     # control-plane histogram jobs); the returned plan is asserted by the
     # dedicated single-partition test below
     "ext_deciles_scalable",
+    "ext_percentiles_scalable",
 }
 
 #: queries where a BroadcastNestedLoopJoin is the deliberate plan: a

@@ -88,3 +88,44 @@ def test_orders_cents_parity_sf0001(spark):
     assert [_round_half_up(g, 4) for g in got] == [
         _round_half_up(float(w), 4) for w in want
     ]
+
+
+def test_grouped_matches_spark_percentile_per_group(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (g, rng.randrange(-1000, 10**7))
+        for g in ("A", "B", "C")
+        for _ in range(rng.randrange(5, 60))
+    ]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    from data_wrangling_spark.operators.quantiles import exact_quantiles_grouped
+
+    got = exact_quantiles_grouped(df, "g", "v", PROBS, strata=16)
+    want = {
+        r["g"]: r["qs"]
+        for r in df.groupBy("g")
+        .agg(
+            F.expr(
+                f"percentile(v, array({', '.join(str(p) for p in PROBS)}))"
+            ).alias("qs")
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in got:
+        assert all(
+            math.isclose(a, float(b), rel_tol=0, abs_tol=0)
+            for a, b in zip(got[g], want[g])
+        ), (g, got[g], want[g])
+
+
+def test_grouped_skips_null_only_groups(spark):
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 3), ("B", None)], "g string, v bigint"
+    )
+    from data_wrangling_spark.operators.quantiles import exact_quantiles_grouped
+
+    got = exact_quantiles_grouped(df, "g", "v", [0.5])
+    assert got == {"A": [2.0]}
