@@ -351,14 +351,37 @@ def x_text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_multimodal_features",
-    oracle=None,
+    # the stub feature IS engine-independent: feature[i] = float32 of
+    # (first-4-bytes-of-sha256-window / 2^32). DuckDB replays it from
+    # the hex digest; both engines project the float32 scaled to an e8
+    # integer (the double multiply happens AFTER float32 quantization on
+    # both sides - DuckDB needs the explicit DOUBLE upcast or it
+    # multiplies in single precision) so no float-to-string formatting
+    # divergence can break the hash.
+    oracle="""
+        SELECT doc_id AS media_id,
+               'application/octet-stream' AS mime,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS digest,
+               array_to_string(
+                   list_transform(range(0, 8), i ->
+                       CAST(ROUND(CAST(CAST(CAST(concat('0x',
+                                          substr(sha256(text), i*8+1, 8))
+                                          AS UBIGINT) / 4294967296.0
+                                          AS REAL) AS DOUBLE)
+                                  * 100000000.0) AS BIGINT)),
+                   ',') AS feature_e8
+        FROM documents ORDER BY media_id
+    """,
     doc="X-MULTIMODAL: binary payload column + typed metadata struct → "
         "Arrow-batched mapInPandas feature extraction (decode stubbed "
-        "deterministically; see operators/multimodal.py). Rows-only check; "
-        "tests pin digest/feature values. The registered projection "
-        "serializes the feature vector to JSON because the driver's "
-        "value-hash canonicalizer cannot hash raw arrays; library callers "
-        "get the typed array<float> from extract_features directly.",
+        "deterministically; see operators/multimodal.py). Fully "
+        "hash-checked: DuckDB recomputes the sha256-derived stub feature "
+        "from the same bytes. The registered projection scales each "
+        "float32 feature to an e8 integer (driver's value-hash cannot "
+        "hash raw arrays, and float formatting differs across engines); "
+        "library callers get the typed array<float> from "
+        "extract_features directly.",
 )
 def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.multimodal import (
@@ -374,7 +397,13 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mime",
         "n_bytes",
         "digest",
-        F.to_json("feature").alias("feature_json"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature",
+                lambda x: F.round(x * F.lit(100000000.0)).cast("bigint"),
+            ),
+        ).alias("feature_e8"),
     ).orderBy("media_id")
 
 

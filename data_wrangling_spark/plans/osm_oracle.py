@@ -154,6 +154,66 @@ def expected_stream_rows(n_extra_nodes: int = 20) -> list[dict]:
     return rows
 
 
+#: the reference's audit bucket regexes (S1:11-16, S2:26-29), restated
+#: here so the oracle does not import the implementation under test
+_AUDIT_SPECS = [
+    # (field, tag key, bucket regex or None, exclude buckets)
+    ("street", "addr:street", r"\S+\.?$", _STREET_EXPECTED),
+    ("state", "addr:state", r"[A-Za-z+]+", ()),
+    ("phone", "phone", None, ()),
+    ("postcode", "addr:postcode", None, ()),
+    ("city", "addr:city", r"^[\w\-]+", ()),
+    ("housenumber", "addr:housenumber", r"\d+", ()),
+]
+
+
+def expected_audit_rows() -> list[tuple[str, str, str, int]]:
+    """Dual implementation of the audit pass (bucket + distinct raw
+    values per bucket) over the fixture's raw node+way tags."""
+    raw_tags = [kv for kv in NODE_TAG_CASES]
+    for _, _, tags in WAY_CASES:
+        raw_tags.extend(tags)
+    buckets: dict[tuple[str, str], set] = {}
+    for k, v in raw_tags:
+        for field, key, bucket_re, exclude in _AUDIT_SPECS:
+            if k != key:
+                continue
+            if bucket_re is None:
+                bucket = ""
+            else:
+                m = re.search(bucket_re, v)
+                bucket = m.group(0) if m else ""
+                if not bucket or bucket in exclude:
+                    continue
+            buckets.setdefault((field, bucket), set()).add(v)
+    return sorted(
+        (f, b, "|".join(sorted(vals)), len(vals))
+        for (f, b), vals in buckets.items()
+    )
+
+
+def expected_quarantine_rows(
+    n_extra_nodes: int = 20,
+) -> list[tuple[str, int, int]]:
+    """Structural facts of the include_invalid fixture, derived from the
+    generator constants: one node missing uid/user is quarantined;
+    every other count is arithmetic over the case lists."""
+    n_nodes = len(NODE_TAG_CASES) + n_extra_nodes  # valid nodes
+    problem = lambda k: bool(_PROBLEM.search(k))  # noqa: E731
+    n_node_tags = sum(1 for k, _ in NODE_TAG_CASES if not problem(k))
+    n_way_nodes = sum(len(nds) for _, nds, _ in WAY_CASES)
+    n_way_tags = sum(
+        1 for _, _, tags in WAY_CASES for k, _ in tags if not problem(k)
+    )
+    return [
+        ("nodes", 1, n_nodes),
+        ("nodes_tags", 0, n_node_tags),
+        ("ways", 0, len(WAY_CASES)),
+        ("ways_nodes", 0, n_way_nodes),
+        ("ways_tags", 0, n_way_tags),
+    ]
+
+
 _ORACLE_CACHE: dict[str, str] = {}
 
 
@@ -176,6 +236,25 @@ def oracle_parquet(table: str) -> str:
                 "key": pa.array(keys, pa.string()),
                 "value": pa.array(vals, pa.string()),
                 "type": pa.array(types, pa.string()),
+            }
+        )
+    elif table == "audit":
+        fields, bks, vals, ns = zip(*expected_audit_rows())
+        t = pa.table(
+            {
+                "field": pa.array(fields, pa.string()),
+                "bucket": pa.array(bks, pa.string()),
+                "values": pa.array(vals, pa.string()),
+                "n_values": pa.array(ns, pa.int64()),
+            }
+        )
+    elif table == "quarantine":
+        tables_, nq, nc = zip(*expected_quarantine_rows())
+        t = pa.table(
+            {
+                "table": pa.array(tables_, pa.string()),
+                "n_quarantined": pa.array(nq, pa.int64()),
+                "n_clean": pa.array(nc, pa.int64()),
             }
         )
     elif table == "stream_rows":

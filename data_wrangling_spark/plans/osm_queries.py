@@ -70,10 +70,17 @@ def osm_pipeline_node_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "osm_pipeline_audit",
-    oracle=None,
+    # independent dual implementation of the audit bucketing over the
+    # fixture's raw tag corpus (plans/osm_oracle.py expected_audit_rows)
+    oracle=f"""
+        SELECT field, bucket, "values", n_values
+        FROM read_parquet('{oracle_parquet("audit")}')
+        ORDER BY field, bucket
+    """,
     doc="OP-AGG-AUDIT over real OSM-shaped input: audit the raw (uncleaned) "
         "tag values, returning (field, bucket, values, n_values) — the "
-        "reference's Step-1 workflow as one declarative job.",
+        "reference's Step-1 workflow as one declarative job. Hash-checked "
+        "against the dual-implementation golden in plans/osm_oracle.py.",
 )
 def osm_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.audit import audit
@@ -127,8 +134,14 @@ def x_stream_osm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "osm_pipeline_quarantine",
-    oracle=None,  # XML source; expected counts pinned in
-                  # tests/test_osm_pipeline.py on the invalid fixture
+    # structural facts of the include_invalid fixture, derived from the
+    # generator constants (plans/osm_oracle.py expected_quarantine_rows);
+    # also pinned in tests/test_osm_pipeline.py
+    oracle=f"""
+        SELECT "table", n_quarantined, n_clean
+        FROM read_parquet('{oracle_parquet("quarantine")}')
+        ORDER BY "table"
+    """,
     doc="OP-VALIDATE observability: run normalization in permissive mode "
         "over a fixture containing invalid elements and return per-table "
         "(table, n_quarantined, n_clean) — the engine's replacement for "

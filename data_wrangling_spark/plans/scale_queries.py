@@ -253,13 +253,32 @@ def x_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_multimodal_frames",
-    oracle=None,  # mapInPandas fan-out has no ANSI form; determinism and
-                  # byte-exact chunking pinned in tests/test_multimodal.py
+    # the mapInPandas fan-out IS oracle-able: the stub resize
+    # (cycle-pad to 512 bytes) and 64-byte frame chunking are byte
+    # arithmetic DuckDB can replay in hex space (no BLOB substring in
+    # DuckDB, so both engines compare uppercase hex — 2 chars per byte).
+    # Byte-exactness also pinned in tests/test_multimodal.py.
+    oracle="""
+        WITH resized AS (
+            SELECT doc_id,
+                   substring(repeat(hex(encode(text)),
+                                    CAST(ceil(512.0 / octet_length(encode(text)))
+                                         AS INT)),
+                             1, 1024) AS rp_hex
+            FROM documents
+        )
+        SELECT doc_id AS media_id, f.idx AS frame_idx,
+               substring(rp_hex, f.idx * 128 + 1, 128) AS frame_hex
+        FROM resized, (VALUES (0), (4)) f(idx)
+        ORDER BY media_id, frame_idx
+    """,
     doc="X-MULTIMODAL pipeline composition: resize (schema-preserving "
         "mapInPandas) → frame sampling (1→N Arrow fan-out). Decode/"
         "resize are deterministic stubs (codecs absent here); the Spark "
         "plumbing — binary columns, batch shapes, UDTF-style expansion — "
-        "is real.",
+        "is real. Frame bytes projected as hex for the driver hash "
+        "(binary cells canonicalize differently across engines); library "
+        "callers get the typed binary from sample_frames directly.",
 )
 def x_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.multimodal import (
@@ -270,8 +289,10 @@ def x_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     media = resize_media(synth_media_from_documents(docs), width=64, height=8)
-    return sample_frames(media, frame_bytes=64, every_n=4).orderBy(
-        "media_id", "frame_idx"
+    return (
+        sample_frames(media, frame_bytes=64, every_n=4)
+        .select("media_id", "frame_idx", F.hex("frame_payload").alias("frame_hex"))
+        .orderBy("media_id", "frame_idx")
     )
 
 
