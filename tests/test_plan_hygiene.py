@@ -121,3 +121,17 @@ def test_scalable_deciles_have_no_single_partition_exchange(spark, plans):
     )
     # its showcase cousin DOES (documented): the contrast is the point
     assert "Exchange SinglePartition" in plans["ext_ntile_deciles"]
+
+
+def test_scalable_grouped_percentiles_plan(spark):
+    """ext_percentiles_scalable (also EXECUTES_ON_BUILD, so outside the
+    generic sweep): the banding pass must broadcast the tiny boundary
+    table on the group key (equi join), never a nested loop, and no
+    percentile aggregate or single-partition exchange may appear."""
+    df = QUERIES["ext_percentiles_scalable"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "percentile" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

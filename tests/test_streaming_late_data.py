@@ -89,3 +89,32 @@ def test_late_event_dropped_after_watermark(spark, tmp_path):
     # the late row must be DROPPED: sink contents unchanged — no
     # re-emission of the 00:00 window, no new finalized windows
     assert out2 == out1, (out1, out2)
+
+
+def test_mixed_timestamp_units_fail_loudly(tmp_path):
+    """The stream's unit divisor is fixed at plan-build time from one
+    footer probe; a landing dir mixing units would silently misconvert
+    by 1000x — the reader must refuse instead (round-3 advice)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from data_wrangling_spark.streaming.events import (
+        _assert_uniform_ts_unit,
+        _ts_unit,
+    )
+
+    def write(path, unit):
+        pq.write_table(
+            pa.table({"ts": pa.array([1_000_000], pa.timestamp(unit))}),
+            path,
+        )
+
+    write(tmp_path / "a.parquet", "ns")
+    write(tmp_path / "b.parquet", "us")
+    with pytest.raises(ValueError, match="mixed parquet timestamp units"):
+        _assert_uniform_ts_unit(str(tmp_path), _ts_unit(str(tmp_path / "a.parquet")))
+
+    # single-unit dir passes
+    (tmp_path / "b.parquet").unlink()
+    _assert_uniform_ts_unit(str(tmp_path), _ts_unit(str(tmp_path / "a.parquet")))
