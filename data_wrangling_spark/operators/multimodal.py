@@ -154,6 +154,12 @@ def decode_ppm(payload: bytes, dim: int = 8) -> list[float]:
         int(m.group(3)),
         int(m.group(4)),
     )
+    if not 0 < maxval <= 255:
+        raise ValueError(
+            f"unsupported PPM/PGM maxval {maxval}: only 1-byte samples "
+            "(1..255) are decoded; 2-byte-sample files would be silently "
+            "misread as independent pixels"
+        )
     px = payload[m.end():]
     nch = 3 if magic == b"P6" else 1
     if len(px) < w * h * nch:

@@ -95,12 +95,15 @@ def exact_quantiles(
         active = sorted({(l, h) for (l, h, _) in state.values() if l < h})
         if not active:
             break
-        widths = [max(1, math.ceil((h - l + 1) / strata)) for (l, h) in active]
+        widths = [max(1, -(-(h - l + 1) // strata)) for (l, h) in active]
         icase: Column | None = None
         scase: Column | None = None
         for i, ((l, h), w) in enumerate(zip(active, widths)):
             cond = probe["_v"].between(l, h)
-            stratum = F.floor((probe["_v"] - F.lit(l)) / F.lit(w))
+            # integer `div`, NOT float division + floor: doubles lose
+            # exactness past 2^53 and mis-bucket boundary values while
+            # the driver narrows with exact int arithmetic (review find)
+            stratum = F.expr(f"(_v - {l}L) div {w}L")
             icase = F.when(cond, i) if icase is None else icase.when(cond, i)
             scase = (
                 F.when(cond, stratum)
@@ -182,8 +185,10 @@ def exact_quantiles_grouped(
     probe = df.select(
         F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
     )
+    # NULL group keys are excluded (an equi join cannot route their rows
+    # to an interval; callers wanting a NULL bucket should fillna first)
     bounds = (
-        probe.where(F.col("_v").isNotNull())
+        probe.where(F.col("_v").isNotNull() & F.col("_g").isNotNull())
         .groupBy("_g")
         .agg(F.min("_v").alias("lo"), F.max("_v").alias("hi"),
              F.count("_v").alias("n"))
@@ -210,7 +215,7 @@ def exact_quantiles_grouped(
             for iv_id, (l, h) in enumerate(
                 sorted({(l, h) for (l, h, _) in st.values() if l < h})
             ):
-                w = max(1, math.ceil((h - l + 1) / strata))
+                w = max(1, -(-(h - l + 1) // strata))
                 iv_rows.append((g, iv_id, l, h, w))
         if not iv_rows:
             break
@@ -232,7 +237,7 @@ def exact_quantiles_grouped(
             .groupBy(
                 "_g",
                 "_iv",
-                F.floor((F.col("_v") - F.col("_lo")) / F.col("_w")).alias("_st"),
+                F.expr("(_v - _lo) div _w").alias("_st"),
             )
             .count()
             .collect()  # O(groups * strata) tiny control-plane rows
@@ -247,7 +252,7 @@ def exact_quantiles_grouped(
                 if l >= h:
                     continue
                 i = iv_index[(l, h)]
-                w = max(1, math.ceil((h - l + 1) / strata))
+                w = max(1, -(-(h - l + 1) // strata))
                 cum = below
                 for s in sorted(hist[(g, i)]):
                     cnt = hist[(g, i)][s]

@@ -218,16 +218,39 @@ _ORACLE_CACHE: dict[str, str] = {}
 
 
 def oracle_parquet(table: str) -> str:
-    """Path to the materialized golden parquet for ``table`` (written
-    once per process into a temp dir; tiny control-plane files)."""
+    """Path to the materialized golden parquet for ``table``.
+
+    Written at registration time because the oracle SQL string must
+    embed a concrete path. Content-addressed under ONE stable directory
+    (hash of the expected rows in the path), so repeated imports across
+    processes reuse the same tiny file instead of leaking a mkdtemp per
+    process, and a code change to the expected rows can never collide
+    with a stale file from a previous version."""
     cached = _ORACLE_CACHE.get(table)
     if cached is not None and os.path.exists(cached):
         return cached
+    import hashlib
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    stage = tempfile.mkdtemp(prefix="dws-osm-oracle-")
+    content_key = hashlib.sha256(
+        repr(
+            (
+                expected_node_tags(),
+                expected_audit_rows(),
+                expected_quarantine_rows(),
+                expected_stream_rows(),
+            )
+        ).encode()
+    ).hexdigest()[:12]
+    stage = os.path.join(
+        tempfile.gettempdir(), f"dws-osm-oracle-{content_key}"
+    )
+    os.makedirs(stage, exist_ok=True)
     path = f"{stage}/{table}.parquet"
+    if os.path.exists(path):
+        _ORACLE_CACHE[table] = path
+        return path
     if table == "node_tags":
         ids, keys, vals, types = zip(*expected_node_tags())
         t = pa.table(

@@ -45,7 +45,9 @@ QUERIES: dict[str, QuerySpec] = {}
 #: swapped IN so every registered query has >=1 driver row across
 #: r1-r4; their slots come from near-duplicates already proven green in
 #: three consecutive driver rounds. Kept representatives: every bench.py
-#: headline query, every query whose implementation changed in round 4
+#: headline query (except q2_type_counts — same family as the kept q1,
+#: driver-proven three rounds running), every query whose implementation
+#: changed in round 4
 #: (ext_asof_latest_order struct carry, ext_deciles_scalable histogram
 #: quantiles, the two newly-oracled OSM queries), and one member of each
 #: operator family (audit, cleaning dispatch, tag split, roundtrip

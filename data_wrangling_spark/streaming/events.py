@@ -38,8 +38,6 @@ def _ts_micros_expr(path: str) -> str:
     O(1) footer probe — the testdata has shipped both TIMESTAMP(NANOS)
     and TIMESTAMP(MICROS) across rounds, so the unit must be read, not
     assumed (a wrong divisor silently shrinks every timestamp 1000x)."""
-    import pyarrow.parquet as pq
-
     unit = _ts_unit(path)
     if unit.startswith("timestamp[ns"):
         return "ts div 1000"
@@ -63,11 +61,15 @@ def _assert_uniform_ts_unit(stage: str, expected: str) -> None:
     silently misconverted by a fixed 1000x factor. Fail loudly instead.
     (On a real deployment this check runs in the ingest path that admits
     files to the landing directory.)"""
-    mixed = {
-        f: _ts_unit(os.path.join(stage, f))
-        for f in sorted(os.listdir(stage))
-        if _ts_unit(os.path.join(stage, f)) != expected
-    }
+    units = {}
+    for f in sorted(os.listdir(stage)):
+        try:
+            units[f] = _ts_unit(os.path.join(stage, f))
+        except Exception as exc:
+            raise ValueError(
+                f"unreadable parquet footer in streaming dir {stage}: {f}"
+            ) from exc
+    mixed = {f: u for f, u in units.items() if u != expected}
     if mixed:
         raise ValueError(
             f"mixed parquet timestamp units in streaming dir {stage}: "

@@ -205,3 +205,15 @@ def test_sample_frames_fanout_deterministic(spark):
         assert sorted(r.frame_idx for r in rows) == want_idxs
         for r in rows:
             assert bytes(r.frame_payload) == payload[r.frame_idx * 32:(r.frame_idx + 1) * 32]
+
+
+def test_decode_ppm_rejects_wide_samples():
+    """Review regression: maxval > 255 means 2-byte samples, which the
+    1-byte loop would silently misread as independent pixels; maxval 0
+    would divide by zero. Both must refuse."""
+    from data_wrangling_spark.operators.multimodal import decode_ppm
+
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n2 1\n65535\n" + bytes(12))
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P5\n2 1\n0\n" + bytes(2))

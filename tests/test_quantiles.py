@@ -74,7 +74,9 @@ def test_round_half_up_matches_spark_round(spark):
 def test_orders_cents_parity_sf0001(spark):
     """The exact use ext_deciles_scalable makes of the operator, against
     Spark's percentile on the same derived column."""
-    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     c = orders.select(
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
     )
@@ -129,3 +131,31 @@ def test_grouped_skips_null_only_groups(spark):
 
     got = exact_quantiles_grouped(df, "g", "v", [0.5])
     assert got == {"A": [2.0]}
+
+
+def test_huge_value_domain_exact(spark):
+    """Review regression: values spanning > 2^53 used to crash ('rank
+    outside histogram mass') because executors bucketed with double
+    division while the driver narrowed with exact ints. Integer `div`
+    bucketing must resolve the full 64-bit domain."""
+    values = [0, 2**60 - 1, 2**60, 2**60 + 1, 2**62 + 3]
+    got = exact_quantiles(
+        spark.createDataFrame([(v,) for v in values], "v bigint"),
+        "v",
+        [0.25, 0.5, 0.75],
+        strata=16,
+    )
+    want = _spark_percentile(spark, values, [0.25, 0.5, 0.75])
+    assert got == [float(w) for w in want]
+
+
+def test_grouped_null_group_keys_excluded(spark):
+    """Review regression: a NULL group key used to crash (bounds groupBy
+    keeps NULL, but the interval equi-join never matches it). NULL
+    groups are now documented as excluded."""
+    from data_wrangling_spark.operators.quantiles import exact_quantiles_grouped
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 9), (None, 2), (None, 8)], "g string, v bigint"
+    )
+    assert exact_quantiles_grouped(df, "g", "v", [0.5]) == {"A": [5.0]}
