@@ -56,7 +56,7 @@ def exact_quantiles(
     probs: list[float],
     *,
     strata: int = 8192,
-    max_levels: int = 16,
+    max_levels: int | None = None,
 ) -> list[float]:
     """Exact continuous-interpolated quantiles of an integer column.
 
@@ -89,7 +89,7 @@ def exact_quantiles(
     # rank -> (interval_lo, interval_hi, rows_below_interval)
     state: dict[int, tuple[int, int, int]] = {k: (lo, hi, 0) for k in ranks}
 
-    for _ in range(max_levels):
+    for _ in range(_levels_needed(lo, hi, strata, max_levels)):
         # distinct unresolved intervals; disjoint by construction (each
         # level picks one stratum of a partition of the previous level)
         active = sorted({(l, h) for (l, h, _) in state.values() if l < h})
@@ -153,6 +153,18 @@ def exact_quantiles(
     return out
 
 
+def _levels_needed(lo: int, hi: int, strata: int, override: int | None) -> int:
+    """Refinement levels to shrink [lo, hi] to width 1: interval width
+    divides by ~strata per level, so ceil(log_strata(range)) (+2 slack
+    for ceil'd widths). A FIXED cap is a bug the property suite caught:
+    strata=2 over a 2^63 domain legitimately needs 63 levels."""
+    if override is not None:
+        return override
+    span = max(hi - lo + 1, 1)
+    levels = math.ceil(math.log(span) / math.log(max(strata, 2))) + 2
+    return max(levels, 4)
+
+
 def _interpolate(lo: float, hi: float, frac: float) -> float:
     """lo*(1-frac) + hi*frac — bit-identical to Spark's Percentile
     interpolation (NOT the algebraically-equal lo + frac*(hi-lo), which
@@ -168,7 +180,7 @@ def exact_quantiles_grouped(
     probs: list[float],
     *,
     strata: int = 8192,
-    max_levels: int = 16,
+    max_levels: int | None = None,
 ) -> dict[object, list[float]]:
     """Per-group exact continuous quantiles — the grouped form of
     :func:`exact_quantiles`, for LOW-cardinality group columns (status
@@ -208,7 +220,12 @@ def exact_quantiles_grouped(
         meta[g] = (n, positions)
         state[g] = {k: (lo, hi, 0) for k in ranks}
 
-    for _ in range(max_levels):
+    worst = max(
+        (_levels_needed(int(r["lo"]), int(r["hi"]), strata, max_levels)
+         for r in bounds),
+        default=0,
+    )
+    for _ in range(worst):
         # one broadcast interval table covering every group's open work
         iv_rows = []
         for g, st in state.items():

@@ -159,3 +159,36 @@ def test_grouped_null_group_keys_excluded(spark):
         [("A", 1), ("A", 9), (None, 2), (None, 8)], "g string, v bigint"
     )
     assert exact_quantiles_grouped(df, "g", "v", [0.5]) == {"A": [5.0]}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_value_lists = st.lists(
+    st.one_of(
+        st.integers(min_value=-(2**62), max_value=2**62),  # full-range
+        st.integers(min_value=-50, max_value=50),          # dense dups
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(values=_value_lists, strata=st.sampled_from([2, 7, 64]))
+def test_property_matches_spark_percentile(spark, values, strata):
+    """Property: for ANY int list (duplicates, negatives, 2^62-scale
+    outliers, skewed mass) and any strata width, exact_quantiles ==
+    Spark's exact percentile, bit for bit."""
+    got = exact_quantiles(
+        spark.createDataFrame([(int(v),) for v in values], "v bigint"),
+        "v",
+        PROBS,
+        strata=strata,
+    )
+    want = _spark_percentile(spark, values, PROBS)
+    assert got == [float(w) for w in want], (values, strata)
