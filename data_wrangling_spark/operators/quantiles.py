@@ -102,8 +102,16 @@ def exact_quantiles(
             cond = probe["_v"].between(l, h)
             # integer `div`, NOT float division + floor: doubles lose
             # exactness past 2^53 and mis-bucket boundary values while
-            # the driver narrows with exact int arithmetic (review find)
-            stratum = F.expr(f"(_v - {l}L) div {w}L")
+            # the driver narrows with exact int arithmetic (review find).
+            # DECIMAL(38,0), NOT bigint arithmetic: `_v - lo` (and, for
+            # strata=2 over the full int64 domain, the width w=2^63
+            # itself) exceeds Long.MAX, which under ANSI (Spark 4
+            # default) raises ARITHMETIC_OVERFLOW. IntegralDivide on
+            # decimals is BigDecimal.divideToIntegralValue — exact.
+            stratum = F.expr(
+                f"(cast(_v as decimal(38,0)) - {l}) div "
+                f"cast({w} as decimal(38,0))"
+            )
             icase = F.when(cond, i) if icase is None else icase.when(cond, i)
             scase = (
                 F.when(cond, stratum)
@@ -233,7 +241,7 @@ def exact_quantiles_grouped(
                 sorted({(l, h) for (l, h, _) in st.values() if l < h})
             ):
                 w = max(1, -(-(h - l + 1) // strata))
-                iv_rows.append((g, iv_id, l, h, w))
+                iv_rows.append((g, iv_id, l, h, Decimal(w)))
         if not iv_rows:
             break
         from pyspark.sql import types as T
@@ -244,7 +252,9 @@ def exact_quantiles_grouped(
                 T.StructField("_iv", T.IntegerType()),
                 T.StructField("_lo", T.LongType()),
                 T.StructField("_hi", T.LongType()),
-                T.StructField("_w", T.LongType()),
+                # DECIMAL(38,0): width can be 2^63 (full-int64 span,
+                # strata=2), one past Long.MAX
+                T.StructField("_w", T.DecimalType(38, 0)),
             ]
         )
         ivs = spark.createDataFrame(iv_rows, iv_schema)
@@ -254,7 +264,10 @@ def exact_quantiles_grouped(
             .groupBy(
                 "_g",
                 "_iv",
-                F.expr("(_v - _lo) div _w").alias("_st"),
+                # decimal-safe: see the ungrouped form's bucketing note
+                F.expr("(cast(_v as decimal(38,0)) - _lo) div _w").alias(
+                    "_st"
+                ),
             )
             .count()
             .collect()  # O(groups * strata) tiny control-plane rows

@@ -305,6 +305,11 @@ def oracle_parquet(table: str) -> str:
         )
     else:
         raise ValueError(f"unknown oracle table: {table}")
-    pq.write_table(t, path)
+    # write-to-temp + os.replace (atomic on POSIX): pytest and the
+    # driver harness share /tmp, and a reader racing a direct write
+    # could see a half-written parquet and fail the oracle spuriously
+    tmp = f"{path}.{os.getpid()}.tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
     _ORACLE_CACHE[table] = path
     return path

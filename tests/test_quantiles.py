@@ -149,6 +149,57 @@ def test_huge_value_domain_exact(spark):
     assert got == [float(w) for w in want]
 
 
+def test_span_past_long_max_no_ansi_overflow(spark):
+    """Advice regression: a column spanning more than Long.MAX values
+    ([-2^62, 0, 2^62]: span 2^63 + 1) used to raise ARITHMETIC_OVERFLOW
+    under ANSI (Spark 4 default) because the stratum offset `_v - lo`
+    was computed in bigint. Bucketing now runs in DECIMAL(38,0)."""
+    values = [-(2**62), 0, 2**62]
+    got = exact_quantiles(
+        spark.createDataFrame([(v,) for v in values], "v bigint"),
+        "v",
+        [0.25, 0.5, 0.75],
+        strata=16,
+    )
+    want = _spark_percentile(spark, values, [0.25, 0.5, 0.75])
+    assert got == [float(w) for w in want]
+
+
+def test_full_int64_extremes_exact(spark):
+    """Both int64 extremes in one column: span 2^64 > Long.MAX, and with
+    strata=2 the stratum WIDTH itself is 2^63 (one past Long.MAX) — both
+    the offset and the width must flow through decimal."""
+    values = [-(2**63), -1, 0, 1, 2**63 - 1]
+    got = exact_quantiles(
+        spark.createDataFrame([(v,) for v in values], "v bigint"),
+        "v",
+        [0.0, 0.5, 1.0],
+        strata=2,
+    )
+    want = _spark_percentile(spark, values, [0.0, 0.5, 1.0])
+    assert got == [float(w) for w in want]
+
+
+def test_grouped_span_past_long_max_no_ansi_overflow(spark):
+    """The grouped form had the same bigint-offset defect (`(_v - _lo)
+    div _w` on long columns); its `_w` broadcast column is now
+    DECIMAL(38,0) as well."""
+    from data_wrangling_spark.operators.quantiles import exact_quantiles_grouped
+
+    df = spark.createDataFrame(
+        [("A", -(2**63)), ("A", 0), ("A", 2**63 - 1), ("B", 5)],
+        "g string, v bigint",
+    )
+    got = exact_quantiles_grouped(df, "g", "v", [0.5], strata=2)
+    want = {
+        r["g"]: float(r["m"])
+        for r in df.groupBy("g")
+        .agg(F.expr("percentile(v, 0.5)").alias("m"))
+        .collect()
+    }
+    assert {g: vs[0] for g, vs in got.items()} == want
+
+
 def test_grouped_null_group_keys_excluded(spark):
     """Review regression: a NULL group key used to crash (bounds groupBy
     keeps NULL, but the interval equi-join never matches it). NULL
@@ -166,7 +217,9 @@ from hypothesis import strategies as st
 
 _value_lists = st.lists(
     st.one_of(
-        st.integers(min_value=-(2**62), max_value=2**62),  # full-range
+        # FULL int64 — a draw holding both extremes spans 2^64, past
+        # Long.MAX, pinning the decimal-bucketing overflow fix
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
         st.integers(min_value=-50, max_value=50),          # dense dups
     ),
     min_size=1,
