@@ -11,13 +11,23 @@ incrementally with ``iterparse`` inside ``mapPartitions`` — the same
 bounded-memory property as the reference (elem.clear() after yield), but
 N files parse in parallel.
 
-Scale posture (SURVEY.md §7 hard-point 2): XML is not splittable without
-risking elements spanning split boundaries, so parallelism is per file —
-correct for OSM, whose extracts shard naturally by region (planet dumps
-distribute as many regional .osm files). For a single huge file the right
-move at 100 TB is a ONE-TIME conversion to a partitioned parquet landing
-zone (``to_landing_zone``); every downstream pass then gets column
-pruning, predicate pushdown, and split-level parallelism for free.
+Scale posture (SURVEY.md §7 hard-point 2): raw XML has no record
+delimiter, so a naive byte split risks cutting an element in half. The
+scan is still made splittable the way Hadoop's XmlInputFormat splits
+text: each byte range SYNCS forward to the first top-level element start
+(``<node``/``<way``/``<relation`` + delimiter) at-or-after its start
+offset, and parses every element whose start lies in ``[start, end)`` —
+reading past ``end`` to finish the element that straddles the boundary.
+An element belongs to exactly the split containing its first byte, so a
+multi-split read is row-identical to a one-task read. This is sound
+because ``<`` cannot appear unescaped inside XML attribute values and
+OSM top-level kinds never nest (children are only tag/nd/member); the
+one documented blind spot is a ``<node`` inside an XML comment, which
+real OSM dumps don't produce. Compressed inputs (.gz/.bz2) are not
+byte-addressable and keep one task per file. For repeated passes at
+100 TB the right move is still a ONE-TIME conversion to a partitioned
+parquet landing zone (``to_landing_zone``): column pruning, predicate
+pushdown, and split-level parallelism for free on every later read.
 
 Yielded schema (one row per element, FIXTURES.md §2 `raw_elements`):
     element   string  'node' | 'way' | 'relation'
@@ -30,6 +40,7 @@ Yielded schema (one row per element, FIXTURES.md §2 `raw_elements`):
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 from collections.abc import Iterator
 
@@ -65,17 +76,44 @@ RAW_ELEMENT_SCHEMA = T.StructType(
 
 _KEPT_TAGS = ("node", "way", "relation")
 
+#: top-level element opens — the ONLY places these byte patterns can
+#: occur outside a comment (children are tag/nd/member; '<' is illegal
+#: unescaped in attribute values), so they are safe split-sync points
+_SYNC_RE = re.compile(rb"<(?:node|way|relation)[ \t\r\n/>]")
+#: cut points for a split's tail: the next element (first byte of the
+#: following split) or the document close
+_CUT_RE = re.compile(rb"<(?:node|way|relation)[ \t\r\n/>]|</osm")
+
+
+def _element_row(elem: "ET.Element") -> tuple:
+    """One output tuple (RAW_ELEMENT_SCHEMA order) from a parsed element."""
+    a = elem.attrib
+    opt_long = lambda v: int(v) if v is not None else None  # noqa: E731
+    tag_children = [
+        (c.attrib.get("k"), c.attrib.get("v")) for c in elem if c.tag == "tag"
+    ]
+    nd_children = [
+        int(c.attrib["ref"]) for c in elem if c.tag == "nd" and "ref" in c.attrib
+    ]
+    lat, lon = a.get("lat"), a.get("lon")
+    return (
+        elem.tag,
+        opt_long(a.get("id")),
+        float(lat) if lat is not None else None,
+        float(lon) if lon is not None else None,
+        a.get("user"),
+        opt_long(a.get("uid")),
+        a.get("version"),
+        opt_long(a.get("changeset")),
+        a.get("timestamp"),
+        tag_children,
+        nd_children,
+    )
+
 
 def _parse_file(path: str, tags: tuple[str, ...]) -> Iterator[tuple]:
     """Incremental single-file parse: constant memory via elem.clear()
     after each yielded element (the engine's root.clear() equivalent)."""
-
-    def opt_long(v: str | None) -> int | None:
-        return int(v) if v is not None else None
-
-    def opt_double(v: str | None) -> float | None:
-        return float(v) if v is not None else None
-
     # capture the root so it can be cleared per yielded element:
     # elem.clear() alone empties each element but the root keeps
     # appending child references, growing memory linearly with file size
@@ -88,35 +126,100 @@ def _parse_file(path: str, tags: tuple[str, ...]) -> Iterator[tuple]:
     for event, elem in context:
         if event != "end" or elem.tag not in tags:
             continue
-        a = elem.attrib
-        tag_children = [
-            (c.attrib.get("k"), c.attrib.get("v")) for c in elem if c.tag == "tag"
-        ]
-        nd_children = [
-            int(c.attrib["ref"]) for c in elem if c.tag == "nd" and "ref" in c.attrib
-        ]
-        yield (
-            elem.tag,
-            opt_long(a.get("id")),
-            opt_double(a.get("lat")),
-            opt_double(a.get("lon")),
-            a.get("user"),
-            opt_long(a.get("uid")),
-            a.get("version"),
-            opt_long(a.get("changeset")),
-            a.get("timestamp"),
-            tag_children,
-            nd_children,
-        )
+        yield _element_row(elem)
         root.clear()
+
+
+def _scan_forward(f, from_off: int, pattern, chunk: int = 1 << 20) -> int | None:
+    """File offset of the first ``pattern`` match at-or-after ``from_off``
+    (or None). Streams in chunks, keeping a 16-byte tail so a token
+    straddling a chunk boundary is still seen."""
+    f.seek(from_off)
+    pos = from_off  # file offset of buf[0]
+    tail = b""
+    while True:
+        data = f.read(chunk)
+        if not data:
+            return None
+        buf = tail + data
+        m = pattern.search(buf)
+        if m:
+            return pos + m.start()
+        keep = min(len(buf), 16)
+        tail = buf[-keep:]
+        pos += len(buf) - keep
+
+
+def _parse_byte_range(
+    path: str, start: int, end: int, tags: tuple[str, ...]
+) -> Iterator[tuple]:
+    """Parse the top-level elements whose first byte lies in [start, end).
+
+    Sync: first element start at-or-after ``start`` (an element cut by
+    the range boundary has its first byte in the PREVIOUS range, which
+    reads past its own ``end`` to finish it — each element is emitted by
+    exactly one split). The byte stream from sync to cut (next element
+    start at-or-after ``end``, or ``</osm>``, or EOF) is fed to an
+    XMLPullParser under a synthetic ``<osm>`` root; memory stays bounded
+    by root.clear() per emitted element, exactly like the whole-file
+    iterparse path."""
+    with open(path, "rb") as f:
+        sync = _scan_forward(f, start, _SYNC_RE)
+        if sync is None or sync >= end:
+            return
+        cut = _scan_forward(f, end, _CUT_RE)
+        if cut is None:
+            # no element start and no doc close AFTER the range — this
+            # is the document's tail split, so ``</osm>`` lies inside
+            # [sync, end); find it so the stream stops before it (our
+            # synthetic root supplies its own close)
+            cut = _scan_forward(f, sync, re.compile(rb"</osm"))
+
+        parser = ET.XMLPullParser(events=("start", "end"))
+        parser.feed(b"<osm>")
+        root = None
+
+        def drain() -> Iterator[tuple]:
+            nonlocal root
+            for event, elem in parser.read_events():
+                if event == "start":
+                    if root is None:
+                        root = elem  # the synthetic document root
+                    continue
+                if elem.tag in tags and elem is not root:
+                    yield _element_row(elem)
+                    root.clear()
+
+        f.seek(sync)
+        remaining = None if cut is None else cut - sync
+        while remaining is None or remaining > 0:
+            step = (1 << 20) if remaining is None else min(1 << 20, remaining)
+            data = f.read(step)
+            if not data:
+                break
+            if remaining is not None:
+                remaining -= len(data)
+            parser.feed(data)
+            yield from drain()
+        parser.feed(b"</osm>")
+        yield from drain()
 
 
 def read_osm_xml(
     spark: SparkSession,
     paths: str | list[str],
     tags: tuple[str, ...] = _KEPT_TAGS,
+    *,
+    split_bytes: int = 64 << 20,
 ) -> DataFrame:
-    """Distributed OSM-XML read: one task per file, iterparse inside.
+    """Distributed OSM-XML read: one task per byte-range split.
+
+    Small files get one task each; a file larger than ``split_bytes``
+    fans out into ``ceil(size / split_bytes)`` boundary-synced range
+    tasks (see module docstring) — so ONE huge ``planet.osm`` no longer
+    parses in a single task. Compressed files (.gz/.bz2/.zst: not
+    byte-addressable) and non-standard ``tags`` sets (sync tokens cover
+    only node/way/relation) keep the whole-file iterparse path.
 
     ``tags`` filters element kinds at the parser (OP-FLT-TAGKIND — the
     reference's ``tags=('node','way')`` call, S2:320, excludes relations
@@ -130,9 +233,31 @@ def read_osm_xml(
     if not paths:
         raise FileNotFoundError("no OSM files matched")
 
+    splittable = set(tags) <= set(_KEPT_TAGS)
+    # (path, start, end) with end=None meaning whole-file iterparse
+    tasks: list[tuple[str, int, int | None]] = []
+    for p in paths:
+        size = os.path.getsize(p)
+        if (
+            not splittable
+            or p.endswith((".gz", ".bz2", ".zst", ".xz"))
+            or size <= split_bytes
+        ):
+            tasks.append((p, 0, None))
+            continue
+        n = -(-size // split_bytes)
+        bounds = [size * i // n for i in range(n + 1)]
+        tasks.extend(
+            (p, bounds[i], bounds[i + 1]) for i in range(n)
+        )
+
     sc = spark.sparkContext
-    files_rdd = sc.parallelize(paths, numSlices=len(paths))
-    rows = files_rdd.flatMap(lambda p: _parse_file(p, tags))
+    tasks_rdd = sc.parallelize(tasks, numSlices=len(tasks))
+    rows = tasks_rdd.flatMap(
+        lambda t: _parse_file(t[0], tags)
+        if t[2] is None
+        else _parse_byte_range(t[0], t[1], t[2], tags)
+    )
     return spark.createDataFrame(rows, RAW_ELEMENT_SCHEMA)
 
 
