@@ -1642,23 +1642,74 @@ def ext_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="NTILE decile banding of order values with exact int-cent band "
         "extents — the rank-based cousin of ext_histogram's fixed-width "
-        "buckets. Deterministic orderkey tiebreak. SCALE NOTE: an "
-        "unpartitioned NTILE window plans Exchange SinglePartition — "
-        "every row flows through ONE task; that single-partition sort is "
-        "the documented cost here, acceptable only because this query is "
-        "a semantics showcase, not a bench path. The scalable form is "
-        "ext_deciles_scalable: exact boundaries via histogram-refinement "
-        "quantiles (operators/quantiles.py), then a narrow banding "
-        "expression against the 9 literal cut points.",
+        "buckets. Deterministic orderkey tiebreak. EXACT NTILE semantics "
+        "(ties split across tiles to force equal counts) WITHOUT the "
+        "naive formulation's scale-killer: an unpartitioned NTILE window "
+        "plans Exchange SinglePartition, funnelling every row through "
+        "one task (that contrast is preserved in "
+        "tests/test_plan_hygiene.py). Here the global rank is computed "
+        "the way distributed engines actually rank: repartitionByRange "
+        "on the sort key (RangePartitioner boundary sampling — no data "
+        "through one task), persist so both passes see the SAME "
+        "materialized partitioning, collect the O(partitions) "
+        "per-partition counts, then rank = partition offset + "
+        "per-partition row_number and the NTILE tile formula maps rank "
+        "to decile as a narrow expression. Every exchange is N-way; "
+        "driver traffic is one row per partition. Sibling "
+        "ext_deciles_scalable trades the ranked pass for "
+        "histogram-refinement boundary selection (ties never split).",
 )
 def ext_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     orders = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    base = orders.select(
+        "o_totalprice", "o_orderkey", cents.alias("cents")
+    )
+    parts = 32
+    # persist is CORRECTNESS, not caching: RangePartitioner samples per
+    # job, so without materialization the counts job and the final job
+    # could see different partition boundaries and mis-offset the ranks
+    ranged = (
+        base.repartitionByRange(parts, "o_totalprice", "o_orderkey")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.count("*").alias("cnt"))
+        .collect()  # O(partitions) control-plane rows
+    }
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    # NTILE(10) over N rows: the first N mod 10 tiles hold ceil(N/10)
+    # rows, the rest floor(N/10) — mapped from the 1-based global rank
+    q, rem = divmod(total, 10)
+    boundary = rem * (q + 1)
+    off_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
+    rank = (
+        off_map[F.col("_pid")].cast("long")
+        + F.row_number().over(w).cast("long")
+    )
+    # max(q,1): when N < 10, every rank takes the THEN branch (boundary
+    # == N), but ANSI still forbids a literal div 0 in the unevaluated
+    # ELSE
+    decile = F.expr(
+        f"CAST(CASE WHEN _r <= {boundary} THEN (_r - 1) div {q + 1} + 1 "
+        f"ELSE {rem} + (_r - {boundary} - 1) div {max(q, 1)} + 1 "
+        f"END AS INT)"
+    )
     return (
-        orders.select(cents.alias("cents"), F.ntile(10).over(w).alias("decile"))
+        ranged.select("cents", rank.alias("_r"))
+        .select("cents", decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),
