@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from data_wrangling_spark.functions import text as TX
 from data_wrangling_spark.plans.registry import register
+from data_wrangling_spark.plans.seeded_goldens import golden_oracle
 from data_wrangling_spark.sources.tables import load_table
 
 
@@ -109,7 +110,9 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_dedup_minhash_lsh",
-    oracle=None,  # hash-sketch specific; verified in tests against ngram_jaccard
+    oracle=golden_oracle("x_dedup_minhash_lsh"),  # pinned-snapshot golden
+        # (plans/seeded_goldens.py policy); semantics ground truth stays
+        # tests/test_dedup.py recall vs exact ngram_jaccard
     doc="X-DEDUP-FUZZY scale form: 64-hash MinHash, 16-band LSH bucket "
         "join, est-Jaccard ≥ 0.35. Rows-only driver check; "
         "tests/test_dedup.py checks recall vs the exact Jaccard pairs.",
@@ -125,7 +128,8 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_dedup_simhash",
-    oracle=None,  # bit-sketch specific; semantics pinned in tests
+    oracle=golden_oracle("x_dedup_simhash"),  # pinned-snapshot golden;
+        # bit-sketch semantics pinned in tests/test_dedup.py
     doc="SimHash near-dup: 64-bit sketch, 4-chunk pigeonhole bucket join, "
         "hamming ≤ 3 verification via bit_count(xor).",
 )
@@ -140,8 +144,9 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_dedup_embedding_cosine",
-    oracle=None,  # float accumulation differences make exact oracle brittle;
-                  # tests verify brute == lsh-verified subset
+    oracle=golden_oracle("x_dedup_embedding_cosine"),  # pinned-snapshot
+        # golden (4dp-rounded cosines make it partition-stable); tests
+        # verify brute == lsh-verified subset
     doc="Embedding near-dup: hyperplane-LSH candidate join + exact cosine "
         "≥ 0.95 verification within buckets. The synthetic corpus's max "
         "pairwise cosine is ~0.51 (no organic near-duplicates), so the "
@@ -213,7 +218,8 @@ def x_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_sim_topk_lsh",
-    oracle=None,  # approximate by construction; recall measured in tests
+    oracle=golden_oracle("x_sim_topk_lsh"),  # pinned-snapshot golden;
+        # recall vs brute force measured in tests/test_similarity.py
     doc="X-SIM-SEARCH scale path: hyperplane-signature band join prunes "
         "candidates, exact cosine ranks them. Approx — driver rows-only; "
         "tests measure recall vs brute force.",

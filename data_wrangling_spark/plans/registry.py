@@ -70,8 +70,6 @@ DRIVER_WINDOW: list[str] = [
     "ext_pricing_summary",
     "ext_tpch_q3_shipping_priority",
     "ext_asof_latest_order",    # implementation changed this round
-    "ext_topn_per_group",
-    "ext_semi_join",
     "ext_range_join_attribution",
     "ext_percentiles_scalable",  # new this round: grouped exact quantiles
     "ext_sql_api",
@@ -94,9 +92,7 @@ DRIVER_WINDOW: list[str] = [
     "x_sim_topk_mllib_brp",
     "ext_stratified_sample",
     "ext_tpch_q5_local_supplier",
-    "ext_cube_counts",
     "op_jsonl_roundtrip",
-    "op_orc_roundtrip",
     "ext_anti_join",
     "x_stream_sessionize",
     "x_dedup_clusters",
@@ -110,6 +106,16 @@ DRIVER_WINDOW: list[str] = [
     "ext_range_join_bucketed",
     "x_text_repetition",
     "x_sim_topk_ivf",
+    # -- round-5 rotation: the four newly golden-oracled seeded queries
+    # (plans/seeded_goldens.py) swap in for proven near-duplicates
+    # (ext_topn_per_group, ext_semi_join, ext_cube_counts,
+    # op_orc_roundtrip — each with 2+ green driver rows r1-r4 and a
+    # same-family representative still in the window) so every one of
+    # the 7 formerly rows-only queries has a hash-checked driver row --
+    "x_dedup_minhash_lsh",
+    "x_dedup_simhash",
+    "x_dedup_embedding_cosine",
+    "x_sim_topk_lsh",
 ]
 
 

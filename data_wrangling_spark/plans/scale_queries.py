@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from data_wrangling_spark.functions.text import BPE_ISH_PATTERN, bpe_ish_token_count, token_count
 from data_wrangling_spark.plans.registry import register
+from data_wrangling_spark.plans.seeded_goldens import golden_oracle
 from data_wrangling_spark.sources.tables import load_table
 
 
@@ -760,8 +761,10 @@ def ext_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_sketch_hll_weekly_users",
-    oracle=None,  # sketch estimates are engine-specific; the error bound
-                  # vs the exact count is pinned in tests/test_sketches.py
+    oracle=golden_oracle("x_sketch_hll_weekly_users"),  # pinned-snapshot
+        # golden (HLL register-max merge is order-independent, so the
+        # estimate is exactly reproducible); the error bound vs the exact
+        # count is pinned in tests/test_sketches.py
     doc="Mergeable-sketch distinct counting: per-DAY HLL sketches of "
         "user_id (one pass over events), then weekly uniques by UNIONING "
         "the daily sketches — no second pass over raw data. THE pattern "
@@ -910,7 +913,8 @@ def ext_fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_sim_topk_mllib_brp",
-    oracle=None,  # LSH is approximate by construction; agreement with
+    oracle=golden_oracle("x_sim_topk_mllib_brp"),  # pinned-snapshot
+        # golden (seeded BRP model is deterministic); agreement with
                   # cosine brute force is pinned in tests/test_similarity.py
     doc="X-SIM-SEARCH cross-check path: MLlib BucketedRandomProjection"
         "LSH (Euclidean p-stable hashing, seeded) → approxSimilarityJoin "
@@ -2397,7 +2401,8 @@ def ext_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_sim_topk_ivf",
-    oracle=None,  # approximate by construction; recall pinned in tests
+    oracle=golden_oracle("x_sim_topk_ivf"),  # pinned-snapshot golden;
+        # recall pinned in tests/test_similarity.py
     doc="X-SIM-SEARCH IVF path: Voronoi-cell partition of the corpus "
         "(deterministic centroids; k-means at scale), nprobe=3 cells "
         "searched per query. Rows-only driver check; tests measure "

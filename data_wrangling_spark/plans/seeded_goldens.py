@@ -1,0 +1,108 @@
+"""Golden-hash oracles for the seeded (non-SQL-expressible) queries.
+
+The xxhash-seeded MinHash/SimHash/hyperplane-LSH families, Lloyd-IVF,
+MLlib BRP, and the HLL rollup cannot be re-expressed as ANSI SQL DuckDB
+could run independently (their values depend on Spark-internal seeded
+hashing). Round 4 left them as rows-only driver checks; per the round-4
+brief they are upgraded to hash-checked via content-addressed goldens —
+the same committed-expected-output technique as ``plans/osm_oracle.py``.
+
+PROVENANCE POLICY (be honest about what this checks): unlike the OSM
+goldens (independent dual implementation), these are pinned snapshots of
+the engine's own output, captured by ``scripts/capture_seeded_goldens.py``
+at a moment when the SEMANTIC pins were green — the recall/equivalence
+pytest suites (test_dedup.py, test_similarity.py, test_sketches.py)
+remain the ground truth for meaning, and a cross-partitioning
+determinism probe (7/7 stable at shuffle.partitions ∈ {7, 32, 64})
+backs the snapshot's stability. The golden therefore converts the
+driver's check from "returns 25 rows" into "returns exactly the rows it
+returned when the semantics were last validated" — a regression oracle,
+not an independent derivation. Changing a seeded implementation
+deliberately requires re-running the capture script and the full suite.
+
+Mechanics: the golden parquet carries one slice per corpus fingerprint
+(a DuckDB-computable key over the base table — text-length sum,
+integer-cast embedding component sum, event count), so one FIXED oracle
+SQL string picks the right slice at sf0.001 (pytest) and sf0.01 (the
+driver) alike:
+
+    SELECT <cols> FROM read_parquet('<path>')
+    WHERE corpus_key = (SELECT <key expr> FROM <table>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from data_wrangling_spark.plans.seeded_goldens_data import CORPUS_KEYS, GOLDENS
+
+_PA_TYPES = {
+    "int64": "int64",
+    "int32": "int32",
+    "float64": "float64",
+    "object": "string",
+}
+
+_CACHE: dict[str, str] = {}
+
+
+def golden_parquet(name: str) -> str:
+    """Materialize the committed golden rows for ``name`` as a parquet
+    under ONE content-addressed path (hash of the rows in the path, so a
+    data change never collides with a stale file) and return the path.
+    Written via unique-temp + os.replace — atomic on POSIX, safe against
+    concurrent pytest/driver importers sharing /tmp."""
+    cached = _CACHE.get(name)
+    if cached is not None and os.path.exists(cached):
+        return cached
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spec = GOLDENS[name]
+    content_key = hashlib.sha256(repr(spec).encode()).hexdigest()[:12]
+    stage = os.path.join(
+        tempfile.gettempdir(), f"dws-seeded-goldens-{content_key}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    path = f"{stage}/{name}.parquet"
+    if os.path.exists(path):
+        _CACHE[name] = path
+        return path
+
+    cols = spec["columns"]
+    arrays, fields = [], []
+    for i, (col, dtype) in enumerate(zip(cols, spec["dtypes"])):
+        pa_type = getattr(pa, _PA_TYPES[dtype])()
+        vals = [
+            row[i]
+            for key in spec["slices"]
+            for row in spec["slices"][key]
+        ]
+        arrays.append(pa.array(vals, pa_type))
+        fields.append(pa.field(col, pa_type))
+    key_vals = [
+        key for key in spec["slices"] for _ in spec["slices"][key]
+    ]
+    arrays.append(pa.array(key_vals, pa.int64()))
+    fields.append(pa.field("corpus_key", pa.int64()))
+    t = pa.table(dict(zip([f.name for f in fields], arrays)), schema=pa.schema(fields))
+    tmp = f"{path}.{os.getpid()}.tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    _CACHE[name] = path
+    return path
+
+
+def golden_oracle(name: str) -> str:
+    """The fixed DuckDB oracle SQL for ``name``: the committed golden
+    slice whose corpus fingerprint matches the live base table."""
+    spec = GOLDENS[name]
+    cols = ", ".join(spec["columns"])
+    key_expr = CORPUS_KEYS[spec["table"]]
+    path = golden_parquet(name)
+    return (
+        f"SELECT {cols} FROM read_parquet('{path}') "
+        f"WHERE corpus_key = (SELECT {key_expr} FROM {spec['table']})"
+    )

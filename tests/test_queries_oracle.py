@@ -23,8 +23,14 @@ def test_matches_duckdb_oracle(spark, duck, name):
     assert_matches_oracle(spark, duck, spec.spark, spec.oracle)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
+# since round 5 every registered query carries an oracle (the seeded
+# hash/sketch families via plans/seeded_goldens.py pinned snapshots);
+# the sentinel keeps this smoke net alive for future rows-only entries
+# without a permanent skip in the suite
+@pytest.mark.parametrize("name", ROWS_ONLY or ["<all-queries-oracled>"])
 def test_rows_only_smoke(spark, name):
+    if name == "<all-queries-oracled>":
+        return
     spec = QUERIES[name]
     df = spec.spark(spark, "/root/testdata/sf0.001")
     assert df.count() >= 0
