@@ -31,9 +31,11 @@ Two numbers are reported:
 Noise armor (round-3 lesson: a contended container run archived a 3x
 per-query regression that never reproduced): 2 warmups + median of 5,
 plus per-query relative spread ((max-min)/median over the timed runs) in
-"spread_pct" and any query whose spread exceeds 50% listed in "noisy" —
-a contended run is visibly flagged in the archived line instead of
-masquerading as a code regression.
+"spread_pct" and any query whose TRIMMED spread ((4th-2nd sorted run)/
+median — robust to one straggler run, see inline note) exceeds 50%
+listed in "noisy" — a contended run is visibly flagged in the archived
+line instead of masquerading as a code regression, while a single GC/
+scheduler hiccup on a ~0.15s query is not.
 """
 
 from __future__ import annotations
@@ -70,9 +72,19 @@ def main() -> None:
         run(df)  # second warmup: first can still hit codegen compilation
 
     # steady state: median of 5 timed executions of the prepared plan,
-    # with the relative spread recorded as a contention canary
+    # with the relative spread recorded as a contention canary.
+    # Two spreads per query: raw ((max-min)/median, full transparency)
+    # and TRIMMED ((4th-2nd of the sorted 5)/median) — the round-5
+    # investigation of the persistent q1/q4 flags (12-rep probe on a
+    # quiet box) showed stable medians with a single straggler run
+    # (0.13..0.20s cluster + one 0.5s GC/scheduler hiccup): a one-tail
+    # outlier moves max-min but not the median, while genuine
+    # contention inflates EVERY run and keeps the trimmed spread high.
+    # The noisy flag therefore gates on the trimmed spread; raw stays
+    # in spread_pct so a flagged-vs-raw divergence is itself visible.
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    trimmed: dict[str, float] = {}
     for name, df in prepared.items():
         runs = []
         for _ in range(5):
@@ -83,6 +95,7 @@ def main() -> None:
         med = runs[2]
         timings[name] = round(med, 4)
         spreads[name] = round(100.0 * (runs[-1] - runs[0]) / med, 1)
+        trimmed[name] = round(100.0 * (runs[-2] - runs[1]) / med, 1)
 
     # headline: whole suite submitted concurrently (median of 5)
     from concurrent.futures import ThreadPoolExecutor
@@ -106,10 +119,11 @@ def main() -> None:
                 "sequential_total": round(sum(timings.values()), 4),
                 "sf": sf,
                 "spread_pct": spreads,
+                "trimmed_spread_pct": trimmed,
                 "concurrent_spread_pct": round(
                     100.0 * (conc_runs[-1] - conc_runs[0]) / total, 1
                 ),
-                "noisy": sorted(n for n, s in spreads.items() if s > 50.0),
+                "noisy": sorted(n for n, s in trimmed.items() if s > 50.0),
             }
         )
     )
