@@ -36,36 +36,143 @@ def topk_bruteforce(
     k: int = 5,
     metric: str = "cosine",
     round_to: int | None = None,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Exact top-k: for each query row, the k nearest corpus rows.
 
     Returns (query_id, neighbor_id, score) with rank tiebreak on
     neighbor_id for full determinism. ``round_to`` rounds the score BEFORE
     ranking — used by the oracle query so accumulation-order ulp
-    differences between engines cannot flip ranks."""
-    # NOTE: no point pre-computing norms in a select before the join —
-    # Catalyst's CollapseProject inlines them back into the pair-level
-    # projection, so they are recomputed per pair either way (measured).
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    )
-    score = (cosine if metric == "cosine" else dot)("qvec", "cvec")
+    differences between engines cannot flip ranks.
+
+    ``kernel``: 'arrow' (default) scores each corpus Arrow batch against
+    the probe matrix with one numpy matmul — the vectorized-UDF case the
+    task brief carves out of "UDFs are the slow path": per-element
+    Catalyst array expressions evaluate the 128-dim dot scalar-by-scalar
+    inside codegen, while the BLAS matmul does the same flops ~10x
+    faster (measured 11.4s -> ~1s on 200k x 128 x 5 at the 100x bench
+    point). 'expr' keeps the pure-JVM zip_with/aggregate form (no Python
+    worker dependency). Both kernels widen float32 identically and
+    differ only in accumulation ORDER (ulps); with ``round_to`` the
+    outputs are row-identical (pinned by equivalence test). Zero-norm
+    vectors score NULL in both."""
+    if kernel == "arrow":
+        pairs = _pairs_arrow(corpus, queries, id_col, vec_col, metric)
+    elif kernel == "expr":
+        # NOTE: no point pre-computing norms in a select before the join —
+        # Catalyst's CollapseProject inlines them back into the pair-level
+        # projection, so they are recomputed per pair either way (measured).
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        )
+        score = (cosine if metric == "cosine" else dot)("qvec", "cvec")
+        pairs = (
+            c.crossJoin(F.broadcast(q))
+            .withColumn("score", score)
+            .select("query_id", "neighbor_id", "score")
+        )
+    else:
+        raise ValueError(f"unknown kernel {kernel!r}: expected 'arrow' or 'expr'")
+    pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
     if round_to is not None:
-        score = F.round(score, round_to)
-    pairs = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", score)
-    )
+        pairs = pairs.withColumn("score", F.round("score", round_to))
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def _pairs_arrow(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, metric: str
+) -> DataFrame:
+    """(query_id, neighbor_id, score) via one numpy matmul per Arrow
+    batch. Probe vectors ride to executors as a closure matrix — the
+    same small-side constraint as the expr kernel's broadcast, enforced
+    loudly. Scores accumulate in float64; zero-norm rows yield NULL
+    (mirroring cosine()'s try_divide, NOT NaN — Spark sorts NaN first
+    under desc, which would silently promote degenerate vectors)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    qrows = queries.select(id_col, vec_col).collect()  # control-plane: probes
+    if len(qrows) > 4096:
+        raise ValueError(
+            f"arrow kernel ships the {len(qrows)} probe vectors in the "
+            "task closure — cap is 4096; for query sets that large use "
+            "a distributed join form (topk_lsh / topk_ivf)"
+        )
+    if not qrows:
+        raise ValueError("topk_bruteforce: empty query set")
+    if any(r[1] is None for r in qrows):
+        raise ValueError(
+            "topk_bruteforce arrow kernel: NULL probe embedding "
+            f"(ids: {[r[0] for r in qrows if r[1] is None][:5]}) — drop or "
+            "impute probe vectors before searching"
+        )
+    qids = [r[0] for r in qrows]
+    qm = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    m = len(qids)
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            # NULL embeddings score NULL against every probe (parity with
+            # the expr kernel's null-propagating cosine); a zero stand-in
+            # keeps the matmul rectangular
+            isna = pdf[vec_col].isna().to_numpy()
+            dim = qm.shape[1]
+            cm = np.array(
+                [
+                    np.zeros(dim) if isna[i] else np.asarray(v, dtype=np.float64)
+                    for i, v in enumerate(pdf[vec_col])
+                ]
+            )
+            s = cm @ qm.T
+            bad = np.broadcast_to(isna[:, None], s.shape)
+            if metric == "cosine":
+                cn = np.sqrt((cm * cm).sum(axis=1))
+                denom = cn[:, None] * qn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = s / denom
+                bad = bad | (denom == 0.0)
+            bad = bad.ravel()
+            if not bad.any():
+                bad = None
+            flat = s.ravel()
+            score: object = flat
+            if bad is not None and bad.any():
+                score = [
+                    None if bad[i] else float(flat[i]) for i in range(len(flat))
+                ]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, n),
+                    "neighbor_id": np.repeat(pdf[id_col].to_numpy(), m),
+                    "score": score,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(batches, out_schema)
 
 
 def lloyd_centroids(
@@ -266,7 +373,10 @@ def topk_lsh(
     under = queries.join(
         filled, F.col(id_col) == filled.query_id, "left_anti"
     )
-    brute = topk_bruteforce(corpus, under, id_col, vec_col, k=k)
+    # kernel='expr': the arrow kernel collects its query set at plan-BUILD
+    # time, but `under` is a computed frame — expr keeps this plan fully
+    # lazy (and the fallback side is empty at runtime in the common case)
+    brute = topk_bruteforce(corpus, under, id_col, vec_col, k=k, kernel="expr")
     return from_lsh.join(F.broadcast(filled.select("query_id")), "query_id").unionByName(
         brute
     )

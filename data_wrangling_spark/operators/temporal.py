@@ -167,6 +167,148 @@ def asof_join(
     )
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: dict[str, str],
+    bucket_seconds: int,
+    direction: str = "backward",
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """``asof_join`` with the per-key window split into fixed-width time
+    buckets — the skew-mitigation form for hot keys.
+
+    The plain operator partitions the carry window by the join key: a
+    key holding 1% of a 100 TB event stream puts 1 TB of rows through
+    ONE task, and AQE cannot split a window partition the way it splits
+    a skewed join partition. Here the shuffle/window key is
+    (key, floor(time / bucket_seconds)), so a hot key's rows spread
+    across its time buckets; what crosses bucket boundaries is one
+    pre-aggregated payload row per (key, bucket), carried by a window
+    over the O(buckets-per-key) summary rows — never the raw data.
+
+    Results are EXACTLY ``asof_join``'s (pinned by equivalence tests):
+    within a bucket the same union-marker carry runs, seeded by a
+    boundary row holding the latest (direction-wise) right payload from
+    all earlier buckets. ``direction='forward'`` reuses the backward
+    machinery on negated time (max -t with -rt <= -lt IS min rt with
+    rt >= lt; the greatest-tiebreak rule is direction-invariant).
+
+    Cost vs ``asof_join``: the one big shuffle is the same width (on a
+    finer key), plus three control-plane-sized shuffles (right per-bucket
+    summaries, left distinct buckets, the boundary window). Equal
+    (key, time, tiebreak) right rows with different payloads are
+    nondeterministic in BOTH operators — make the tiebreak unique.
+    Pick ``bucket_seconds`` so a hot key's densest bucket fits a task
+    comfortably (e.g. daily buckets for a key doing ~1M rows/day)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+
+    sign = 1.0 if direction == "backward" else -1.0
+    lcols = list(left.columns)
+    w_lit = float(bucket_seconds)
+
+    l_s = (_seconds(left, left_time) * sign).alias("_s")
+    r_s = (_seconds(right, right_time) * sign).alias("_s")
+    tb_type = right.schema[right_tiebreak].dataType if right_tiebreak else None
+
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        r_s,
+        F.struct(
+            *[F.col(src).alias(dst) for src, dst in payload.items()]
+        ).alias("_p"),
+        *([F.col(right_tiebreak).alias("_tb")] if right_tiebreak else []),
+    ).withColumn("_bk", F.floor(F.col("_s") / w_lit).cast("long"))
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        l_s,
+        *[F.col(c).alias(f"_lc_{c}") for c in lcols],
+    ).withColumn("_bk", F.floor(F.col("_s") / w_lit).cast("long"))
+
+    # per-(key,bucket) winning right payload: greatest (time, tiebreak)
+    ord_struct = (
+        F.struct(F.col("_s"), F.col("_tb"))
+        if right_tiebreak
+        else F.struct(F.col("_s"))
+    )
+    summary = r_tagged.groupBy("_k", "_bk").agg(
+        F.max_by("_p", ord_struct).alias("_pb")
+    )
+    # boundary payload for bucket b = the latest summary among buckets
+    # strictly before b, over the union of buckets either side touches —
+    # a left-only bucket still needs the carry from the last right row
+    # seen before it
+    all_bk = (
+        l_tagged.select("_k", "_bk")
+        .distinct()
+        .unionByName(summary.select("_k", "_bk"))
+        .distinct()
+    )
+    carry_w = (
+        Window.partitionBy("_k")
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = (
+        all_bk.join(summary, ["_k", "_bk"], "left")
+        .withColumn("_pc", F.last("_pb", ignorenulls=True).over(carry_w))
+        .filter(F.col("_pc").isNotNull())
+        .select("_k", "_bk", F.col("_pc").alias("_p"))
+    )
+
+    p_type = r_tagged.schema["_p"].dataType
+    null_lc = [
+        F.lit(None).cast(left.schema[c].dataType).alias(f"_lc_{c}")
+        for c in lcols
+    ]
+    tb_cols = (
+        [F.lit(None).cast(tb_type).alias("_tb")] if right_tiebreak else []
+    )
+    # marker order inside a (key, bucket) partition: boundary(-1) first
+    # (null _s + asc_nulls_first also sorts it before real rows), then
+    # right(0) before left(1) at equal times — identical to asof_join
+    b_rows = boundary.select(
+        "_k", F.lit(None).cast("double").alias("_s"), "_bk",
+        F.lit(-1).alias("_m"), *null_lc, "_p", *tb_cols,
+    )
+    r_rows = r_tagged.select(
+        "_k", "_s", "_bk", F.lit(0).alias("_m"), *null_lc, "_p",
+        *([F.col("_tb")] if right_tiebreak else []),
+    )
+    l_rows = l_tagged.select(
+        "_k", "_s", "_bk", F.lit(1).alias("_m"),
+        *[F.col(f"_lc_{c}") for c in lcols],
+        F.lit(None).cast(p_type).alias("_p"), *tb_cols,
+    )
+    order_cols = [F.col("_s").asc_nulls_first(), F.col("_m")] + (
+        [F.col("_tb").asc_nulls_first()] if right_tiebreak else []
+    )
+    w = (
+        Window.partitionBy("_k", "_bk")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        b_rows.unionByName(r_rows)
+        .unionByName(l_rows)
+        .select(
+            "_m",
+            *[f"_lc_{c}" for c in lcols],
+            F.last("_p", ignorenulls=True).over(w).alias("_c"),
+        )
+    )
+    return carried.filter(F.col("_m") == 1).select(
+        *[F.col(f"_lc_{c}").alias(c) for c in lcols],
+        *[F.col(f"_c.{dst}").alias(dst) for dst in payload.values()],
+    )
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -164,6 +164,41 @@ def ext_asof_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_asof_latest_order_bucketed",
+    oracle="""
+        WITH ord AS (
+            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS last_orderkey
+        FROM events e
+        ASOF LEFT JOIN ord o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        ORDER BY e.event_id
+    """,
+    doc="ext_asof_latest_order through the SKEW-SAFE bucketed form: same "
+        "result (same oracle), but the carry window partitions on "
+        "(user, weekly time bucket) instead of user alone, so a hot "
+        "key's rows spread across its buckets and only one pre-"
+        "aggregated payload row per (key, bucket) crosses boundaries — "
+        "the mitigation for the one skew shape AQE cannot split "
+        "(window partitions). operators/temporal.py asof_join_bucketed.",
+)
+def ext_asof_latest_order_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.temporal import asof_join_bucketed
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    return asof_join_bucketed(
+        events, orders, on="user_id", left_time="ts", right_time="o_orderdate",
+        payload={"o_orderkey": "last_orderkey"}, bucket_seconds=7 * 86400,
+        right_tiebreak="o_orderkey",
+    )
+
+
+@register(
     "ext_sessionize_events",
     oracle="""
         WITH flagged AS (
@@ -1652,19 +1687,29 @@ def ext_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "plans Exchange SinglePartition, funnelling every row through "
         "one task (that contrast is preserved in "
         "tests/test_plan_hygiene.py). Here the global rank is computed "
-        "the way distributed engines actually rank: repartitionByRange "
-        "on the sort key (RangePartitioner boundary sampling — no data "
-        "through one task), persist so both passes see the SAME "
-        "materialized partitioning, collect the O(partitions) "
-        "per-partition counts, then rank = partition offset + "
-        "per-partition row_number and the NTILE tile formula maps rank "
-        "to decile as a narrow expression. Every exchange is N-way; "
-        "driver traffic is one row per partition. Sibling "
-        "ext_deciles_scalable trades the ranked pass for "
-        "histogram-refinement boundary selection (ties never split).",
+        "the way distributed engines actually rank, with DETERMINISTIC "
+        "range buckets: cut points from exact_quantiles (histogram "
+        "refinement — a deterministic computation, unlike "
+        "RangePartitioner's per-job sampling), bucket = narrow CASE "
+        "chain, collect the O(buckets) per-bucket counts, then rank = "
+        "bucket offset + per-bucket row_number and the NTILE tile "
+        "formula maps rank to decile as a narrow expression. "
+        "Determinism means no persist pin: each pass may recompute the "
+        "bucketing from scratch (a lost cache block under the earlier "
+        "repartitionByRange form would have re-sampled boundaries and "
+        "silently mis-offset ranks — round-5 review find). Every "
+        "exchange is N-way; driver traffic is one row per bucket. Rows "
+        "tied on the bucket value co-bucket by construction (bucket "
+        "must be a function of the value alone or tied rows could "
+        "straddle the offset boundary), so an extreme tie mass "
+        "concentrates one bucket — same bound as any ordered ranking "
+        "of ties. Sibling ext_deciles_scalable trades the ranked pass "
+        "for pure boundary banding (ties never split).",
 )
 def ext_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
+
+    from data_wrangling_spark.operators.quantiles import exact_quantiles
 
     orders = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
@@ -1672,35 +1717,46 @@ def ext_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice", "o_orderkey", cents.alias("cents")
     )
     parts = 32
-    # persist is CORRECTNESS, not caching: RangePartitioner samples per
-    # job, so without materialization the counts job and the final job
-    # could see different partition boundaries and mis-offset the ranks
-    ranged = (
-        base.repartitionByRange(parts, "o_totalprice", "o_orderkey")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    # deterministic integer thresholds between the ~equal-mass buckets;
+    # duplicates collapse (heavily tied data yields fewer, fatter
+    # buckets — correct, just less parallel, see docstring)
+    cuts = sorted(
+        {
+            int(c) + 1
+            for c in exact_quantiles(
+                base, "cents", [i / parts for i in range(1, parts)]
+            )
+        }
     )
+    bucket = None
+    for i, t in enumerate(cuts):
+        cond = F.col("cents") < F.lit(t)
+        bucket = F.when(cond, i) if bucket is None else bucket.when(cond, i)
+    bucket = (
+        F.lit(0) if bucket is None else bucket.otherwise(len(cuts))
+    ).cast("int")
+    bucketed = base.withColumn("_b", bucket)
     counts = {
-        r["_pid"]: r["cnt"]
-        for r in ranged.groupBy("_pid")
+        r["_b"]: r["cnt"]
+        for r in bucketed.groupBy("_b")
         .agg(F.count("*").alias("cnt"))
-        .collect()  # O(partitions) control-plane rows
+        .collect()  # O(buckets) control-plane rows
     }
     total = sum(counts.values())
     offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
     # NTILE(10) over N rows: the first N mod 10 tiles hold ceil(N/10)
     # rows, the rest floor(N/10) — mapped from the 1-based global rank
     q, rem = divmod(total, 10)
     boundary = rem * (q + 1)
     off_map = F.create_map(
-        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        *[F.lit(x) for b in sorted(offsets) for x in (b, offsets[b])]
     )
-    w = Window.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
+    w = Window.partitionBy("_b").orderBy("o_totalprice", "o_orderkey")
     rank = (
-        off_map[F.col("_pid")].cast("long")
+        off_map[F.col("_b")].cast("long")
         + F.row_number().over(w).cast("long")
     )
     # max(q,1): when N < 10, every rank takes the THEN branch (boundary
@@ -1712,7 +1768,7 @@ def ext_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"END AS INT)"
     )
     return (
-        ranged.select("cents", rank.alias("_r"))
+        bucketed.select("cents", rank.alias("_r"))
         .select("cents", decile.alias("decile"))
         .groupBy("decile")
         .agg(

@@ -172,8 +172,18 @@ def _parse_byte_range(
             # no element start and no doc close AFTER the range — this
             # is the document's tail split, so ``</osm>`` lies inside
             # [sync, end); find it so the stream stops before it (our
-            # synthetic root supplies its own close)
-            cut = _scan_forward(f, sync, re.compile(rb"</osm"))
+            # synthetic root supplies its own close). The close tag sits
+            # at the file tail by construction, so search a bounded
+            # back-window first instead of re-streaming the whole split
+            # (the full forward scan doubled the tail split's I/O —
+            # round-5 review find); fall back to the full scan only if
+            # the window misses (e.g. kilobytes of trailing junk).
+            f.seek(0, 2)
+            size = f.tell()
+            window = max(sync, size - 65536)
+            cut = _scan_forward(f, window, re.compile(rb"</osm"))
+            if cut is None:
+                cut = _scan_forward(f, sync, re.compile(rb"</osm"))
 
         parser = ET.XMLPullParser(events=("start", "end"))
         parser.feed(b"<osm>")

@@ -36,13 +36,18 @@ EXECUTES_ON_BUILD = {n for n in QUERIES if n.startswith("x_stream_")} | {
     # built; its BNLJ-cleanliness is noted in the CLEAN-plans comment below
     # and pinned by tests/test_similarity.py
     "x_sim_topk_mllib_brp",
+    # the arrow matmul kernel collects its <=5 probe vectors at build
+    # time (control-plane); the scoring plan itself is mapInPandas +
+    # window — no join at all
+    "x_sim_topk_bruteforce",
     # exact_quantiles boundary passes run eagerly at build time (tiny
     # control-plane histogram jobs); the returned plan is asserted by the
     # dedicated single-partition test below
     "ext_deciles_scalable",
     "ext_percentiles_scalable",
-    # two-pass ranked NTILE: builds run the range-repartition + counts
-    # job; funnel-freedom asserted by the dedicated test below
+    # two-pass ranked NTILE: builds run the exact_quantiles cut-point
+    # jobs + the bucket-counts job; funnel-freedom asserted by the
+    # dedicated test below
     "ext_ntile_deciles",
 }
 
@@ -134,6 +139,15 @@ def test_ntile_deciles_have_no_single_partition_exchange(spark):
     )
     assert "ntile" not in plan.lower(), (
         "a global NTILE window crept back into the registered query"
+    )
+    # round-5 review find: the earlier repartitionByRange form pinned a
+    # persist for correctness (RangePartitioner re-samples per job; a
+    # lost cache block would silently mis-offset ranks) and leaked the
+    # cached relation. The deterministic cut-point bucketing needs no
+    # cache — its absence in the plan is the regression pin.
+    assert "InMemoryTableScan" not in plan, (
+        "ext_ntile_deciles must not rely on a persisted relation: "
+        "bucketing must be deterministic under recomputation"
     )
 
 

@@ -129,3 +129,34 @@ def test_ivf_topk_recall(spark):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_bruteforce_kernels_equivalent_rounded(spark):
+    """arrow (numpy matmul) and expr (zip_with/aggregate) kernels return
+    row-identical results when scores are rounded before ranking — the
+    contract that lets the registered oracle query use the fast kernel.
+    Includes a zero-norm vector: both kernels must score it NULL (NaN
+    would sort FIRST under desc and silently win every ranking)."""
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+            for i in range(40)]
+    rows.append((99, [0.0] * 8))  # zero-norm corpus vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 3)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    a = canon(topk_bruteforce(emb, q, k=5, round_to=6, kernel="arrow"))
+    e = canon(topk_bruteforce(emb, q, k=5, round_to=6, kernel="expr"))
+    assert a == e
+
+    # the zero vector never outranks real neighbors in either kernel
+    for rowset in (a, e):
+        assert all(r[1] != 99 for r in rowset)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="kernel"):
+        topk_bruteforce(emb, q, k=5, kernel="blas")
+    with pytest.raises(ValueError, match="empty query set"):
+        topk_bruteforce(emb, emb.filter(F.col("vec_id") < 0), k=5)

@@ -133,3 +133,126 @@ def test_asof_tiebreak_atomic_with_null_fields(spark):
     ).collect()[0]
     assert row.tag == "hi"
     assert row.v is None
+
+
+# ---------------------------------------------------------------- bucketed --
+
+def _random_asof_frames(spark, seed: int, n_left=200, n_right=80, n_keys=5):
+    """Deterministic pseudo-random frames with repeated keys, timestamp
+    ties (left==right, right==right), and a right tiebreak column."""
+    import random
+
+    rng = random.Random(seed)
+    left = [
+        (i, f"k{rng.randrange(n_keys)}", _ts(rng.randrange(0, 600)))
+        for i in range(n_left)
+    ]
+    right = [
+        (f"k{rng.randrange(n_keys)}", _ts(rng.randrange(0, 600)), 1000 + i)
+        for i in range(n_right)
+    ]
+    ldf = spark.createDataFrame(left, "event_id long, k string, t timestamp")
+    rdf = spark.createDataFrame(right, "k string, rt timestamp, payload int")
+    return ldf, rdf
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_asof_bucketed_equals_plain_backward(spark):
+    """asof_join_bucketed must return EXACTLY asof_join's rows across
+    bucket widths that force payload carries over empty/boundary
+    buckets (1-minute buckets over a 10-hour span) and widths larger
+    than the whole span (single bucket == the plain op)."""
+    from data_wrangling_spark.operators.temporal import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    ldf, rdf = _random_asof_frames(spark, seed=7)
+    want = _rows(
+        asof_join(ldf, rdf, on="k", left_time="t", right_time="rt",
+                  payload={"payload": "p"}, right_tiebreak="payload")
+    )
+    for width in (60, 3600, 10**9):
+        got = _rows(
+            asof_join_bucketed(
+                ldf, rdf, on="k", left_time="t", right_time="rt",
+                payload={"payload": "p"}, bucket_seconds=width,
+                right_tiebreak="payload",
+            )
+        )
+        assert got == want, f"bucket_seconds={width}"
+
+
+def test_asof_bucketed_equals_plain_forward(spark):
+    from data_wrangling_spark.operators.temporal import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    ldf, rdf = _random_asof_frames(spark, seed=11)
+    want = _rows(
+        asof_join(ldf, rdf, on="k", left_time="t", right_time="rt",
+                  payload={"payload": "p"}, direction="forward",
+                  right_tiebreak="payload")
+    )
+    for width in (60, 7200):
+        got = _rows(
+            asof_join_bucketed(
+                ldf, rdf, on="k", left_time="t", right_time="rt",
+                payload={"payload": "p"}, bucket_seconds=width,
+                direction="forward", right_tiebreak="payload",
+            )
+        )
+        assert got == want, f"bucket_seconds={width}"
+
+
+def test_asof_bucketed_hot_key_partitions_by_bucket(spark):
+    """The point of the operator: the big window partitions on
+    (key, bucket), so one hot key's rows do NOT form one partition.
+    Plan must show both columns in the hash partitioning and the
+    results must still match the plain op on a 90%-hot-key frame."""
+    from data_wrangling_spark.operators.temporal import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    hot = [(i, "hot", _ts(i % 500)) for i in range(300)]
+    cold = [(1000 + i, f"c{i}", _ts(i)) for i in range(30)]
+    ldf = spark.createDataFrame(hot + cold, "event_id long, k string, t timestamp")
+    rdf = spark.createDataFrame(
+        [("hot", _ts(m), m) for m in range(0, 500, 50)]
+        + [(f"c{i}", _ts(0), 900 + i) for i in range(30)],
+        "k string, rt timestamp, payload int",
+    )
+    out = asof_join_bucketed(
+        ldf, rdf, on="k", left_time="t", right_time="rt",
+        payload={"payload": "p"}, bucket_seconds=600,
+        right_tiebreak="payload",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_k" in plan and "_bk" in plan.split(
+        "hashpartitioning(_k", 1
+    )[1][:80], "carry window must partition on (key, bucket)"
+    want = _rows(
+        asof_join(ldf, rdf, on="k", left_time="t", right_time="rt",
+                  payload={"payload": "p"}, right_tiebreak="payload")
+    )
+    assert _rows(out) == want
+
+
+def test_asof_bucketed_rejects_bad_args(spark):
+    import pytest
+
+    from data_wrangling_spark.operators.temporal import asof_join_bucketed
+
+    ldf, rdf = _random_asof_frames(spark, seed=3, n_left=5, n_right=5)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join_bucketed(ldf, rdf, on="k", left_time="t", right_time="rt",
+                           payload={"payload": "p"}, bucket_seconds=60,
+                           direction="sideways")
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        asof_join_bucketed(ldf, rdf, on="k", left_time="t", right_time="rt",
+                           payload={"payload": "p"}, bucket_seconds=0)
