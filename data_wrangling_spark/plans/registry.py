@@ -73,7 +73,10 @@ DRIVER_WINDOW: list[str] = [
     "ext_range_join_attribution",
     "ext_percentiles_scalable",  # new this round: grouped exact quantiles
     "ext_sql_api",
-    "op_csv_roundtrip",
+    # round 5: ext_asof_latest_order_bucketed (new skew-safe as-of form)
+    # swaps in for op_csv_roundtrip (4 green driver rows r1-r4; sink
+    # family still represented by op_jsonl_roundtrip below)
+    "ext_asof_latest_order_bucketed",
     "ext_dataset_split",
     "ext_merge_upsert",
     "ext_skew_salted_distinct",

@@ -43,9 +43,21 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # size coalesced partitions for task efficiency, not max parallelism:
         # at small inputs this collapses 32 near-empty shuffle tasks into a
-        # few right-sized ones (~30% wall-clock here); at large inputs the
-        # advisory partition size governs either way
+        # few right-sized ones; at large inputs the advisory partition size
+        # governs either way
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # advisory target 16m, not Spark's 64m default: with
+        # parallelismFirst=false, 64m coalesces a ~300 MB window/join
+        # shuffle down to 4-5 tasks and strands the other cores — the
+        # round-5 multi-scale bench measured the as-of join 3.2x slower
+        # and TPC-H Q3 2.8x slower at 20x sf0.1 under 64m, with 16m also
+        # FASTER at sf0.1 itself (the near-empty-task collapse still
+        # happens; only the over-merge stops). Since coalescing can only
+        # merge below the initial spark.sql.shuffle.partitions (sized to
+        # cores), a small advisory here means "merge near-empty
+        # partitions, never below core count's worth of work" — the
+        # cluster-safe reading of the same setting.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- shuffle sizing
         .config(

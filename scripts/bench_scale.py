@@ -384,8 +384,17 @@ def main() -> None:
     # ---- skew section: same suite subset, zipf-hot join keys ----
     skew_data = None
     if os.environ.get("SPARK_GRAFT_SCALE_SKEW", "1") != "0":
-        skew_specs = {n: specs[n] for n in SKEW_QUERIES}
+        # full registry, not bench_queries(): the bucketed as-of is a
+        # registered (oracled) query but not a bench headline
+        from data_wrangling_spark.plans.registry import QUERIES
+
+        skew_specs = {n: QUERIES[n] for n in SKEW_QUERIES}
+        prev_confs = {}
         for k, v in SKEW_CONFS.items():
+            try:
+                prev_confs[k] = spark.conf.get(k)
+            except Exception:
+                prev_confs[k] = None
             spark.conf.set(k, v)
         skew_results: dict[int, dict[str, dict[str, float]]] = {}
         for mult in mults:
@@ -408,8 +417,11 @@ def main() -> None:
                 spark, os.path.join(workdir, f"mult{top_mult}skew")
             ),
         )
-        for k in SKEW_CONFS:
-            spark.conf.unset(k)
+        for k, v in prev_confs.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
         skew_data = {
             "results": skew_results,
             "skew_split": "isSkew=true" in plan_skew or "skew=true" in plan_skew,

@@ -55,7 +55,8 @@ EXECUTES_ON_BUILD = {n for n in QUERIES if n.startswith("x_stream_")} | {
 #: broadcast side that is provably tiny (<=8 centroids, <=5 probe
 #: vectors, a 1-row count/bounds aggregate, a generated date spine)
 BNLJ_ALLOWED = {
-    "x_sim_topk_bruteforce",   # 5 probe vectors broadcast
+    "x_sim_topk_bruteforce",   # expr kernel: 5 probe vectors broadcast
+                               # (arrow kernel plans no join at all)
     "x_sim_topk_lsh",          # query band rows broadcast
     "x_sim_topk_ivf",          # 8 centroids broadcast
     "x_sketch_countmin_heavy_hitters",  # 1-row total-count broadcast
