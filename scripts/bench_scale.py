@@ -95,6 +95,13 @@ SKEW_CONFS = {
     # factor despite carrying ~9% of all rows; 2x matches how a cluster
     # with thousands of partitions would see this skew
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    # REQUIRED for this plan shape, not a tuning nicety: the q3 SMJ's
+    # output partitioning (l_orderkey) is reused by the downstream
+    # aggregate, and OptimizeSkewedJoin refuses any split that would
+    # force a re-shuffle — so without force the hot partition stays
+    # whole no matter the thresholds (measured: no skew=true marker,
+    # 4.3s; forced: marker present, ~2.9s at 100x skewed)
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
 }
 
 
@@ -623,7 +630,20 @@ def _skew_section(a, skew_data, rows_by_mult) -> None:
     a("are drawn from the unshifted base orders, so every remapped row still")
     a("joins. AQE skew thresholds are sized to the bench's GB-scale")
     a("partitions (16m/8m vs the 256m defaults a TB-scale cluster would")
-    a("leave alone) and applied to BOTH columns of the comparison.")
+    a("leave alone) and applied to BOTH columns of the comparison, plus")
+    a("`forceOptimizeSkewedJoin=true` — a finding, not a nicety: the Q3")
+    a("join's output partitioning feeds a same-key aggregate, and")
+    a("OptimizeSkewedJoin refuses any split that would force a re-shuffle,")
+    a("so without force the hot partition stays whole at ANY threshold.")
+    a("")
+    a("The bucketed as-of row is the library's answer to the one skew shape")
+    a("AQE cannot touch (a window partition must see all its rows): at bench")
+    a("scale its three extra control-plane shuffles cost more than the hot")
+    a("partition saves — honest overhead, visible below — but it is the only")
+    a("query FASTER on skewed data than uniform (the hot key's buckets")
+    a("parallelize), while the plain as-of degrades; at a 100 TB hot key the")
+    a("plain form's single hot task is unboundedly worse, the bucketed")
+    a("form's is bounded by bucket width.")
     a("")
     for mult, r in skew_data["results"].items():
         a(f"### {mult}x sf0.1")
