@@ -156,14 +156,15 @@ def _pairs_arrow(
                     s = s / denom
                 bad = bad | (denom == 0.0)
             bad = bad.ravel()
-            if not bad.any():
-                bad = None
             flat = s.ravel()
             score: object = flat
-            if bad is not None and bad.any():
-                score = [
-                    None if bad[i] else float(flat[i]) for i in range(len(flat))
-                ]
+            if bad.any():
+                # nullable Float64, vectorized masked assignment — NOT a
+                # per-element Python loop (review find), and NOT NaN
+                # (Spark sorts NaN first under desc, silently promoting
+                # degenerate vectors; pd.NA arrives as SQL NULL)
+                score = pd.array(flat, dtype="Float64")
+                score[bad] = pd.NA
             yield pd.DataFrame(
                 {
                     "query_id": np.tile(qids, n),

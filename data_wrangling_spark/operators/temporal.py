@@ -217,6 +217,20 @@ def asof_join_bucketed(
     r_s = (_seconds(right, right_time) * sign).alias("_s")
     tb_type = right.schema[right_tiebreak].dataType if right_tiebreak else None
 
+    # NULL times get a sentinel bucket at the START of the traversal —
+    # which is bucket -2^63 going backward but +2^63-1 going forward,
+    # because plain asof_join orders by _t asc (nulls FIRST) backward
+    # and _t desc (nulls LAST) forward: backward, a null-time right row
+    # is 'earliest' and carries into every later row until superseded;
+    # forward, null-time rows trail the whole traversal and only see
+    # each other plus the final boundary. The sentinel reproduces both
+    # orderings exactly (pinned by the null-time equivalence test; the
+    # round-5 review caught the forward case diverging when NULLs
+    # grouped into SQL's one NULL bucket, which sorts first both ways).
+    null_bucket = -(2**63) if direction == "backward" else 2**63 - 1
+    bucket_of = lambda s: F.coalesce(  # noqa: E731
+        F.floor(s / w_lit).cast("long"), F.lit(null_bucket).cast("long")
+    )
     r_tagged = right.select(
         F.col(on).alias("_k"),
         r_s,
@@ -224,12 +238,12 @@ def asof_join_bucketed(
             *[F.col(src).alias(dst) for src, dst in payload.items()]
         ).alias("_p"),
         *([F.col(right_tiebreak).alias("_tb")] if right_tiebreak else []),
-    ).withColumn("_bk", F.floor(F.col("_s") / w_lit).cast("long"))
+    ).withColumn("_bk", bucket_of(F.col("_s")))
     l_tagged = left.select(
         F.col(on).alias("_k"),
         l_s,
         *[F.col(c).alias(f"_lc_{c}") for c in lcols],
-    ).withColumn("_bk", F.floor(F.col("_s") / w_lit).cast("long"))
+    ).withColumn("_bk", bucket_of(F.col("_s")))
 
     # per-(key,bucket) winning right payload: greatest (time, tiebreak)
     ord_struct = (

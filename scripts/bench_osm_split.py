@@ -37,8 +37,13 @@ TAGSETS = [
 
 
 def generate(path: str, n_nodes: int, n_ways: int) -> None:
+    """Writes to a temp path and os.replace()s into place: a run killed
+    mid-generate must not leave a truncated file that later runs
+    silently reuse via the exists-check (same atomicity rule as the
+    golden parquet writes)."""
     t0 = time.perf_counter()
-    with open(path, "w", buffering=1 << 22) as f:
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w", buffering=1 << 22) as f:
         f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
         f.write('<osm version="0.6" generator="dws-bench">\n')
         for i in range(n_nodes):
@@ -73,6 +78,7 @@ def generate(path: str, n_nodes: int, n_ways: int) -> None:
                 f'<tag k="highway" v="service"/></way>\n'
             )
         f.write("</osm>\n")
+    os.replace(tmp, path)
     print(
         f"generated {path}: {os.path.getsize(path) / 1e6:.0f} MB in "
         f"{time.perf_counter() - t0:.1f}s",
@@ -122,6 +128,10 @@ def main() -> None:
     for label, split_bytes in configs:
         df = read_osm_xml(spark, path, split_bytes=split_bytes)
         tasks = df.rdd.getNumPartitions()
+        vh = value_hash(df)  # untimed warmup (JVM/codegen/Python workers
+        # + OS page cache), same methodology as bench_scale.time_suite —
+        # without it the first config (the one-task baseline) absorbed
+        # the cold-start cost and inflated every speedup (review find)
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -132,7 +142,8 @@ def main() -> None:
             baseline_hash, baseline_t = vh, t
         row = {
             "read": label, "tasks": tasks, "wall_s": t,
-            "speedup": round(baseline_t / t, 1), "value_hash": vh,
+            "speedup": round(baseline_t / t, 1) if t else None,
+            "value_hash": vh,
             "identical": vh == baseline_hash,
         }
         results.append(row)

@@ -136,25 +136,12 @@ def materialize_skewed(spark, base_dir: str, out_dir: str, mult: int) -> dict:
     uniform shift, HOT_FRAC of events rows get a hot ``user_id`` and
     HOT_FRAC of lineitem rows a hot ``l_orderkey``, both drawn zipf(1)
     from ``HOT_KEYS`` keys that exist in the UNSHIFTED copy of orders —
-    so every remapped row still joins (the hot key's join/window
-    partition just concentrates ~ HOT_FRAC/h_norm of ALL rows; at
-    mult 100 the rank-1 key holds ~900k lineitem rows against a ~2k-row
-    uniform key). Other tables replicate uniformly. Returns
-    {rows: {...}, hot_orderkeys: [...], hot_custkeys: [...]}."""
-    import json as _json
-
-    from pyspark.sql import functions as F
-
-    from data_wrangling_spark.sources.tables import ensure_utc
-
-    ensure_utc(spark)
-    marker = os.path.join(out_dir, "_SCALE_OK.json")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            meta = _json.load(f)
-        if meta.get("base") == base_dir and meta.get("mult") == mult:
-            return meta
-
+    so every remapped row still joins. The rank-1 key holds
+    HOT_FRAC * (1/1)/H(8) ≈ 9.2% of ALL fact rows — at mult 100 that is
+    ~5.5M lineitem rows on one join key against ~10 on a uniform key
+    (the same magnitude the SCALING.md section states). Other tables
+    replicate uniformly. Returns {rows: {...}, hot_orderkeys: [...],
+    hot_custkeys: [...]}."""
     base_orders = spark.read.parquet(os.path.join(base_dir, "orders.parquet"))
     hot_orderkeys = [
         r.o_orderkey
@@ -171,6 +158,40 @@ def materialize_skewed(spark, base_dir: str, out_dir: str, mult: int) -> dict:
         "lineitem": ("l_orderkey", ["l_orderkey", "l_linenumber", "_copy"],
                      hot_orderkeys),
     }
+    return materialize(
+        spark, base_dir, out_dir, mult, remap=remap,
+        extra_meta={"hot_orderkeys": hot_orderkeys,
+                    "hot_custkeys": hot_custkeys},
+    )
+
+
+def materialize(
+    spark,
+    base_dir: str,
+    out_dir: str,
+    mult: int,
+    remap: dict | None = None,
+    extra_meta: dict | None = None,
+) -> dict:
+    """Write the key-shifted MULT-times blow-up of base_dir into out_dir
+    (ONE implementation for the uniform and skewed variants — review
+    find: two copies of the replication loop would silently
+    desynchronize the comparison they exist to make). ``remap`` maps
+    table -> (key_col, hash_cols, hot_keys) applied after the shift.
+    Idempotent: skips when a marker recording (base_dir, mult) exists.
+    Returns the marker meta dict ({"rows": {table: n}, ...})."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.sources.tables import ensure_utc
+
+    ensure_utc(spark)  # scaled files inherit the engine's timestamp model
+
+    marker = os.path.join(out_dir, "_SCALE_OK.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        if meta.get("base") == base_dir and meta.get("mult") == mult:
+            return meta
 
     rows: dict[str, int] = {}
     copies = spark.range(mult).withColumnRenamed("id", "_copy")
@@ -185,7 +206,7 @@ def materialize_skewed(spark, base_dir: str, out_dir: str, mult: int) -> dict:
             ],
             "_copy",
         )
-        if table in remap:
+        if remap and table in remap:
             key_col, hash_cols, hot = remap[table]
             scaled = scaled.withColumn(
                 key_col, _zipf_hot_key(key_col, hash_cols, hot)
@@ -200,56 +221,10 @@ def materialize_skewed(spark, base_dir: str, out_dir: str, mult: int) -> dict:
         df = spark.read.parquet(os.path.join(base_dir, f"{table}.parquet"))
         df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
         rows[table] = df.count()
-    meta = {"base": base_dir, "mult": mult, "rows": rows,
-            "hot_orderkeys": hot_orderkeys, "hot_custkeys": hot_custkeys}
+    meta = {"base": base_dir, "mult": mult, "rows": rows, **(extra_meta or {})}
     with open(marker, "w") as f:
-        _json.dump(meta, f)
+        json.dump(meta, f)
     return meta
-
-
-def materialize(spark, base_dir: str, out_dir: str, mult: int) -> dict[str, int]:
-    """Write the key-shifted MULT-times blow-up of base_dir into out_dir.
-    Idempotent: skips when a marker recording (base_dir, mult) exists.
-    Returns {table: rows}."""
-    from pyspark.sql import functions as F
-
-    from data_wrangling_spark.sources.tables import ensure_utc
-
-    ensure_utc(spark)  # scaled files inherit the engine's timestamp model
-
-    marker = os.path.join(out_dir, "_SCALE_OK.json")
-    if os.path.exists(marker):
-        with open(marker) as f:
-            meta = json.load(f)
-        if meta.get("base") == base_dir and meta.get("mult") == mult:
-            return meta["rows"]
-
-    rows: dict[str, int] = {}
-    copies = None
-    for table, shift_cols in SHIFT_COLS.items():
-        df = spark.read.parquet(os.path.join(base_dir, f"{table}.parquet"))
-        if copies is None:
-            copies = spark.range(mult).withColumnRenamed("id", "_copy")
-        scaled = df.crossJoin(F.broadcast(copies)).select(
-            *[
-                (F.col(c) + F.col("_copy") * F.lit(STRIDE)).alias(c)
-                if c in shift_cols
-                else F.col(c)
-                for c in df.columns
-            ]
-        )
-        n_base = df.count()
-        n_files = max(1, min(64, (n_base * mult) // 500_000 + 1))
-        dst = os.path.join(out_dir, f"{table}.parquet")
-        scaled.repartition(n_files).write.mode("overwrite").parquet(dst)
-        rows[table] = n_base * mult
-    for table in DIM_TABLES:
-        df = spark.read.parquet(os.path.join(base_dir, f"{table}.parquet"))
-        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
-        rows[table] = df.count()
-    with open(marker, "w") as f:
-        json.dump({"base": base_dir, "mult": mult, "rows": rows}, f)
-    return rows
 
 
 def _run(df) -> None:
@@ -363,7 +338,7 @@ def main() -> None:
         t0 = time.perf_counter()
         rows_by_mult[mult] = materialize(
             spark, "/root/testdata/sf0.1", scaled_dir, mult
-        )
+        )["rows"]
         mat_s += round(time.perf_counter() - t0, 1)
         print(f"materialized {mult}x at {scaled_dir} in {mat_s}s", file=sys.stderr)
         scales.append((f"{mult}x sf0.1", scaled_dir, float(mult)))
@@ -530,7 +505,7 @@ def write_scaling_md(path, mult, rows_by_mult, scales, results, conc_totals,
     if duck_results:
         _duckdb_section(a, scales, results, duck_results)
     if skew_data:
-        _skew_section(a, skew_data, rows_by_mult)
+        _skew_section(a, skew_data)
     _xml_split_section(a)
     a("## Found-and-fixed cliff at 100x: local-JVM heap, not the plans")
     a("")
@@ -619,7 +594,7 @@ SKEW_HANDLED_BY = {
 }
 
 
-def _skew_section(a, skew_data, rows_by_mult) -> None:
+def _skew_section(a, skew_data) -> None:
     a("## Skewed keys: zipf-hot joins vs the uniform variant")
     a("")
     a("Same replication as above, but 25% of events rows are remapped onto")
@@ -678,9 +653,9 @@ def _xml_split_section(a) -> None:
     a("")
     a("| read | tasks | wall (s) | speedup | rows | value hash |")
     a("|---|---|---|---|---|---|")
-    a("| one-task (pre-round-5 behavior) | 1 | 27.1 | 1.0x | 900,000 | `-7242476843537470964528` |")
-    a("| split 16 MB | 12 | 3.6 | 7.5x | 900,000 | identical |")
-    a("| split 8 MB | 23 | 2.3 | 11.8x | 900,000 | identical |")
+    a("| one-task (pre-round-5 behavior) | 1 | 22.3 | 1.0x | 900,000 | `-7242476843537470964528` |")
+    a("| split 16 MB | 12 | 3.6 | 6.2x | 900,000 | identical |")
+    a("| split 8 MB | 23 | 2.2 | 10.1x | 900,000 | identical |")
     a("")
     a("Value hash = sum over rows of `xxhash64(all columns)` in DECIMAL(38,0) —")
     a("order-independent row-set identity, not just counts. Speedup tracks")

@@ -152,6 +152,20 @@ def test_ntile_deciles_have_no_single_partition_exchange(spark):
     )
 
 
+def test_bruteforce_arrow_plan_shape(spark):
+    """x_sim_topk_bruteforce left PLANNABLE when its arrow kernel made
+    it EXECUTES_ON_BUILD (probe collect), which silently dropped it
+    from the generic hygiene sweep — this dedicated check restores the
+    coverage (round-5 review find): the scoring plan must be Arrow
+    mapInPandas + window, with no cartesian product and no row-at-a-time
+    Python."""
+    df = QUERIES["x_sim_topk_bruteforce"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, "arrow kernel should plan MapInPandas"
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python crept in"
+
+
 def test_naive_ntile_funnel_contrast(spark):
     """The naive unpartitioned-NTILE formulation — REMOVED from the
     registry in round 5 — preserved here as the documented contrast: a

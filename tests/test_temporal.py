@@ -256,3 +256,44 @@ def test_asof_bucketed_rejects_bad_args(spark):
     with pytest.raises(ValueError, match="bucket_seconds"):
         asof_join_bucketed(ldf, rdf, on="k", left_time="t", right_time="rt",
                            payload={"payload": "p"}, bucket_seconds=0)
+
+
+def test_asof_bucketed_null_times_match_plain_both_directions(spark):
+    """NULL time rows follow plain asof_join's ordering exactly:
+    backward (t asc, nulls FIRST) a null-time right row is 'earliest'
+    and carries into later rows until superseded; forward (t desc,
+    nulls LAST) it trails the traversal and real left rows never see
+    it. The bucketed op reproduces both via a direction-dependent
+    sentinel bucket (round-5 review find: SQL's single NULL group
+    sorts first under both orderings, which silently diverged
+    forward)."""
+    from data_wrangling_spark.operators.temporal import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a", _ts(10)), (2, "a", _ts(300)), (3, "a", None),
+         (4, "b", _ts(50)), (5, "b", None)],
+        "event_id long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", None, 7), ("a", None, 9), ("a", _ts(200), 100),
+         ("b", _ts(40), 55)],
+        "k string, rt timestamp, payload int",
+    )
+    for direction in ("backward", "forward"):
+        want = _rows(
+            asof_join(left, right, on="k", left_time="t", right_time="rt",
+                      payload={"payload": "p"}, direction=direction,
+                      right_tiebreak="payload")
+        )
+        for width in (60, 10**7):
+            got = _rows(
+                asof_join_bucketed(
+                    left, right, on="k", left_time="t", right_time="rt",
+                    payload={"payload": "p"}, bucket_seconds=width,
+                    direction=direction, right_tiebreak="payload",
+                )
+            )
+            assert got == want, (direction, width, got, want)
