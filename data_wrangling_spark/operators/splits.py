@@ -89,3 +89,52 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(round(rate * N_BUCKETS)))
         ).otherwise(threshold)
     return df.filter(bucket.isNull() | (bucket < threshold))
+
+
+def temperature_mixture(
+    df: DataFrame,
+    stratum_col: str,
+    weight_expr: Column,
+) -> DataFrame:
+    """Temperature-scaled corpus mixture weights (mT5-style alpha
+    sampling at alpha = 0.5): each stratum's sampling weight is
+    sqrt(its token mass) renormalized over all strata, flattening the
+    head so low-resource sources are upsampled relative to proportional
+    sampling.
+
+    alpha is FIXED at 0.5: IEEE-754 ``sqrt`` is correctly rounded, so
+    the scaled weight is bit-identical on every engine (a ``pow(x, a)``
+    for general alpha is not), and the fixed-point floor below makes the
+    whole computation engine-exact — pinned by the DuckDB oracle on
+    x_corpus_temperature_mixture.
+
+    Scale shape: one hash aggregate (strata-sized output), then a 1-row
+    total broadcast joined back — the same provably-tiny-broadcast
+    pattern as the TF-IDF corpus count. Output columns: stratum,
+    ``n_rows``, ``n_weight`` (raw mass), ``weight_ppm`` (mixture weight
+    in parts-per-million, integer — sums to <= 1e6 with floor-division
+    remainder).
+
+    Overflow bound: ``w_fp`` is floor(sqrt(mass) * 1e6); mass up to
+    ~8.4e18 keeps w_fp * 1e6 under 2^63 — a 100 TB corpus is ~1e13
+    tokens, five orders of magnitude of headroom.
+    """
+    per = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(weight_expr).cast("bigint").alias("n_weight"),
+    )
+    scaled = per.withColumn(
+        "_w_fp",
+        F.floor(F.sqrt(F.col("n_weight").cast("double")) * F.lit(1000000.0)).cast(
+            "bigint"
+        ),
+    )
+    total = scaled.agg(F.sum("_w_fp").alias("_w_total"))
+    return (
+        scaled.join(F.broadcast(total))
+        .withColumn(
+            "weight_ppm",
+            F.expr("_w_fp * 1000000L div _w_total").cast("bigint"),
+        )
+        .drop("_w_fp", "_w_total")
+    )

@@ -208,3 +208,82 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.count("*").alias("freq"))
         .orderBy(F.desc("freq"), "token")
     )
+
+
+def chunk_overlapping(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding-window word chunking — the context-window preparation pass
+    of an LLM training pipeline (split long documents into fixed-size
+    token windows with ``size - stride`` words of overlap so no span is
+    lost at a boundary).
+
+    Narrow op, no shuffle: split → ``sequence`` of window starts →
+    ``posexplode`` → ``slice``. Output rows ≈ n_words / stride per doc;
+    the last window may be shorter (the tail). A window starts at every
+    multiple of ``stride`` below n_words, so every word is covered and
+    consecutive windows share ``size - stride`` words.
+
+    Null and whitespace-only documents produce NO chunks (dropped
+    explicitly, not exploded into an empty-string token).
+    """
+    if not (0 < stride <= size):
+        raise ValueError(f"need 0 < stride <= size, got size={size} stride={stride}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col), toks.alias("_toks"))
+    starts = F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
+    return (
+        base.select(
+            id_col, "_toks", F.posexplode(starts).alias("chunk_id", "_start")
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.slice("_toks", F.col("_start") + 1, size).alias("_chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("_chunk").cast("int").alias("n_words"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def boilerplate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 2,
+    top: int = 20,
+) -> DataFrame:
+    """Boilerplate detection: word n-gram spans shared verbatim across
+    many DISTINCT documents (headers, footers, license blurbs — the
+    spans a curation pipeline strips before training).
+
+    Scale shape: per-doc distinct shingles (narrow) → explode → one hash
+    aggregate counting rows (each doc contributes a span at most once,
+    so ``count(*)`` IS the document frequency — no count-distinct
+    state) → top-k. The shuffle is vocabulary-of-spans-sized with
+    map-side partial aggregation; no pairwise comparison anywhere.
+    """
+    from data_wrangling_spark.operators.dedup import shingles
+
+    spans = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(shingles(text_col, n=n)).alias("span")
+    )
+    return (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), "span")
+        .limit(top)
+        .select("span", F.col("n_docs").cast("bigint").alias("n_docs"))
+    )

@@ -70,28 +70,20 @@ DRIVER_WINDOW: list[str] = [
     "ext_pricing_summary",
     "ext_tpch_q3_shipping_priority",
     "ext_asof_latest_order",    # implementation changed this round
-    "ext_range_join_attribution",
     "ext_percentiles_scalable",  # new this round: grouped exact quantiles
-    "ext_sql_api",
     # round 5: ext_asof_latest_order_bucketed (new skew-safe as-of form)
     # swaps in for op_csv_roundtrip (4 green driver rows r1-r4; sink
     # family still represented by op_jsonl_roundtrip below)
     "ext_asof_latest_order_bucketed",
-    "ext_dataset_split",
     "ext_merge_upsert",
-    "ext_skew_salted_distinct",
     "x_dedup_exact",
-    "x_dedup_ngram_jaccard",
     "x_sim_topk_bruteforce",
     "x_text_stats",
     "x_text_curation_pipeline",
     # -- first-ever driver rows (round-4 rotation set) ---------------
     "x_dedup_keep_best",
     "x_vec_normalize",
-    "ext_argmax_agg",
-    "ext_stats_agg",
     "x_sketch_hll_weekly_users",
-    "x_sketch_hll_bound",
     "x_sim_topk_mllib_brp",
     "ext_stratified_sample",
     "ext_tpch_q5_local_supplier",
@@ -99,8 +91,28 @@ DRIVER_WINDOW: list[str] = [
     "ext_anti_join",
     "x_stream_sessionize",
     "x_dedup_clusters",
-    "x_stream_dedup",
     "x_graph_pagerank",
+    # -- round-5 widening: nine new queries (six TPC-H-shaped joins +
+    # three training-pipeline ops) take their first driver rows; their
+    # slots come from nine entries each holding 1-4 green driver rows
+    # with a same-family representative still in the window
+    # (ext_range_join_attribution -> _bucketed; ext_dataset_split ->
+    # ext_stratified_sample + the new mixture; ext_sql_api ->
+    # ext_correlated_subquery's SQL front-end; ext_skew_salted_distinct
+    # -> ext_asof_latest_order_bucketed; x_dedup_ngram_jaccard -> six
+    # other dedup forms; ext_argmax_agg/ext_stats_agg ->
+    # ext_pricing_summary; x_sketch_hll_bound ->
+    # x_sketch_hll_weekly_users; x_stream_dedup -> x_stream_sessionize
+    # + x_stream_osm_ingest) --------------------------------------
+    "ext_tpch_q7_volume_shipping",
+    "ext_tpch_q8_market_share",
+    "ext_tpch_q13_order_distribution",
+    "ext_tpch_q14_promo_revenue",
+    "ext_tpch_q19_disjunctive_pushdown",
+    "ext_tpch_q22_dormant_customers",
+    "x_text_chunk_overlap",
+    "x_corpus_temperature_mixture",
+    "x_text_boilerplate_spans",
     "ext_correlated_subquery",
     "ext_ntile_deciles",
     "ext_deciles_scalable",     # round-4 rewrite: histogram quantiles

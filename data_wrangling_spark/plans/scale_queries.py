@@ -2472,3 +2472,494 @@ def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ivf(emb, q, "vec_id", "embedding", k=5, n_cells=8, nprobe=3).orderBy(
         "query_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5 widening: TPC-H-shaped join/agg coverage (Q7/Q8/Q13/Q14/Q19/Q22
+# adapted to the testdata schema) + three training-pipeline operators
+# (context-window chunking, temperature-scaled mixture, boilerplate spans).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_tpch_q7_volume_shipping",
+    oracle="""
+        SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey  = o_custkey
+        JOIN supplier ON s_suppkey  = l_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE r1.r_name <> r2.r_name
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY supp_region, cust_region, l_year
+        ORDER BY supp_region, cust_region, l_year
+    """,
+    doc="TPC-H Q7-shaped cross-region volume shipping (region pairs "
+        "instead of the spec's nation pair so the result is non-empty "
+        "at every test SF): both sides of the fact resolve their "
+        "geography through broadcast nation⨝region lookups, the "
+        "<> predicate filters AFTER both joins (it references both "
+        "sides). lineitem⨝orders is the one big shuffle; the "
+        "supplier-side lookup is left unhinted — Catalyst broadcasts "
+        "at bench scale, AQE re-plans at 100 TB where supplier is "
+        "fact-sized. Int-cents revenue.",
+)
+def ext_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    nr = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "r_name")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("r_name").alias("cust_region"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+                _revenue_cents().alias("_cents"))
+    )
+    oc = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "cust_region"
+    )
+    return (
+        li.join(oc, li.l_orderkey == oc.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("supp_region") != F.col("cust_region"))
+        .groupBy(
+            "supp_region",
+            "cust_region",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            (F.sum("_cents") / F.lit(100.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_region", "cust_region", "l_year")
+    )
+
+
+@register(
+    "ext_tpch_q8_market_share",
+    oracle="""
+        WITH flat AS (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT) AS cents,
+                   n1.n_name AS supp_nation
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN part     ON p_partkey  = l_partkey
+            JOIN supplier ON s_suppkey  = l_suppkey
+            JOIN customer ON c_custkey  = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region   ON n2.n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+        )
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents
+                             ELSE 0 END) AS BIGINT) AS mkt_cents,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(floor(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                        THEN cents ELSE 0 END) AS DOUBLE)
+                          / CAST(SUM(cents) AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS mkt_share_ppm
+        FROM flat GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H Q8-shaped market share: NATION_3 suppliers' slice of "
+        "STANDARD-part revenue sold into AMERICA customers, by order "
+        "year. The share is a conditional-sum ratio inside ONE "
+        "aggregate (no second pass, no self-join); both sums are exact "
+        "int cents and the ppm share is floor(a/b*1e6) of bit-identical "
+        "IEEE doubles, so the driver hash is stable. Dims broadcast; "
+        "the part/customer side joins are unhinted for AQE at scale.",
+)
+def ext_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_in_region = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select(
+        "p_partkey"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", _revenue_cents().alias("_cents")
+    )
+    mkt = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("_cents")).otherwise(F.lit(0))
+    )
+    total = F.sum("_cents")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp_nation, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            mkt.cast("bigint").alias("mkt_cents"),
+            total.cast("bigint").alias("total_cents"),
+            F.floor(
+                mkt.cast("double") / total.cast("double") * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("mkt_share_ppm"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "ext_tpch_q13_order_distribution",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey
+        )
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM per_cust GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13-shaped customer order-count distribution. Spark plan "
+        "pre-aggregates orders per custkey BEFORE the outer join (the "
+        "join then matches one row per customer instead of one per "
+        "order — the shuffle carries |customers| rows, not |orders|), "
+        "LEFT join + coalesce(0) recovers order-less customers, second "
+        "tiny agg builds the histogram. Same result as the textbook "
+        "outer-join-then-count formulation the oracle uses.",
+)
+def ext_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    per_cust_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    per_cust = cust.join(
+        per_cust_orders, cust.c_custkey == F.col("o_custkey"), "left"
+    ).select(F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "ext_tpch_q14_promo_revenue",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                             * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS promo_cents,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS total_cents,
+               CAST(floor(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                        THEN CAST(ROUND(l_extendedprice
+                                                        * (1 - l_discount) * 100)
+                                                  AS BIGINT)
+                                        ELSE 0 END) AS DOUBLE)
+                          / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                                * 100) AS BIGINT)) AS DOUBLE)
+                          * 1000000.0) AS BIGINT) AS promo_share_ppm
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    doc="TPC-H Q14-shaped promo revenue share for one ship month: a "
+        "single conditional-sum aggregate over the month's lineitems "
+        "joined to part. The date filter reaches the lineitem parquet "
+        "scan (PushedFilters), so the join input is one month of the "
+        "fact, and the share ratio needs no second pass. ppm share via "
+        "floor of bit-identical doubles.",
+)
+def ext_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+        )
+        .select("l_partkey", _revenue_cents().alias("_cents"))
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("_cents")).otherwise(F.lit(0))
+    )
+    total = F.sum("_cents")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            promo.cast("bigint").alias("promo_cents"),
+            total.cast("bigint").alias("total_cents"),
+            F.floor(promo.cast("double") / total.cast("double") * F.lit(1000000.0))
+            .cast("bigint")
+            .alias("promo_share_ppm"),
+        )
+    )
+
+
+@register(
+    "ext_tpch_q19_disjunctive_pushdown",
+    oracle="""
+        SELECT p_brand,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 35)
+           OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 50)
+        GROUP BY p_brand ORDER BY p_brand
+    """,
+    doc="TPC-H Q19-shaped disjunctive predicate join: three "
+        "brand/size/quantity branches OR-ed across the join. Catalyst "
+        "extracts the single-side residues of the disjunction (brand ∈ "
+        "{...} to the part scan, quantity ∈ [1,50] to the lineitem "
+        "scan) so each input is pre-filtered before the equi-join and "
+        "the full OR evaluates only on surviving matches — the plan "
+        "shape that keeps disjunctions from forcing full-fact joins at "
+        "100 TB.",
+)
+def ext_tpch_q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", _revenue_cents().alias("_cents")
+    )
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .groupBy("p_brand")
+        .agg(
+            (F.sum("_cents") / F.lit(100.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "ext_tpch_q22_dormant_customers",
+    oracle="""
+        WITH c AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer
+        ), s AS (
+            SELECT CAST(SUM(cents) AS BIGINT) AS pos_sum,
+                   CAST(COUNT(*) AS BIGINT) AS pos_n
+            FROM c WHERE cents > 0
+        )
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(cents) AS BIGINT) / 100.0 AS totacctbal
+        FROM c, s
+        WHERE cents * pos_n > pos_sum
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    doc="TPC-H Q22-shaped dormant high-balance customers: balance above "
+        "the positive-balance average AND no order since 2000. The "
+        "average threshold is compared EXACTLY in integers (cents * n > "
+        "sum avoids engine-specific float summation); the threshold is "
+        "a 1-row aggregate broadcast (whitelisted tiny-side BNLJ, same "
+        "pattern as TF-IDF's corpus count), and the no-recent-order "
+        "test is a left_anti join against date-filtered orders — "
+        "shuffle on custkey, no correlated re-execution.",
+)
+def ext_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("_cents"),
+    )
+    stats = cust.filter(F.col("_cents") > 0).agg(
+        F.sum("_cents").cast("bigint").alias("_pos_sum"),
+        F.count(F.lit(1)).alias("_pos_n"),
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    cand = (
+        cust.join(F.broadcast(stats))
+        .filter(F.col("_cents") * F.col("_pos_n") > F.col("_pos_sum"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return (
+        cand.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("_cents") / F.lit(100.0)).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "x_text_chunk_overlap",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> ''
+        ), starts AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, len(toks), 24)) AS st
+            FROM tok
+        )
+        SELECT doc_id,
+               CAST(st // 24 AS INTEGER) AS chunk_id,
+               CAST(len(list_slice(toks, st + 1, st + 32)) AS INTEGER) AS n_words,
+               array_to_string(list_slice(toks, st + 1, st + 32), ' ')
+                   AS chunk_text
+        FROM starts ORDER BY doc_id, chunk_id
+    """,
+    doc="Context-window chunking (X-TEXT, operators/text_analysis.py "
+        "chunk_overlapping): 32-word sliding windows at stride 24 (8 "
+        "words of overlap), the LLM-training pass that splits long "
+        "documents into model-context-sized pieces without losing "
+        "boundary spans. Narrow plan — split, sequence of starts, "
+        "posexplode, slice — no shuffle at all; output grows by "
+        "n_words/stride per doc.",
+)
+def x_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.text_analysis import chunk_overlapping
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_overlapping(docs, "text", "doc_id", size=32, stride=24).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@register(
+    "x_corpus_temperature_mixture",
+    oracle=r"""
+        WITH per AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                        AS BIGINT) AS n_weight
+            FROM documents GROUP BY source
+        ), scaled AS (
+            SELECT source, n_rows, n_weight,
+                   CAST(floor(sqrt(CAST(n_weight AS DOUBLE)) * 1000000.0)
+                        AS BIGINT) AS w_fp
+            FROM per
+        ), tot AS (SELECT CAST(SUM(w_fp) AS BIGINT) AS w_total FROM scaled)
+        SELECT source, n_rows, n_weight,
+               CAST(w_fp * 1000000 // w_total AS BIGINT) AS weight_ppm
+        FROM scaled, tot ORDER BY source
+    """,
+    doc="Temperature-scaled corpus mixture (operators/splits.py "
+        "temperature_mixture): per-source sampling weights proportional "
+        "to sqrt(token mass), the mT5-style alpha=0.5 flattening that "
+        "upsamples low-resource sources. alpha is pinned at 0.5 because "
+        "IEEE sqrt is correctly rounded — the whole computation is "
+        "engine-exact fixed-point, hence this full-value oracle. One "
+        "strata-sized aggregate + a 1-row total broadcast.",
+)
+def x_corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.splits import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mixture(docs, "source", token_count("text")).orderBy("source")
+
+
+@register(
+    "x_text_boilerplate_spans",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 1, 1)),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                       AS span
+            FROM tok WHERE len(toks) >= 3
+        )
+        SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM grams GROUP BY span HAVING COUNT(*) >= 2
+        ORDER BY n_docs DESC, span LIMIT 20
+    """,
+    doc="Boilerplate-span detection (operators/text_analysis.py "
+        "boilerplate_spans): 3-gram spans shared verbatim by >= 2 "
+        "distinct documents, top-20 by document frequency "
+        "(deterministic span tiebreak). Per-doc DISTINCT shingles mean "
+        "count(*) IS the doc frequency — one explode + one hash "
+        "aggregate with map-side partials, no count-distinct state, no "
+        "pairwise comparison.",
+)
+def x_text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.text_analysis import boilerplate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_spans(docs, "text", "doc_id", n=3, min_docs=2, top=20)

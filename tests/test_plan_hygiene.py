@@ -62,6 +62,8 @@ BNLJ_ALLOWED = {
     "x_sketch_countmin_heavy_hitters",  # 1-row total-count broadcast
     "x_text_tfidf",            # 1-row corpus-count broadcast
     "ext_gapfill_daily",       # 1-row bounds agg + generated date spine
+    "ext_tpch_q22_dormant_customers",  # 1-row balance-threshold agg broadcast
+    "x_corpus_temperature_mixture",    # 1-row mixture-total broadcast
 }
 # notable CLEAN plans (verified no BNLJ despite the pattern suggesting
 # one): ext_range_join_bucketed (bucket explode gives Catalyst an equi

@@ -48,3 +48,51 @@ def test_sample_independent_of_split(spark):
     sampled = {r.doc_id for r in stratified_sample(docs, "doc_id", "lang", {}, 0.5).collect()}
     sampled_splits = {split[d] for d in sampled}
     assert "train" in sampled_splits and ("val" in sampled_splits or "test" in sampled_splits)
+
+
+def test_temperature_mixture_flattens_head(spark):
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.operators.splits import temperature_mixture
+
+    # source A has 100x the token mass of B: proportional weight would be
+    # ~990099 ppm; sqrt-temperature flattens it to ~909090 ppm (10:1)
+    rows = [("A", "w " * 100)] * 100 + [("B", "w " * 100)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    from data_wrangling_spark.functions.text import token_count
+
+    got = {
+        r.source: r
+        for r in temperature_mixture(df, "source", token_count("text")).collect()
+    }
+    assert got["A"].n_weight == 100 * got["B"].n_weight
+    assert abs(got["A"].weight_ppm - 909090) <= 2
+    assert abs(got["B"].weight_ppm - 90909) <= 2
+
+
+def test_temperature_mixture_equal_strata_equal_weights(spark):
+    from data_wrangling_spark.functions.text import token_count
+    from data_wrangling_spark.operators.splits import temperature_mixture
+
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("b", "p q r"), ("c", "u v w")],
+        "source string, text string",
+    )
+    rows = temperature_mixture(df, "source", token_count("text")).collect()
+    ppms = {r.weight_ppm for r in rows}
+    assert len(ppms) == 1
+    assert abs(rows[0].weight_ppm - 333333) <= 1
+
+
+def test_temperature_mixture_ppm_sums_below_million(spark):
+    from data_wrangling_spark.functions.text import token_count
+    from data_wrangling_spark.operators.splits import temperature_mixture
+
+    df = spark.createDataFrame(
+        [(f"s{i % 7}", "tok " * (i % 13 + 1)) for i in range(200)],
+        "source string, text string",
+    )
+    rows = temperature_mixture(df, "source", token_count("text")).collect()
+    total = sum(r.weight_ppm for r in rows)
+    # floor division loses < 1 ppm per stratum
+    assert 1000000 - len(rows) <= total <= 1000000

@@ -66,3 +66,110 @@ def test_repetition_single_word_doc_null_bigrams(spark):
     assert got.n_words == 1
     assert got.top_word_frac == 1.0
     assert got.top_bigram_frac is None and got.dup_bigram_frac is None
+
+
+# ---- chunk_overlapping ----------------------------------------------------
+
+
+def test_chunk_exact_windows(spark):
+    from data_wrangling_spark.operators.text_analysis import chunk_overlapping
+
+    words = [f"w{i}" for i in range(10)]
+    docs = _docs(spark, [" ".join(words)])
+    rows = sorted(
+        (r.chunk_id, r.n_words, r.chunk_text)
+        for r in chunk_overlapping(docs, size=4, stride=3).collect()
+    )
+    # starts 0,3,6,9 -> windows [0:4],[3:7],[6:10],[9:10] (short tail)
+    assert rows == [
+        (0, 4, "w0 w1 w2 w3"),
+        (1, 4, "w3 w4 w5 w6"),
+        (2, 4, "w6 w7 w8 w9"),
+        (3, 1, "w9"),
+    ]
+
+
+def test_chunk_every_word_covered_and_overlap(spark):
+    from data_wrangling_spark.operators.text_analysis import chunk_overlapping
+
+    words = [f"t{i}" for i in range(50)]
+    docs = _docs(spark, [" ".join(words)])
+    chunks = chunk_overlapping(docs, size=8, stride=5).collect()
+    seen = set()
+    for r in chunks:
+        seen.update(r.chunk_text.split(" "))
+    assert seen == set(words)
+    # consecutive full windows share exactly size - stride words
+    by_id = {r.chunk_id: r.chunk_text.split(" ") for r in chunks}
+    for i in range(len(by_id) - 2):  # skip the short tail pair
+        assert by_id[i][-3:] == by_id[i + 1][:3]
+
+
+def test_chunk_no_overlap_when_stride_equals_size(spark):
+    from data_wrangling_spark.operators.text_analysis import chunk_overlapping
+
+    docs = _docs(spark, [" ".join(str(i) for i in range(9))])
+    chunks = chunk_overlapping(docs, size=3, stride=3).collect()
+    texts = [r.chunk_text for r in sorted(chunks, key=lambda r: r.chunk_id)]
+    assert texts == ["0 1 2", "3 4 5", "6 7 8"]
+
+
+def test_chunk_null_and_blank_dropped(spark):
+    from data_wrangling_spark.operators.text_analysis import chunk_overlapping
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, "   "), (2, "one two")], "doc_id long, text string"
+    )
+    rows = chunk_overlapping(docs, size=4, stride=2).collect()
+    assert {r.doc_id for r in rows} == {2}
+
+
+def test_chunk_rejects_bad_stride(spark):
+    import pytest
+
+    from data_wrangling_spark.operators.text_analysis import chunk_overlapping
+
+    docs = _docs(spark, ["a b c"])
+    with pytest.raises(ValueError):
+        chunk_overlapping(docs, size=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_overlapping(docs, size=4, stride=0)
+
+
+# ---- boilerplate_spans ----------------------------------------------------
+
+
+def test_boilerplate_known_span(spark):
+    from data_wrangling_spark.operators.text_analysis import boilerplate_spans
+
+    docs = _docs(
+        spark,
+        [
+            "all rights reserved body one",
+            "intro all rights reserved tail",
+            "all rights reserved again here",
+            "nothing shared in this doc",
+        ],
+    )
+    rows = {r.span: r.n_docs for r in boilerplate_spans(docs, n=3).collect()}
+    assert rows["all rights reserved"] == 3
+    assert all(v >= 2 for v in rows.values())
+
+
+def test_boilerplate_counts_docs_not_occurrences(spark):
+    from data_wrangling_spark.operators.text_analysis import boilerplate_spans
+
+    # span repeated 3x INSIDE one doc + once in another -> doc freq 2
+    docs = _docs(
+        spark,
+        ["x y z x y z x y z", "x y z other words"],
+    )
+    rows = {r.span: r.n_docs for r in boilerplate_spans(docs, n=3).collect()}
+    assert rows["x y z"] == 2
+
+
+def test_boilerplate_short_docs_excluded(spark):
+    from data_wrangling_spark.operators.text_analysis import boilerplate_spans
+
+    docs = _docs(spark, ["a b", "a b", "c"])
+    assert boilerplate_spans(docs, n=3).count() == 0
