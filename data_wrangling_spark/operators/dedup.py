@@ -101,19 +101,33 @@ def keep_best_representative(
 
 def shingles(text_col, n: int = 3):
     """Distinct word n-gram shingles as an array column (built-in
-    higher-order fns; empty array for texts shorter than n tokens)."""
+    higher-order fns; empty array for texts shorter than n tokens).
+
+    Built by zip_with over n SHIFTED SLICES of the token array, not by
+    ``transform(sequence, i -> element_at(toks, i+j))``: a reference to
+    the tokenization expression INSIDE a per-element lambda is inlined
+    by Catalyst and re-evaluated for every element — the old form ran
+    ``split()`` O(n_tokens) times per row (quadratic in document
+    length; measured 8.5s -> 0.6s for one explode+count pass over 5k
+    sf0.1 documents). The slice form evaluates the tokenization a
+    CONSTANT ~n+1 times per row regardless of document length.
+
+    Semantics identical to the old form: slice(toks, j, 0) is [] when
+    the text has fewer than n tokens, so short texts yield [] without a
+    guard; all n slices share length m = size - n + 1, so zip_with
+    never NULL-pads. One deliberate change: NULL text now yields NULL
+    (null-in-null-out) where the old guard yielded [] — all callers
+    explode the result, for which the two are indistinguishable."""
     toks = tokens(text_col)
     if n == 1:
         return F.array_distinct(toks)
-    joined = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(joined)).otherwise(
-        F.array().cast("array<string>")
-    )
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for j in range(2, n + 1):
+        acc = F.zip_with(
+            acc, F.slice(toks, j, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.array_distinct(acc)
 
 
 def ngram_jaccard_pairs(

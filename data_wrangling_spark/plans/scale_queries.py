@@ -2879,23 +2879,23 @@ def ext_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFram
                CAST(len(list_slice(toks, st + 1, st + 32)) AS INTEGER) AS n_words,
                array_to_string(list_slice(toks, st + 1, st + 32), ' ')
                    AS chunk_text
-        FROM starts ORDER BY doc_id, chunk_id
+        FROM starts
     """,
     doc="Context-window chunking (X-TEXT, operators/text_analysis.py "
         "chunk_overlapping): 32-word sliding windows at stride 24 (8 "
         "words of overlap), the LLM-training pass that splits long "
         "documents into model-context-sized pieces without losing "
         "boundary spans. Narrow plan — split, sequence of starts, "
-        "posexplode, slice — no shuffle at all; output grows by "
+        "posexplode, slice — no shuffle at all (deliberately unsorted: "
+        "the driver compare is order-insensitive, and a cosmetic "
+        "ORDER BY would be the plan's only exchange); output grows by "
         "n_words/stride per doc.",
 )
 def x_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.text_analysis import chunk_overlapping
 
     docs = _t(spark, sf_dir, "documents")
-    return chunk_overlapping(docs, "text", "doc_id", size=32, stride=24).orderBy(
-        "doc_id", "chunk_id"
-    )
+    return chunk_overlapping(docs, "text", "doc_id", size=32, stride=24)
 
 
 @register(

@@ -67,6 +67,21 @@ DIM_TABLES = ["region", "nation", "part", "supplier"]
 #: AQE-final plan is captured for this query at the top multiplier
 PLAN_QUERY = "ext_tpch_q3_shipping_priority"
 
+#: round-5 widening queries (registered + oracled but not bench
+#: headlines) timed at every scale point in their own section. Disable
+#: with SPARK_GRAFT_SCALE_EXTRAS=0.
+EXTRA_QUERIES = [
+    "ext_tpch_q7_volume_shipping",
+    "ext_tpch_q8_market_share",
+    "ext_tpch_q13_order_distribution",
+    "ext_tpch_q14_promo_revenue",
+    "ext_tpch_q19_disjunctive_pushdown",
+    "ext_tpch_q22_dormant_customers",
+    "x_text_chunk_overlap",
+    "x_corpus_temperature_mixture",
+    "x_text_boilerplate_spans",
+]
+
 # ---------------------------------------------------------------- skew --
 #: bench queries that shuffle on the keys the skewed variant makes hot
 SKEW_QUERIES = [
@@ -256,7 +271,9 @@ def time_suite(spark, specs, sf_dir: str) -> tuple[dict[str, float], float]:
     return timings, round(statistics.median(conc), 3)
 
 
-def duckdb_time_suite(specs, sf_dir: str, threads: int) -> dict[str, float]:
+def duckdb_time_suite(
+    specs, sf_dir: str, threads: int, sink: str = "fetch"
+) -> dict[str, float]:
     """Time each bench query's ANSI oracle in DuckDB over the SAME
     parquet files (views over the per-table file or directory), same
     methodology: 1 warmup, median of 3, results fully fetched. This is
@@ -274,14 +291,26 @@ def duckdb_time_suite(specs, sf_dir: str, threads: int) -> dict[str, float]:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
     timings: dict[str, float] = {}
+
+    def _consume(sql: str) -> None:
+        # "fetch" = results to the client (bench.py comparison basis —
+        # fine for the headline queries' small outputs); "table" = full
+        # materialization into a temp table without client transfer,
+        # the closer twin of Spark's noop sink for row-heavy outputs
+        # (the chunking extras emit millions of text rows at 100x).
+        if sink == "table":
+            con.execute(f"CREATE OR REPLACE TEMP TABLE _sink AS {sql}")
+        else:
+            con.execute(sql).fetchall()
+
     for name, spec in specs.items():
         if not spec.oracle:
             continue
-        con.execute(spec.oracle).fetchall()
+        _consume(spec.oracle)
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            con.execute(spec.oracle).fetchall()
+            _consume(spec.oracle)
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
     con.close()
@@ -358,6 +387,26 @@ def main() -> None:
             print(f"{label} duckdb: {json.dumps(duck_results[label])}",
                   file=sys.stderr)
 
+    # ---- round-5 extras: same scale points, own section -------------
+    extras_data = None
+    if os.environ.get("SPARK_GRAFT_SCALE_EXTRAS", "1") != "0":
+        from data_wrangling_spark.plans.registry import QUERIES
+
+        extra_specs = {n: QUERIES[n] for n in EXTRA_QUERIES}
+        ex_results: dict[str, dict[str, float]] = {}
+        ex_duck: dict[str, dict[str, float]] = {}
+        for label, d, _ratio in scales:
+            ex_results[label], _ = time_suite(spark, extra_specs, d)
+            print(f"extras {label}: {json.dumps(ex_results[label])}",
+                  file=sys.stderr)
+            if duck_on:
+                ex_duck[label] = duckdb_time_suite(
+                    extra_specs, d, threads=cpus, sink="table"
+                )
+                print(f"extras {label} duckdb: {json.dumps(ex_duck[label])}",
+                      file=sys.stderr)
+        extras_data = {"results": ex_results, "duck": ex_duck}
+
     top_mult = mults[-1]
     plan_txt = final_plan(
         spark, specs[PLAN_QUERY].spark(spark, os.path.join(workdir, f"mult{top_mult}"))
@@ -412,7 +461,7 @@ def main() -> None:
     write_scaling_md(
         os.path.join(repo, "SCALING.md"),
         top_mult, rows_by_mult, scales, results, conc_totals, plan_txt, mat_s,
-        skew_data, duck_results,
+        skew_data, duck_results, extras_data,
     )
     out = {"scales": {s: conc_totals[s] for s, _, _ in scales},
            "queries": results[f"{top_mult}x sf0.1"]}
@@ -427,7 +476,8 @@ def main() -> None:
 
 
 def write_scaling_md(path, mult, rows_by_mult, scales, results, conc_totals,
-                     plan_txt, mat_s, skew_data=None, duck_results=None) -> None:
+                     plan_txt, mat_s, skew_data=None, duck_results=None,
+                     extras_data=None) -> None:
     base_label, top_label = scales[1][0], scales[-1][0]
     names = list(results[base_label])
     lines = []
@@ -504,6 +554,8 @@ def write_scaling_md(path, mult, rows_by_mult, scales, results, conc_totals,
     a("")
     if duck_results:
         _duckdb_section(a, scales, results, duck_results)
+    if extras_data:
+        _extras_section(a, scales, extras_data)
     if skew_data:
         _skew_section(a, skew_data)
     _xml_split_section(a)
@@ -568,6 +620,43 @@ def _duckdb_section(a, scales, results, duck_results) -> None:
         a(f"| **total (sequential)** | {tot_s:.3f} | {tot_d:.3f} | "
           f"{tot_s / tot_d if tot_d else float('nan'):.1f}x |")
         a("")
+
+
+def _extras_section(a, scales, extras_data) -> None:
+    ex_results, ex_duck = extras_data["results"], extras_data["duck"]
+    base_label, top_label = scales[1][0], scales[-1][0]
+    a("## Round-5 widening queries at scale")
+    a("")
+    a("The nine queries added in round 5 (six TPC-H-shaped joins + three")
+    a("training-pipeline operators), same methodology as the headline table.")
+    a("DuckDB column uses a temp-table sink (full materialization, no client")
+    a("transfer) because the chunking query emits millions of text rows at")
+    a(f"{top_label} — the closer twin of Spark's noop sink; the headline")
+    a("section's fetch-based numbers are unchanged.")
+    a("")
+    names = list(next(iter(ex_results.values())))
+    hdr = "| query | " + " | ".join(s for s, _, _ in scales)
+    has_duck = bool(ex_duck)
+    a(hdr + f" | {top_label} / {base_label} time"
+      + (f" | DuckDB {top_label} | Spark/DuckDB {top_label} |" if has_duck
+         else " |"))
+    a("|---|" + "---|" * (len(scales) + 1 + (2 if has_duck else 0)))
+    for n in names:
+        r = [ex_results[s][n] for s, _, _ in scales]
+        ratio = r[-1] / r[1] if r[1] else float("nan")
+        row = (f"| {n} | " + " | ".join(f"{x:.3f}" for x in r)
+               + f" | {ratio:.1f}x")
+        if has_duck:
+            d_t = ex_duck[top_label].get(n)
+            if d_t is not None:
+                row += (f" | {d_t:.3f} | "
+                        f"{(r[-1] / d_t) if d_t else float('nan'):.1f}x |")
+            else:
+                row += " | — | — |"
+        else:
+            row += " |"
+        a(row)
+    a("")
 
 
 #: mechanism that absorbs each skewed key, per skew-section query

@@ -196,3 +196,13 @@ def test_scalable_grouped_percentiles_plan(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_overlap_plans_no_exchange(spark):
+    """x_text_chunk_overlap is documented as shuffle-free: split →
+    sequence → posexplode → slice is narrow end-to-end, and the
+    registered form deliberately omits a cosmetic ORDER BY (the driver
+    compare is order-insensitive) so the plan carries ZERO exchanges."""
+    df = QUERIES["x_text_chunk_overlap"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "chunking planned a shuffle"
