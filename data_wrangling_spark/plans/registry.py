@@ -81,11 +81,9 @@ DRIVER_WINDOW: list[str] = [
     "x_text_stats",
     "x_text_curation_pipeline",
     # -- first-ever driver rows (round-4 rotation set) ---------------
-    "x_dedup_keep_best",
     "x_vec_normalize",
     "x_sketch_hll_weekly_users",
     "x_sim_topk_mllib_brp",
-    "ext_stratified_sample",
     "ext_tpch_q5_local_supplier",
     "op_jsonl_roundtrip",
     "ext_anti_join",
@@ -115,7 +113,6 @@ DRIVER_WINDOW: list[str] = [
     "x_text_boilerplate_spans",
     "ext_correlated_subquery",
     "ext_ntile_deciles",
-    "ext_deciles_scalable",     # round-4 rewrite: histogram quantiles
     "ext_fuzzy_join_snm",
     "x_text_lexical_diversity",
     "ext_range_join_bucketed",
@@ -131,6 +128,15 @@ DRIVER_WINDOW: list[str] = [
     "x_dedup_simhash",
     "x_dedup_embedding_cosine",
     "x_sim_topk_lsh",
+    # second round-5 widening batch: Q4 semi-with-date-conjunct, Q6
+    # pure pushdown, Q17 decorrelated per-part average; slots from
+    # x_dedup_keep_best / ext_stratified_sample / ext_deciles_scalable
+    # (each holds a green r4 driver row; families still represented by
+    # the dedup set, x_corpus_temperature_mixture + stratified's pytest
+    # pins, and ext_ntile_deciles + ext_percentiles_scalable)
+    "ext_tpch_q4_late_shipments",
+    "ext_tpch_q6_forecast_revenue",
+    "ext_tpch_q17_small_quantity",
 ]
 
 

@@ -581,12 +581,15 @@ def x_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.functions.vectors import norm
 
     emb = _t(spark, sf_dir, "embeddings")
-    n = norm("embedding")
+    # norm projected ONCE, then referenced — inlining it would re-run
+    # the O(d) sum-of-squares per ELEMENT inside the transform lambda
+    # (O(d^2) per vector; the same hazard x_vec_quantize documents)
+    based = emb.select("vec_id", "embedding", norm("embedding").alias("_n"))
     unit = F.transform(
         F.col("embedding").cast("array<double>"),
-        lambda x: F.format_string("%.6f", F.round(x / n, 6)),
+        lambda x: F.format_string("%.6f", F.round(x / F.col("_n"), 6)),
     )
-    return emb.select(
+    return based.select(
         "vec_id", F.concat_ws(",", unit).alias("unit")
     ).orderBy("vec_id")
 
@@ -2963,3 +2966,134 @@ def x_text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return boilerplate_spans(docs, "text", "doc_id", n=3, min_docs=2, top=20)
+
+
+@register(
+    "ext_tpch_q4_late_shipments",
+    oracle="""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4-shaped priority count of late-shipping orders (some "
+        "line shipped >60 days after order date; the schema has no "
+        "commitdate/receiptdate so the lateness predicate adapts to "
+        "shipdate-vs-orderdate). The EXISTS becomes one left_semi hash "
+        "join on orderkey with the non-equi date conjunct evaluated on "
+        "matches — no per-row re-execution, half-year filter pushed to "
+        "the orders scan. Interval arithmetic is timestamp + 60 days "
+        "on both engines (exact, no timezone dependence in this "
+        "container's UTC session).",
+)
+def ext_tpch_q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "ext_tpch_q6_forecast_revenue",
+    oracle="""
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100)
+                             AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6-shaped forecast-revenue delta: a single selective "
+        "scan-aggregate whose ENTIRE predicate set (shipdate range, "
+        "discount band, quantity cap) reaches the parquet scan as "
+        "PushedFilters with a 4-column ReadSchema — the pure predicate-"
+        "pushdown showcase; no join, no shuffle beyond the 1-row "
+        "aggregate merge. Revenue = price * discount in exact cents.",
+)
+def ext_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100, 0
+    ).cast("bigint")
+    return li.agg(
+        (F.sum(cents) / F.lit(100.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "ext_tpch_q17_small_quantity",
+    oracle="""
+        WITH pa AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS qty_sum,
+                   CAST(COUNT(*) AS BIGINT) AS qty_n
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) / 100.0 AS total_price,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN pa   ON pa.l_partkey = lineitem.l_partkey
+        WHERE p_brand = 'Brand#5'
+          AND CAST(ROUND(l_quantity * 100) AS BIGINT) * 5 * qty_n < qty_sum
+    """,
+    doc="TPC-H Q17-shaped small-quantity-order revenue: lines of one "
+        "brand whose quantity is below 20% of that part's average. "
+        "Written the way distributed engines decorrelate it — the "
+        "per-part average is ONE pre-aggregation of the fact joined "
+        "back on partkey (shuffle is |parts|-sized), never a per-row "
+        "correlated re-scan; the threshold compares EXACTLY in "
+        "integers (qty_cents * 5 * n < sum_cents), immune to float "
+        "summation order.",
+)
+def ext_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qty_cents = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        qty_cents.alias("_qc"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("_pc"),
+    )
+    pa = li.groupBy("l_partkey").agg(
+        F.sum("_qc").cast("bigint").alias("_qty_sum"),
+        F.count(F.lit(1)).alias("_qty_n"),
+    )
+    brand_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#5")
+        .select("p_partkey")
+    )
+    return (
+        li.join(brand_parts, li.l_partkey == F.col("p_partkey"))
+        .join(pa.withColumnRenamed("l_partkey", "_pa_key"),
+              F.col("l_partkey") == F.col("_pa_key"))
+        .filter(F.col("_qc") * 5 * F.col("_qty_n") < F.col("_qty_sum"))
+        .agg(
+            (F.sum("_pc") / F.lit(100.0)).alias("total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

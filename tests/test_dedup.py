@@ -217,3 +217,28 @@ def test_dedup_exact_null_subset_value_kept(spark):
     out = sorted((r.id, r.text, r.extra) for r in dedup_exact(df, ["text"], "id").collect())
     assert out == [(1, None, "x"), (3, "t", "z")]
     assert [f for f in dedup_exact(df, ["text"], "id").columns] == ["id", "text", "extra"]
+
+
+def test_shingles_window_semantics(spark):
+    """Pins the zip_with-of-slices rewrite (round 5: the element_at
+    lambda form re-ran split() once per token per row) to the exact
+    shingle sets of the old form: n-grams in order, short texts empty,
+    n=1 distinct tokens, NULL text null (explode-equivalent to [])."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b"), (2, None), (3, "x x x")],
+        "id long, text string",
+    )
+    got = {r.id: r.s for r in df.select("id", shingles("text", n=3).alias("s")).collect()}
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []          # shorter than n
+    assert got[2] is None        # null-in-null-out (explode drops it)
+    assert got[3] == ["x x x"]   # distinct within doc
+    uni = {r.id: r.s for r in df.select("id", shingles("text", n=1).alias("s")).collect()}
+    assert uni[0] == ["a", "b", "c", "d"] and uni[3] == ["x"]
+    # explode equivalence: null and empty both contribute zero rows
+    n_rows = df.select(F.explode(shingles("text", n=3))).count()
+    assert n_rows == 3

@@ -96,3 +96,28 @@ def test_temperature_mixture_ppm_sums_below_million(spark):
     total = sum(r.weight_ppm for r in rows)
     # floor division loses < 1 ppm per stratum
     assert 1000000 - len(rows) <= total <= 1000000
+
+
+def test_temperature_mixture_matches_python_model(spark):
+    """Model-based: ppm weights equal the pure-Python fixed-point
+    computation (floor(sqrt(mass)*1e6), integer floor-div renormalize)
+    for uneven strata."""
+    import math
+
+    from data_wrangling_spark.functions.text import token_count
+    from data_wrangling_spark.operators.splits import temperature_mixture
+
+    rows = []
+    masses = {"a": 1, "b": 7, "c": 100, "d": 3163}
+    for src, m in masses.items():
+        # one doc of m tokens per stratum
+        rows.append((src, " ".join("t" for _ in range(m))))
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r.source: (r.n_rows, r.n_weight, r.weight_ppm)
+        for r in temperature_mixture(df, "source", token_count("text")).collect()
+    }
+    w_fp = {s: math.floor(math.sqrt(m) * 1_000_000.0) for s, m in masses.items()}
+    total = sum(w_fp.values())
+    for s, m in masses.items():
+        assert got[s] == (1, m, w_fp[s] * 1_000_000 // total)

@@ -173,3 +173,45 @@ def test_boilerplate_short_docs_excluded(spark):
 
     docs = _docs(spark, ["a b", "a b", "c"])
     assert boilerplate_spans(docs, n=3).count() == 0
+
+
+# ---- chunk_overlapping property: Spark == pure-Python model ---------------
+
+
+def _py_chunks(text: str, size: int, stride: int):
+    toks = text.strip().split()
+    if not toks:
+        return []
+    return [
+        (ci, len(toks[s : s + size]), " ".join(toks[s : s + size]))
+        for ci, s in enumerate(range(0, len(toks), stride))
+    ]
+
+
+def test_chunk_matches_python_model_on_varied_shapes(spark):
+    """Model-based check over a grid of (n_words, size, stride) shapes
+    including stride==size, stride==1, size>n_words, and single-token
+    docs — the Spark plan must agree with the obvious sequential
+    implementation everywhere."""
+    from data_wrangling_spark.operators.text_analysis import chunk_overlapping
+
+    cases = []
+    doc_id = 0
+    texts = {}
+    for n_words in (1, 2, 5, 24, 31, 32, 33, 100):
+        text = " ".join(f"w{i}" for i in range(n_words))
+        texts[doc_id] = text
+        cases.append((doc_id, text))
+        doc_id += 1
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    for size, stride in ((32, 24), (4, 4), (4, 1), (7, 3), (200, 50)):
+        got = sorted(
+            (r.doc_id, r.chunk_id, r.n_words, r.chunk_text)
+            for r in chunk_overlapping(df, size=size, stride=stride).collect()
+        )
+        want = sorted(
+            (d, ci, n, t)
+            for d, text in texts.items()
+            for ci, n, t in _py_chunks(text, size, stride)
+        )
+        assert got == want, f"divergence at size={size} stride={stride}"
