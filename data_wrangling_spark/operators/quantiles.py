@@ -174,10 +174,15 @@ def _levels_needed(lo: int, hi: int, strata: int, override: int | None) -> int:
 
 
 def _interpolate(lo: float, hi: float, frac: float) -> float:
-    """lo*(1-frac) + hi*frac — bit-identical to Spark's Percentile
-    interpolation (NOT the algebraically-equal lo + frac*(hi-lo), which
-    can differ in the last ulp and break value-hash parity with the
-    exact-percentile formulations used in tests/oracles)."""
+    """lo*(1-frac) + hi*frac — bit-identical to DUCKDB's quantile_cont
+    interpolation, the driver oracle's binding formula (pinned exactly
+    in tests/test_quantiles.py::test_interpolation_is_duckdb_exact).
+    Spark's own Percentile uses the algebraically-equal lo+(hi-lo)*frac,
+    which can differ by ~1 ulp — even on a CONSTANT column: [109,109]
+    at p=0.1 is 109.00000000000001 here (and in DuckDB) but 109.0 in
+    Spark — so pytest comparisons against Spark percentile allow 2 ulp
+    while the engine-vs-DuckDB value hash stays exact. Changing this to
+    Spark's form would break driver hash parity the other way."""
     return lo * (1.0 - frac) + hi * frac if frac > 0 else lo
 
 

@@ -115,9 +115,15 @@ def temperature_mixture(
     in parts-per-million, integer — sums to <= 1e6 with floor-division
     remainder).
 
-    Overflow bound: ``w_fp`` is floor(sqrt(mass) * 1e6); mass up to
-    ~8.4e18 keeps w_fp * 1e6 under 2^63 — a 100 TB corpus is ~1e13
-    tokens, five orders of magnitude of headroom.
+    The ppm renormalization divides in DOUBLE (floor(w_fp / total *
+    1e6)) rather than multiplying w_fp by 1e6 in bigint — the integer
+    form overflows int64 once a stratum's mass reaches ~8.5e13 tokens
+    (w_fp ~ 9.2e12), under 10x a 100 TB corpus (review find; ANSI mode
+    would fail the job, non-ANSI would emit negative weights). The
+    double form is exact while w_fp and the total stay below 2^53
+    (total corpus mass ~8e19 tokens); beyond that it degrades by at
+    most ±1 ppm, identically on every engine — division of identical
+    doubles is IEEE-correctly-rounded.
     """
     per = df.groupBy(stratum_col).agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -134,7 +140,11 @@ def temperature_mixture(
         scaled.join(F.broadcast(total))
         .withColumn(
             "weight_ppm",
-            F.expr("_w_fp * 1000000L div _w_total").cast("bigint"),
+            F.floor(
+                F.col("_w_fp").cast("double")
+                / F.col("_w_total").cast("double")
+                * F.lit(1000000.0)
+            ).cast("bigint"),
         )
         .drop("_w_fp", "_w_total")
     )

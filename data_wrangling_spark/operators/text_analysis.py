@@ -233,7 +233,7 @@ def chunk_overlapping(
     """
     if not (0 < stride <= size):
         raise ValueError(f"need 0 < stride <= size, got size={size} stride={stride}")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = TX.tokens(text_col)
     base = df.filter(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     ).select(F.col(id_col), toks.alias("_toks"))

@@ -560,6 +560,8 @@ def x_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_vec_normalize",
     oracle="""
         SELECT vec_id,
+               ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])), 6) AS norm,
                array_to_string(
                    list_transform(embedding::DOUBLE[],
                                   x -> printf('%.6f',
@@ -583,14 +585,21 @@ def x_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     # norm projected ONCE, then referenced — inlining it would re-run
     # the O(d) sum-of-squares per ELEMENT inside the transform lambda
-    # (O(d^2) per vector; the same hazard x_vec_quantize documents)
+    # (O(d^2) per vector; the same hazard x_vec_quantize documents).
+    # CRITICAL (review find): CollapseProject inlines a SINGLE-use
+    # non-cheap alias right back into the lambda, silently undoing the
+    # pre-projection — `_n` must be referenced at least twice to
+    # survive, which the extra `norm` output column provides (verified
+    # against the optimized plan in tests/test_plan_hygiene.py).
     based = emb.select("vec_id", "embedding", norm("embedding").alias("_n"))
     unit = F.transform(
         F.col("embedding").cast("array<double>"),
         lambda x: F.format_string("%.6f", F.round(x / F.col("_n"), 6)),
     )
     return based.select(
-        "vec_id", F.concat_ws(",", unit).alias("unit")
+        "vec_id",
+        F.round(F.col("_n"), 6).alias("norm"),
+        F.concat_ws(",", unit).alias("unit"),
     ).orderBy("vec_id")
 
 
@@ -2917,7 +2926,8 @@ def x_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM per
         ), tot AS (SELECT CAST(SUM(w_fp) AS BIGINT) AS w_total FROM scaled)
         SELECT source, n_rows, n_weight,
-               CAST(w_fp * 1000000 // w_total AS BIGINT) AS weight_ppm
+               CAST(floor(CAST(w_fp AS DOUBLE) / CAST(w_total AS DOUBLE)
+                          * 1000000.0) AS BIGINT) AS weight_ppm
         FROM scaled, tot ORDER BY source
     """,
     doc="Temperature-scaled corpus mixture (operators/splits.py "

@@ -246,9 +246,14 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def time_suite(spark, specs, sf_dir: str) -> tuple[dict[str, float], float]:
+def time_suite(
+    spark, specs, sf_dir: str, conc: bool = True
+) -> tuple[dict[str, float], float]:
     """bench.py methodology: prepared plans, one untimed warmup, then
-    per-query median-of-3 sequential; plus concurrent-suite median-of-3."""
+    per-query median-of-3 sequential; plus concurrent-suite median-of-3
+    (skipped with ``conc=False`` for sections that never report it —
+    review find: the extras loop paid 3 full concurrent passes per
+    scale point for a number it threw away)."""
     prepared = {name: spec.spark(spark, sf_dir) for name, spec in specs.items()}
     for df in prepared.values():
         _run(df)
@@ -260,15 +265,17 @@ def time_suite(spark, specs, sf_dir: str) -> tuple[dict[str, float], float]:
             _run(df)
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+    if not conc:
+        return timings, float("nan")
     from concurrent.futures import ThreadPoolExecutor
 
-    conc = []
+    runs_c = []
     for _ in range(3):
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=len(prepared)) as ex:
             list(ex.map(_run, prepared.values()))
-        conc.append(time.perf_counter() - t0)
-    return timings, round(statistics.median(conc), 3)
+        runs_c.append(time.perf_counter() - t0)
+    return timings, round(statistics.median(runs_c), 3)
 
 
 def duckdb_time_suite(
@@ -396,7 +403,7 @@ def main() -> None:
         ex_results: dict[str, dict[str, float]] = {}
         ex_duck: dict[str, dict[str, float]] = {}
         for label, d, _ratio in scales:
-            ex_results[label], _ = time_suite(spark, extra_specs, d)
+            ex_results[label], _ = time_suite(spark, extra_specs, d, conc=False)
             print(f"extras {label}: {json.dumps(ex_results[label])}",
                   file=sys.stderr)
             if duck_on:
@@ -437,9 +444,9 @@ def main() -> None:
                 file=sys.stderr,
             )
             uni, _ = time_suite(
-                spark, skew_specs, os.path.join(workdir, f"mult{mult}")
+                spark, skew_specs, os.path.join(workdir, f"mult{mult}"), conc=False
             )
-            skw, _ = time_suite(spark, skew_specs, skew_dir)
+            skw, _ = time_suite(spark, skew_specs, skew_dir, conc=False)
             skew_results[mult] = {"uniform": uni, "skewed": skw}
             print(f"skew {mult}x: uniform={uni} skewed={skw}", file=sys.stderr)
         plan_skew = final_plan(

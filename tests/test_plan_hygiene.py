@@ -206,3 +206,22 @@ def test_chunk_overlap_plans_no_exchange(spark):
     df = QUERIES["x_text_chunk_overlap"].spark(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "chunking planned a shuffle"
+
+
+def test_vec_normalize_computes_norm_once(spark):
+    """Round-5 review find: CollapseProject inlines a SINGLE-use
+    non-cheap alias back into a consuming higher-order lambda, so a
+    pre-projection alone does NOT stop the O(d) norm aggregate from
+    re-running per element (O(d^2) per vector). The registered query
+    references `_n` twice (norm output column + the division), which
+    provably survives collapse: the optimized plan must contain exactly
+    ONE `aggregate(` — in the projection — and none inside the
+    transform lambda."""
+    df = QUERIES["x_vec_normalize"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n_aggs = plan.count("aggregate(")
+    assert n_aggs == 1, (
+        f"expected the norm aggregate exactly once in the optimized plan, "
+        f"found {n_aggs} — the pre-projection collapsed back into the "
+        "per-element lambda (O(d^2) per vector)"
+    )

@@ -23,6 +23,24 @@ def _spark_percentile(spark, values, probs):
     return df.agg(F.expr(f"percentile(v, array({arr}))")).first()[0]
 
 
+def _assert_interp_eq(got, want, ctx=""):
+    """Equal up to 2 ulp. exact_quantiles interpolates with
+    lo*(1-f) + hi*f — BIT-IDENTICAL to DuckDB quantile_cont, the
+    driver oracle's binding formula (pinned exactly in
+    test_interpolation_is_duckdb_exact below). Spark's own percentile
+    uses lo + (hi-lo)*f: algebraically equal, floating-point different
+    by <= 2 ulp — e.g. values [109, 109] at p=0.1 give
+    109.00000000000001 (DuckDB and this repo) vs 109.0 (Spark), the
+    Hypothesis find that created this helper. Comparisons against
+    Spark percentile therefore tolerate ulps; the DuckDB comparison
+    stays exact."""
+    assert len(got) == len(want), (ctx, got, want)
+    for g, w in zip(got, want):
+        w = float(w)
+        tol = 2 * math.ulp(max(abs(g), abs(w), 1.0))
+        assert abs(g - w) <= tol, (ctx, got, want)
+
+
 @pytest.mark.parametrize(
     "values",
     [
@@ -42,9 +60,7 @@ def test_matches_spark_exact_percentile(spark, values):
         strata=16,  # tiny strata forces multiple refinement levels
     )
     want = _spark_percentile(spark, values, PROBS)
-    assert all(
-        math.isclose(g, float(w), rel_tol=0, abs_tol=0) for g, w in zip(got, want)
-    ), f"{got} != {want}"
+    _assert_interp_eq(got, want, values)
 
 
 def test_ignores_nulls(spark):
@@ -117,10 +133,7 @@ def test_grouped_matches_spark_percentile_per_group(spark):
     }
     assert set(got) == set(want)
     for g in got:
-        assert all(
-            math.isclose(a, float(b), rel_tol=0, abs_tol=0)
-            for a, b in zip(got[g], want[g])
-        ), (g, got[g], want[g])
+        _assert_interp_eq(got[g], want[g], g)
 
 
 def test_grouped_skips_null_only_groups(spark):
@@ -146,7 +159,7 @@ def test_huge_value_domain_exact(spark):
         strata=16,
     )
     want = _spark_percentile(spark, values, [0.25, 0.5, 0.75])
-    assert got == [float(w) for w in want]
+    _assert_interp_eq(got, want, values)
 
 
 def test_span_past_long_max_no_ansi_overflow(spark):
@@ -162,7 +175,7 @@ def test_span_past_long_max_no_ansi_overflow(spark):
         strata=16,
     )
     want = _spark_percentile(spark, values, [0.25, 0.5, 0.75])
-    assert got == [float(w) for w in want]
+    _assert_interp_eq(got, want, values)
 
 
 def test_full_int64_extremes_exact(spark):
@@ -177,7 +190,7 @@ def test_full_int64_extremes_exact(spark):
         strata=2,
     )
     want = _spark_percentile(spark, values, [0.0, 0.5, 1.0])
-    assert got == [float(w) for w in want]
+    _assert_interp_eq(got, want, values)
 
 
 def test_grouped_span_past_long_max_no_ansi_overflow(spark):
@@ -244,4 +257,35 @@ def test_property_matches_spark_percentile(spark, values, strata):
         strata=strata,
     )
     want = _spark_percentile(spark, values, PROBS)
-    assert got == [float(w) for w in want], (values, strata)
+    _assert_interp_eq(got, want, (values, strata))
+
+
+def test_interpolation_is_duckdb_exact(spark):
+    """The BINDING contract: exact_quantiles must be bit-identical to
+    DuckDB's quantile_cont (the driver oracle), including the case
+    where it diverges from Spark's percentile — a constant column
+    [109, 109] at p=0.1, where lo*(1-f)+hi*f gives 109.00000000000001
+    on both DuckDB and this repo while Spark's lo+(hi-lo)*f gives
+    109.0 (the round-5 Hypothesis find)."""
+    import duckdb
+
+    cases = [
+        ([109, 109], [0.1, 0.25, 0.5, 0.75, 0.9]),
+        ([3, 1, 4, 1, 5, 9, 2, 6], PROBS),
+        ([-7, 13], [0.1, 0.3, 0.7]),
+    ]
+    con = duckdb.connect()
+    for values, probs in cases:
+        got = exact_quantiles(
+            spark.createDataFrame([(int(v),) for v in values], "v bigint"),
+            "v",
+            probs,
+            strata=16,
+        )
+        vals_sql = ",".join(f"({v})" for v in values)
+        probs_sql = ",".join(str(p) for p in probs)
+        want = con.execute(
+            f"SELECT quantile_cont(x, [{probs_sql}]) FROM (VALUES {vals_sql}) t(x)"
+        ).fetchone()[0]
+        assert got == [float(w) for w in want], (values, probs, got, want)
+    con.close()

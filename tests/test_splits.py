@@ -120,4 +120,5 @@ def test_temperature_mixture_matches_python_model(spark):
     w_fp = {s: math.floor(math.sqrt(m) * 1_000_000.0) for s, m in masses.items()}
     total = sum(w_fp.values())
     for s, m in masses.items():
-        assert got[s] == (1, m, w_fp[s] * 1_000_000 // total)
+        # double-division formula, exactly as both engines compute it
+        assert got[s] == (1, m, math.floor(w_fp[s] / total * 1_000_000.0))
