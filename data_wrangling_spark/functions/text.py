@@ -44,9 +44,18 @@ def punct_count(col: Column | str) -> Column:
 
 
 def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    return stopword_count_from_tokens(tokens(col), stopwords)
+
+
+def stopword_count_from_tokens(
+    toks: Column, stopwords: list[str] | None = None
+) -> Column:
+    """Stopword count over a PRE-TOKENIZED array column — use this form
+    when tokens are already projected (quality_features), so the regex
+    split is not re-evaluated per derived signal."""
     sw = stopwords or QUALITY_STOPWORDS
     arr = F.array(*[F.lit(s) for s in sw])
-    return F.size(F.array_intersect(F.array_distinct(tokens(col)), arr))
+    return F.size(F.array_intersect(F.array_distinct(toks), arr))
 
 
 #: BPE-ish pre-tokenization pattern (GPT-2 style, simplified to the subset
@@ -99,8 +108,13 @@ def distinct_token_ratio(col: Column | str) -> Column:
     """Lexical diversity = distinct tokens / total tokens — the cheap
     repetition signal corpus-quality filters (C4/Gopher-style) cut on:
     boilerplate and generated spam score low."""
-    t = tokens(col)
-    return F.size(F.array_distinct(t)) / F.size(t)
+    return distinct_token_ratio_from_tokens(tokens(col))
+
+
+def distinct_token_ratio_from_tokens(toks: Column) -> Column:
+    """Lexical diversity over a PRE-TOKENIZED array column (see
+    stopword_count_from_tokens for when to prefer this form)."""
+    return F.size(F.array_distinct(toks)) / F.size(toks)
 
 
 def normalized(col: Column | str) -> Column:

@@ -42,24 +42,33 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword quality signals. The score formula
     is fixed (documented) so the DuckDB oracle can reproduce it exactly:
     stopword_ratio * 0.5 + min(n_tokens, 100) / 100.0 * 0.3 +
-    (1 - punct_ratio) * 0.2, all double math in a fixed op order."""
-    n_tok = TX.token_count(text_col).cast("double")
-    n_stop = TX.stopword_count(text_col).cast("double")
-    n_punct = TX.punct_count(text_col).cast("double")
-    stop_ratio = n_stop / n_tok
-    punct_ratio = n_punct / n_tok
+    (1 - punct_ratio) * 0.2, all double math in a fixed op order.
+
+    Staged so each expensive expression appears ONCE in the plan: the
+    regex tokenization is projected first (`_toks`, referenced by two
+    signals), the counts second, and the score third from count COLUMN
+    references. Honest magnitude note: whole-stage codegen's
+    subexpression elimination already dedups repeated subtrees WITHIN a
+    single ProjectExec (measured ~5% here, unlike HOF lambdas where CSE
+    cannot reach — the shingles/normalize fixes), so this staging is
+    primarily defense: the single-evaluation property no longer depends
+    on a runtime conf (`spark.sql.subexpressionElimination.enabled`)
+    holding. Multi-use non-cheap aliases survive CollapseProject."""
+    toked = df.select("*", TX.tokens(text_col).alias("_toks"))
+    counts = toked.select(
+        "*",
+        F.size("_toks").alias("n_tokens"),
+        TX.char_count(text_col).alias("n_chars_computed"),
+        TX.punct_count(text_col).alias("n_punct"),
+        TX.stopword_count_from_tokens(F.col("_toks")).alias("n_stopwords"),
+    )
+    n_tok = F.col("n_tokens").cast("double")
     score = (
-        stop_ratio * F.lit(0.5)
+        F.col("n_stopwords").cast("double") / n_tok * F.lit(0.5)
         + F.least(n_tok, F.lit(100.0)) / F.lit(100.0) * F.lit(0.3)
-        + (F.lit(1.0) - punct_ratio) * F.lit(0.2)
+        + (F.lit(1.0) - F.col("n_punct").cast("double") / n_tok) * F.lit(0.2)
     )
-    return (
-        df.withColumn("n_tokens", TX.token_count(text_col))
-        .withColumn("n_chars_computed", TX.char_count(text_col))
-        .withColumn("n_punct", TX.punct_count(text_col))
-        .withColumn("n_stopwords", TX.stopword_count(text_col))
-        .withColumn("quality_score", score)
-    )
+    return counts.withColumn("quality_score", score).drop("_toks")
 
 
 def fingerprint_documents(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -2233,17 +2233,24 @@ def x_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x_text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.functions.text import (
-        distinct_token_ratio,
+        distinct_token_ratio_from_tokens,
         fingerprint,
         redact_pii,
-        token_count,
+        tokens,
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # redacted text projected once, then its token array once (three
+    # consumers each). Codegen CSE already deduped the repeated subtrees
+    # (measured ~4%); the explicit projection makes single evaluation a
+    # plan property instead of a conf-dependent one.
     kept = (
         docs.withColumn("rtext", redact_pii("text"))
-        .withColumn("n_tokens", token_count("rtext"))
-        .withColumn("distinct_ratio", distinct_token_ratio("rtext"))
+        .withColumn("_toks", tokens("rtext"))
+        .withColumn("n_tokens", F.size("_toks"))
+        .withColumn(
+            "distinct_ratio", distinct_token_ratio_from_tokens(F.col("_toks"))
+        )
         .filter((F.col("n_tokens") >= 5) & (F.col("distinct_ratio") >= 0.3))
     )
     return (
