@@ -177,12 +177,17 @@ def _interpolate(lo: float, hi: float, frac: float) -> float:
     """lo*(1-frac) + hi*frac — bit-identical to DUCKDB's quantile_cont
     interpolation, the driver oracle's binding formula (pinned exactly
     in tests/test_quantiles.py::test_interpolation_is_duckdb_exact).
-    Spark's own Percentile uses the algebraically-equal lo+(hi-lo)*frac,
-    which can differ by ~1 ulp — even on a CONSTANT column: [109,109]
-    at p=0.1 is 109.00000000000001 here (and in DuckDB) but 109.0 in
-    Spark — so pytest comparisons against Spark percentile allow 2 ulp
-    while the engine-vs-DuckDB value hash stays exact. Changing this to
-    Spark's form would break driver hash parity the other way."""
+    Spark's own Percentile aggregates (value -> count) buckets, so when
+    the two neighbouring order statistics are THE SAME VALUE it returns
+    that value directly with no arithmetic; distinct neighbours go
+    through this same product form. The divergence is therefore
+    confined to duplicate-value cases — [109,109] at p=0.1 is
+    109.00000000000001 here (and in DuckDB) but exactly 109.0 in
+    Spark, a <=1 ulp drift of the value — so pytest comparisons against
+    Spark percentile allow 2 ulp while the engine-vs-DuckDB value hash
+    stays exact. (Review-verified: on distinct extreme values Spark
+    matches this form bit-for-bit where lo+(hi-lo)*f would differ by
+    far more than an ulp.)"""
     return lo * (1.0 - frac) + hi * frac if frac > 0 else lo
 
 

@@ -53,7 +53,19 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     cannot reach — the shingles/normalize fixes), so this staging is
     primarily defense: the single-evaluation property no longer depends
     on a runtime conf (`spark.sql.subexpressionElimination.enabled`)
-    holding. Multi-use non-cheap aliases survive CollapseProject."""
+    holding. Multi-use non-cheap aliases survive CollapseProject.
+
+    Like the previous withColumn form, output columns REPLACE any
+    same-named input columns (review find: a bare select-append made a
+    re-run over its own output raise AMBIGUOUS_REFERENCE)."""
+    clash = [
+        c
+        for c in ("n_tokens", "n_chars_computed", "n_punct", "n_stopwords",
+                  "quality_score", "_toks")
+        if c in df.columns and c != text_col
+    ]
+    if clash:
+        df = df.drop(*clash)
     toked = df.select("*", TX.tokens(text_col).alias("_toks"))
     counts = toked.select(
         "*",

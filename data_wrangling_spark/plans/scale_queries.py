@@ -559,17 +559,18 @@ def x_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_vec_normalize",
     oracle="""
+        WITH s AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS n
+            FROM embeddings
+        )
         SELECT vec_id,
-               ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
-                                           embedding::DOUBLE[])), 6) AS norm,
+               printf('%.6f', ROUND(n, 6)) AS norm,
                array_to_string(
-                   list_transform(embedding::DOUBLE[],
-                                  x -> printf('%.6f',
-                                              ROUND(x / sqrt(list_dot_product(
-                                                  embedding::DOUBLE[],
-                                                  embedding::DOUBLE[])), 6))),
+                   list_transform(v, x -> printf('%.6f', ROUND(x / n, 6))),
                    ',') AS unit
-        FROM embeddings ORDER BY vec_id
+        FROM s ORDER BY vec_id
     """,
     doc="Vector transform surface: L2-normalize embedding columns with "
         "built-in higher-order functions (transform + aggregate) — the "
@@ -596,9 +597,13 @@ def x_vec_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>"),
         lambda x: F.format_string("%.6f", F.round(x / F.col("_n"), 6)),
     )
+    # norm printf-fixed like the unit elements (review find: a raw
+    # ROUND-ed double is compared repr-exact by the driver, and
+    # Spark/DuckDB HALF_UP can disagree near .5e-6 boundaries — the
+    # same hazard the unit column always formatted away)
     return based.select(
         "vec_id",
-        F.round(F.col("_n"), 6).alias("norm"),
+        F.format_string("%.6f", F.round(F.col("_n"), 6)).alias("norm"),
         F.concat_ws(",", unit).alias("unit"),
     ).orderBy("vec_id")
 
@@ -2240,10 +2245,12 @@ def x_text_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    # redacted text projected once, then its token array once (three
-    # consumers each). Codegen CSE already deduped the repeated subtrees
-    # (measured ~4%); the explicit projection makes single evaluation a
-    # plan property instead of a conf-dependent one.
+    # readability refactor only: the optimized plan is bit-identical to
+    # the inline form (PushDownPredicate substitutes the n_tokens /
+    # distinct_ratio aliases into the filter and CollapseProject
+    # re-inlines the rest, so the expression duplicates remain — review-
+    # verified), and per-operator codegen CSE is what actually dedups
+    # them at runtime
     kept = (
         docs.withColumn("rtext", redact_pii("text"))
         .withColumn("_toks", tokens("rtext"))

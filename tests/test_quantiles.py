@@ -28,12 +28,14 @@ def _assert_interp_eq(got, want, ctx=""):
     lo*(1-f) + hi*f — BIT-IDENTICAL to DuckDB quantile_cont, the
     driver oracle's binding formula (pinned exactly in
     test_interpolation_is_duckdb_exact below). Spark's own percentile
-    uses lo + (hi-lo)*f: algebraically equal, floating-point different
-    by <= 2 ulp — e.g. values [109, 109] at p=0.1 give
-    109.00000000000001 (DuckDB and this repo) vs 109.0 (Spark), the
-    Hypothesis find that created this helper. Comparisons against
-    Spark percentile therefore tolerate ulps; the DuckDB comparison
-    stays exact."""
+    aggregates (value -> count) buckets, so when both neighbouring
+    order statistics are the same value it returns it with NO
+    arithmetic (distinct neighbours use the same product form) — e.g.
+    values [109, 109] at p=0.1 give 109.00000000000001 (DuckDB and
+    this repo) vs exactly 109.0 (Spark), the Hypothesis find that
+    created this helper; the drift is <=~1 ulp of the value and only
+    in duplicate-value cases. Comparisons against Spark percentile
+    therefore tolerate 2 ulp; the DuckDB comparison stays exact."""
     assert len(got) == len(want), (ctx, got, want)
     for g, w in zip(got, want):
         w = float(w)

@@ -215,3 +215,19 @@ def test_chunk_matches_python_model_on_varied_shapes(spark):
             for ci, n, t in _py_chunks(text, size, stride)
         )
         assert got == want, f"divergence at size={size} stride={stride}"
+
+
+def test_quality_features_replaces_existing_columns(spark):
+    """Review regression: the staged-select rewrite appended duplicate
+    columns when the input already carried an output name (the old
+    withColumn form replaced in place), so a re-run over its own output
+    raised AMBIGUOUS_REFERENCE. Outputs must replace."""
+    from data_wrangling_spark.operators.text_analysis import quality_features
+
+    docs = _docs(spark, ["the cat sat", "dog dog dog."])
+    once = quality_features(docs)
+    twice = quality_features(once)
+    assert sorted(once.columns) == sorted(twice.columns)
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
