@@ -80,6 +80,12 @@ EXTRA_QUERIES = [
     "x_text_chunk_overlap",
     "x_corpus_temperature_mixture",
     "x_text_boilerplate_spans",
+    # second widening batch — added AFTER the committed round-5
+    # SCALING.md capture (its extras table shows the first nine); the
+    # next regeneration picks these up automatically
+    "ext_tpch_q4_late_shipments",
+    "ext_tpch_q6_forecast_revenue",
+    "ext_tpch_q17_small_quantity",
 ]
 
 # ---------------------------------------------------------------- skew --
