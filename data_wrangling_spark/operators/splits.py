@@ -124,6 +124,15 @@ def temperature_mixture(
     (total corpus mass ~8e19 tokens); beyond that it degrades by at
     most ±1 ppm, identically on every engine — division of identical
     doubles is IEEE-correctly-rounded.
+
+    Negative stratum mass (a ``weight_expr`` that can go negative) is
+    CLAMPED to 0 before the sqrt (advice find): unclamped,
+    ``sqrt(negative)`` is NaN and Spark's non-ANSI ``floor(NaN) ->
+    cast`` silently yields 0 while an ANSI engine (or the DuckDB
+    oracle) errors — a silent cross-engine divergence. Clamping makes
+    a negative-mass stratum an explicit zero-weight stratum on every
+    engine; ``n_weight`` still reports the raw (possibly negative)
+    mass.
     """
     per = df.groupBy(stratum_col).agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -131,9 +140,10 @@ def temperature_mixture(
     )
     scaled = per.withColumn(
         "_w_fp",
-        F.floor(F.sqrt(F.col("n_weight").cast("double")) * F.lit(1000000.0)).cast(
-            "bigint"
-        ),
+        F.floor(
+            F.sqrt(F.greatest(F.col("n_weight"), F.lit(0)).cast("double"))
+            * F.lit(1000000.0)
+        ).cast("bigint"),
     )
     total = scaled.agg(F.sum("_w_fp").alias("_w_total"))
     return (

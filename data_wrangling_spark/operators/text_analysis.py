@@ -57,11 +57,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Like the previous withColumn form, output columns REPLACE any
     same-named input columns (review find: a bare select-append made a
-    re-run over its own output raise AMBIGUOUS_REFERENCE)."""
+    re-run over its own output raise AMBIGUOUS_REFERENCE) — and they
+    replace IN PLACE, keeping the original column ORDER, so positional
+    consumers (CSV sinks, tuple unpacking) see a stable schema when the
+    operator is re-run over its own output."""
+    out_names = ("n_tokens", "n_chars_computed", "n_punct", "n_stopwords",
+                 "quality_score")
+    orig_order = [c for c in df.columns if c != "_toks"]
     clash = [
         c
-        for c in ("n_tokens", "n_chars_computed", "n_punct", "n_stopwords",
-                  "quality_score", "_toks")
+        for c in (*out_names, "_toks")
         if c in df.columns and c != text_col
     ]
     if clash:
@@ -80,7 +85,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.least(n_tok, F.lit(100.0)) / F.lit(100.0) * F.lit(0.3)
         + (F.lit(1.0) - F.col("n_punct").cast("double") / n_tok) * F.lit(0.2)
     )
-    return counts.withColumn("quality_score", score).drop("_toks")
+    result = counts.withColumn("quality_score", score).drop("_toks")
+    order = orig_order + [c for c in out_names if c not in orig_order]
+    return result.select(*order)
 
 
 def fingerprint_documents(df: DataFrame, text_col: str = "text") -> DataFrame:

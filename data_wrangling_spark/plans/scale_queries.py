@@ -2935,7 +2935,8 @@ def x_text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents GROUP BY source
         ), scaled AS (
             SELECT source, n_rows, n_weight,
-                   CAST(floor(sqrt(CAST(n_weight AS DOUBLE)) * 1000000.0)
+                   CAST(floor(sqrt(CAST(GREATEST(n_weight, 0) AS DOUBLE))
+                              * 1000000.0)
                         AS BIGINT) AS w_fp
             FROM per
         ), tot AS (SELECT CAST(SUM(w_fp) AS BIGINT) AS w_total FROM scaled)

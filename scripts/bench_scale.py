@@ -638,16 +638,16 @@ def _duckdb_section(a, scales, results, duck_results) -> None:
 def _extras_section(a, scales, extras_data) -> None:
     ex_results, ex_duck = extras_data["results"], extras_data["duck"]
     base_label, top_label = scales[1][0], scales[-1][0]
-    a("## Round-5 widening queries at scale")
+    names = list(next(iter(ex_results.values())))
+    a("## Widening queries at scale")
     a("")
-    a("The nine queries added in round 5 (six TPC-H-shaped joins + three")
+    a(f"The {len(names)} widening queries (TPC-H-shaped joins +")
     a("training-pipeline operators), same methodology as the headline table.")
     a("DuckDB column uses a temp-table sink (full materialization, no client")
     a("transfer) because the chunking query emits millions of text rows at")
     a(f"{top_label} — the closer twin of Spark's noop sink; the headline")
     a("section's fetch-based numbers are unchanged.")
     a("")
-    names = list(next(iter(ex_results.values())))
     hdr = "| query | " + " | ".join(s for s, _, _ in scales)
     has_duck = bool(ex_duck)
     a(hdr + f" | {top_label} / {base_label} time"

@@ -122,3 +122,23 @@ def test_temperature_mixture_matches_python_model(spark):
     for s, m in masses.items():
         # double-division formula, exactly as both engines compute it
         assert got[s] == (1, m, math.floor(w_fp[s] / total * 1_000_000.0))
+
+
+def test_temperature_mixture_clamps_negative_mass(spark):
+    """Advice regression: a weight_expr that goes negative used to feed
+    sqrt(negative) -> NaN, which Spark's non-ANSI floor/cast silently
+    turned into 0 while an ANSI engine errors. Negative mass must clamp
+    to an explicit zero-weight stratum; n_weight keeps the raw value."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.operators.splits import temperature_mixture
+
+    df = spark.createDataFrame(
+        [("neg", -5), ("neg", -3), ("pos", 4)], "source string, w bigint"
+    )
+    got = {
+        r.source: (r.n_weight, r.weight_ppm)
+        for r in temperature_mixture(df, "source", F.col("w")).collect()
+    }
+    assert got["neg"] == (-8, 0)
+    assert got["pos"] == (4, 1_000_000)

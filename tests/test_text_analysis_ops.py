@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from data_wrangling_spark.operators.text_analysis import repetition_signals, tf_idf
 
 
@@ -221,13 +223,24 @@ def test_quality_features_replaces_existing_columns(spark):
     """Review regression: the staged-select rewrite appended duplicate
     columns when the input already carried an output name (the old
     withColumn form replaced in place), so a re-run over its own output
-    raised AMBIGUOUS_REFERENCE. Outputs must replace."""
+    raised AMBIGUOUS_REFERENCE. Outputs must replace IN PLACE: the
+    column ORDER must also be stable across a re-run (advice find —
+    sorted() comparison let a drop-then-append reordering through,
+    which positional consumers would see as a schema change)."""
     from data_wrangling_spark.operators.text_analysis import quality_features
 
     docs = _docs(spark, ["the cat sat", "dog dog dog."])
     once = quality_features(docs)
     twice = quality_features(once)
-    assert sorted(once.columns) == sorted(twice.columns)
+    assert once.columns == twice.columns
     a = sorted(map(tuple, once.collect()))
     b = sorted(map(tuple, twice.collect()))
     assert a == b
+    # clash column in the MIDDLE of the input: must be replaced at its
+    # original position (withColumn semantics), not dropped-and-appended
+    mid = docs.select(
+        F.col("doc_id"), F.lit(-1).alias("n_tokens"), F.col("text")
+    )
+    got = quality_features(mid)
+    assert got.columns[:3] == ["doc_id", "n_tokens", "text"]
+    assert got.filter(F.col("n_tokens") < 0).count() == 0
