@@ -20,9 +20,12 @@ key) — the 100 TB-safe shape:
   ``F.session_window`` / ``applyInPandasWithState`` (see
   streaming/events.py).
 
-Skew note: both partition by the entity key; a pathological power-user
-key is handled by AQE skew-join/partition-split at the shuffle, and the
-window itself is linear in the key's row count.
+Skew note: both partition by the entity key; the window is linear in
+the key's row count but runs as ONE task per key — the one skew shape
+AQE cannot split. ``asof_join_adaptive`` is the scale-safe default: it
+detects heavy keys exactly (one cheap counting job) and routes only
+those through ``asof_join_bucketed``'s (key, time-bucket) window,
+leaving the uniform mass on the plain single-shuffle path.
 """
 
 from __future__ import annotations
@@ -179,7 +182,7 @@ def asof_join_bucketed(
     right_tiebreak: str | None = None,
 ) -> DataFrame:
     """``asof_join`` with the per-key window split into fixed-width time
-    buckets — the skew-mitigation form for hot keys.
+    buckets — the skew-safe form for hot keys.
 
     The plain operator partitions the carry window by the join key: a
     key holding 1% of a 100 TB event stream puts 1 TB of rows through
@@ -187,20 +190,48 @@ def asof_join_bucketed(
     a skewed join partition. Here the shuffle/window key is
     (key, floor(time / bucket_seconds)), so a hot key's rows spread
     across its time buckets; what crosses bucket boundaries is one
-    pre-aggregated payload row per (key, bucket), carried by a window
-    over the O(buckets-per-key) summary rows — never the raw data.
+    pre-aggregated payload row per (key, bucket) — never the raw data.
 
     Results are EXACTLY ``asof_join``'s (pinned by equivalence tests):
-    within a bucket the same union-marker carry runs, seeded by a
-    boundary row holding the latest (direction-wise) right payload from
-    all earlier buckets. ``direction='forward'`` reuses the backward
-    machinery on negated time (max -t with -rt <= -lt IS min rt with
-    rt >= lt; the greatest-tiebreak rule is direction-invariant).
+    within a bucket the same union-marker carry runs; rows whose bucket
+    holds no earlier right row take the boundary payload — the latest
+    (direction-wise) right payload over all strictly-earlier buckets.
+    ``direction='forward'`` reuses the backward machinery on negated
+    time (max -t with -rt <= -lt IS min rt with rt >= lt; the
+    greatest-tiebreak rule is direction-invariant).
 
-    Cost vs ``asof_join``: the one big shuffle is the same width (on a
-    finer key), plus three control-plane-sized shuffles (right per-bucket
-    summaries, left distinct buckets, the boundary window). Equal
-    (key, time, tiebreak) right rows with different payloads are
+    Cost vs ``asof_join``: ~nothing — the round-5 form paid three extra
+    input-sized passes (right summary groupBy, left distinct buckets,
+    a three-way union through the big shuffle) and measured 2.3-2.9x
+    the plain form on uniform keys; this form derives EVERYTHING from
+    the ONE big exchange on (key, bucket):
+
+    - the union of both (tagged) inputs is explicitly repartitioned on
+      (_ks, _bk) — that exchange is the only input-sized shuffle, and
+      Spark's exchange/stage reuse computes it ONCE for both consumers;
+    - the carry window sorts/reads it (exactly the plain op's cost on a
+      finer key);
+    - the per-bucket summary is a hash aggregate over the SAME exchange
+      (already clustered on the grouping keys: no second shuffle, no
+      second scan), and the boundary window over the summaries is
+      O(touched buckets);
+    - boundary payloads join back to the window OUTPUT on (_ks, _bk):
+      the big side is already hash-partitioned AND sorted on a prefix
+      of the join keys, so only the O(buckets) side moves (AQE
+      broadcasts it at bench scale). A left row's in-bucket carry wins
+      via ``coalesce``; only carry-less rows read the boundary.
+
+    The key rides as ``_ks = struct(key)``: struct equality and struct
+    hashing are NULL-SAFE per field (``struct(NULL) = struct(NULL)`` is
+    TRUE), so NULL keys form one partition — matching plain
+    ``asof_join``'s window semantics, where NULL is a real key — and
+    the boundary join stays a plain equality that preserves
+    co-partitioning (an ``eqNullSafe`` join key would be rewritten to
+    (coalesce, isnull) keys and force the big side to re-shuffle; a
+    plain-column join would silently drop NULL-key boundaries, the
+    round-6 review find).
+
+    Equal (key, time, tiebreak) right rows with different payloads are
     nondeterministic in BOTH operators — make the tiebreak unique.
     Pick ``bucket_seconds`` so a hot key's densest bucket fits a task
     comfortably (e.g. daily buckets for a key doing ~1M rows/day)."""
@@ -211,6 +242,7 @@ def asof_join_bucketed(
 
     sign = 1.0 if direction == "backward" else -1.0
     lcols = list(left.columns)
+    carry_cols = [c for c in lcols if c != on]  # on reconstructs from _ks
     w_lit = float(bucket_seconds)
 
     l_s = (_seconds(left, left_time) * sign).alias("_s")
@@ -231,96 +263,166 @@ def asof_join_bucketed(
     bucket_of = lambda s: F.coalesce(  # noqa: E731
         F.floor(s / w_lit).cast("long"), F.lit(null_bucket).cast("long")
     )
-    r_tagged = right.select(
-        F.col(on).alias("_k"),
+    r_rows = right.select(
+        F.struct(F.col(on)).alias("_ks"),
         r_s,
+        F.lit(0).alias("_m"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"_lc_{c}")
+            for c in carry_cols
+        ],
         F.struct(
             *[F.col(src).alias(dst) for src, dst in payload.items()]
         ).alias("_p"),
         *([F.col(right_tiebreak).alias("_tb")] if right_tiebreak else []),
     ).withColumn("_bk", bucket_of(F.col("_s")))
-    l_tagged = left.select(
-        F.col(on).alias("_k"),
+    l_rows = left.select(
+        F.struct(F.col(on)).alias("_ks"),
         l_s,
-        *[F.col(c).alias(f"_lc_{c}") for c in lcols],
+        F.lit(1).alias("_m"),
+        *[F.col(c).alias(f"_lc_{c}") for c in carry_cols],
+        F.lit(None).cast(r_rows.schema["_p"].dataType).alias("_p"),
+        *([F.lit(None).cast(tb_type).alias("_tb")] if right_tiebreak else []),
     ).withColumn("_bk", bucket_of(F.col("_s")))
+    # THE one input-sized exchange, shared by the window and the summary
+    tagged = l_rows.unionByName(r_rows).repartition("_ks", "_bk")
 
-    # per-(key,bucket) winning right payload: greatest (time, tiebreak)
-    ord_struct = (
-        F.struct(F.col("_s"), F.col("_tb"))
-        if right_tiebreak
-        else F.struct(F.col("_s"))
-    )
-    summary = r_tagged.groupBy("_k", "_bk").agg(
-        F.max_by("_p", ord_struct).alias("_pb")
-    )
-    # boundary payload for bucket b = the latest summary among buckets
-    # strictly before b, over the union of buckets either side touches —
-    # a left-only bucket still needs the carry from the last right row
-    # seen before it
-    all_bk = (
-        l_tagged.select("_k", "_bk")
-        .distinct()
-        .unionByName(summary.select("_k", "_bk"))
-        .distinct()
+    # per-(key,bucket) winning right payload: any right row outranks
+    # every left row (left rows exist in the agg only so LEFT-ONLY
+    # buckets still get a summary row — _pb NULL there — which is what
+    # lets the boundary window cover them without a separate distinct
+    # pass); among right rows, greatest (time, tiebreak) wins, matching
+    # the carry window's (_s asc, _m, _tb asc) + last() order exactly.
+    ord_fields = [(F.lit(1) - F.col("_m")).alias("r"), F.col("_s").alias("s")]
+    if right_tiebreak:
+        ord_fields.append(F.col("_tb").alias("t"))
+    summary = tagged.groupBy("_ks", "_bk").agg(
+        F.max_by("_p", F.struct(*ord_fields)).alias("_pb")
     )
     carry_w = (
-        Window.partitionBy("_k")
+        Window.partitionBy("_ks")
         .orderBy("_bk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    boundary = (
-        all_bk.join(summary, ["_k", "_bk"], "left")
-        .withColumn("_pc", F.last("_pb", ignorenulls=True).over(carry_w))
-        .filter(F.col("_pc").isNotNull())
-        .select("_k", "_bk", F.col("_pc").alias("_p"))
-    )
+    boundary = summary.select(
+        "_ks",
+        "_bk",
+        F.last("_pb", ignorenulls=True).over(carry_w).alias("_pc"),
+    ).filter(F.col("_pc").isNotNull())
 
-    p_type = r_tagged.schema["_p"].dataType
-    null_lc = [
-        F.lit(None).cast(left.schema[c].dataType).alias(f"_lc_{c}")
-        for c in lcols
-    ]
-    tb_cols = (
-        [F.lit(None).cast(tb_type).alias("_tb")] if right_tiebreak else []
-    )
-    # marker order inside a (key, bucket) partition: boundary(-1) first
-    # (null _s + asc_nulls_first also sorts it before real rows), then
-    # right(0) before left(1) at equal times — identical to asof_join
-    b_rows = boundary.select(
-        "_k", F.lit(None).cast("double").alias("_s"), "_bk",
-        F.lit(-1).alias("_m"), *null_lc, "_p", *tb_cols,
-    )
-    r_rows = r_tagged.select(
-        "_k", "_s", "_bk", F.lit(0).alias("_m"), *null_lc, "_p",
-        *([F.col("_tb")] if right_tiebreak else []),
-    )
-    l_rows = l_tagged.select(
-        "_k", "_s", "_bk", F.lit(1).alias("_m"),
-        *[F.col(f"_lc_{c}") for c in lcols],
-        F.lit(None).cast(p_type).alias("_p"), *tb_cols,
-    )
     order_cols = [F.col("_s").asc_nulls_first(), F.col("_m")] + (
         [F.col("_tb").asc_nulls_first()] if right_tiebreak else []
     )
     w = (
-        Window.partitionBy("_k", "_bk")
+        Window.partitionBy("_ks", "_bk")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (
-        b_rows.unionByName(r_rows)
-        .unionByName(l_rows)
-        .select(
+        tagged.select(
+            "_ks",
+            "_bk",
             "_m",
-            *[f"_lc_{c}" for c in lcols],
+            *[f"_lc_{c}" for c in carry_cols],
             F.last("_p", ignorenulls=True).over(w).alias("_c"),
         )
+        .filter(F.col("_m") == 1)
     )
-    return carried.filter(F.col("_m") == 1).select(
-        *[F.col(f"_lc_{c}").alias(c) for c in lcols],
-        *[F.col(f"_c.{dst}").alias(dst) for dst in payload.values()],
+    best = F.coalesce(F.col("_c"), F.col("_pc"))
+    return carried.join(boundary, ["_ks", "_bk"], "left").select(
+        *[
+            (
+                F.col("_ks").getField(on)
+                if c == on
+                else F.col(f"_lc_{c}")
+            ).alias(c)
+            for c in lcols
+        ],
+        *[best.getField(dst).alias(dst) for dst in payload.values()],
     )
+
+
+def asof_join_adaptive(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: dict[str, str],
+    bucket_seconds: int,
+    direction: str = "backward",
+    right_tiebreak: str | None = None,
+    heavy_threshold: int = 1_000_000,
+) -> DataFrame:
+    """The scale-safe DEFAULT as-of join: plain ``asof_join`` for the
+    uniform mass of keys, ``asof_join_bucketed`` for detected hot keys
+    only — so the bucketed form's cross-bucket machinery (its ~2-3x
+    constant on uniform data, measured in SCALING.md) is paid ONLY by
+    the keys that need it, and the plain form's skew cliff (one window
+    task per key, the one shape AQE cannot split) is capped at
+    ``heavy_threshold`` rows per task.
+
+    Detection is EXACT, not sketched, and fully LAZY — part of the
+    returned plan, so composition and honest benchmarking both work:
+    per-key counts over the union of both sides' key columns (map-side
+    partial aggregation makes the shuffle O(distinct keys); the scan
+    reads one column, so parquet column pruning keeps it a few percent
+    of the join's own cost), filtered to count > heavy_threshold — a
+    set provably bounded by total_rows / heavy_threshold (~100k keys
+    at 10^11 rows with the 1M default: a sub-MB broadcast). Both
+    inputs split against a BROADCAST of that heavy-key set (null-safe
+    equality, so a heavy NULL key routes with its partition — NULL is
+    a real key to the window semantics); heavy rows run the bucketed
+    form, the rest the plain form, results union.
+
+    The adaptivity itself is delegated to AQE, not driver code: with
+    no heavy keys the broadcast is EMPTY at runtime, and AQE's empty-
+    relation propagation rewrites the anti joins into plain
+    passthroughs and collapses the entire semi-join + bucketed branch
+    to nothing — the executed plan degenerates to plain ``asof_join``
+    plus the one counting aggregate (pinned by the adaptive plan
+    test). No collect, no second code path, no eager action.
+
+    Key-partitioned semantics make the split exact: every (left row,
+    matching right rows) group lives entirely on one side of the split,
+    so plain ∪ bucketed = plain on everything (pinned by equivalence
+    tests, including NULL keys and both directions).
+
+    ``heavy_threshold`` is the max rows a single carry-window task
+    should absorb: the 1M default sorts ~tens of MB per task. Size it
+    DOWN for wide rows and benchmark rigs (SCALING.md's GB-scale skew
+    section uses 50k, mirroring how its AQE skew thresholds shrink the
+    256 MB default)."""
+    if heavy_threshold <= 0:
+        raise ValueError("heavy_threshold must be positive")
+
+    heavy_keys = (
+        left.select(F.col(on).alias("__heavy_k"))
+        .unionByName(right.select(F.col(on).alias("__heavy_k")))
+        .groupBy("__heavy_k")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > F.lit(heavy_threshold))
+        .select("__heavy_k")
+    )
+
+    def _split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        cond = df[on].eqNullSafe(heavy_keys["__heavy_k"])
+        return (
+            df.join(F.broadcast(heavy_keys), cond, "left_semi"),
+            df.join(F.broadcast(heavy_keys), cond, "left_anti"),
+        )
+
+    l_heavy, l_light = _split(left)
+    r_heavy, r_light = _split(right)
+    plain = asof_join(
+        l_light, r_light, on, left_time, right_time, payload,
+        direction, right_tiebreak,
+    )
+    bucketed = asof_join_bucketed(
+        l_heavy, r_heavy, on, left_time, right_time, payload,
+        bucket_seconds, direction, right_tiebreak,
+    )
+    return plain.unionByName(bucketed)
 
 
 def interval_join(

@@ -127,7 +127,11 @@ DRIVER_WINDOW: list[str] = [
     "x_dedup_minhash_lsh",
     "x_dedup_simhash",
     "x_dedup_embedding_cosine",
-    "x_sim_topk_lsh",
+    # round 6: ext_asof_latest_order_adaptive (the new scale-default
+    # as-of form, this round's headline change) swaps in for
+    # x_sim_topk_lsh (green r5 driver row; ANN family still represented
+    # by bruteforce + ivf + mllib_brp in the window)
+    "ext_asof_latest_order_adaptive",
     # second round-5 widening batch: Q4 semi-with-date-conjunct, Q6
     # pure pushdown, Q17 decorrelated per-part average; slots from
     # x_dedup_keep_best / ext_stratified_sample / ext_deciles_scalable

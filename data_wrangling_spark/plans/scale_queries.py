@@ -199,6 +199,46 @@ def ext_asof_latest_order_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "ext_asof_latest_order_adaptive",
+    oracle="""
+        WITH ord AS (
+            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS last_orderkey
+        FROM events e
+        ASOF LEFT JOIN ord o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        ORDER BY e.event_id
+    """,
+    doc="ext_asof_latest_order through the ADAPTIVE form — the "
+        "recommended default at scale: one exact heavy-key counting job "
+        "(map-side partials, key-column-pruned scan), then hot keys "
+        "route through the (key, weekly-bucket) window and everything "
+        "else stays on the plain single-shuffle path, so the skew-safe "
+        "machinery is paid only where a key would overflow one window "
+        "task. Same oracle as the plain/bucketed forms (result-"
+        "identical by construction). heavy_threshold is bench-sized "
+        "(50k) the same way SCALING.md's skew section shrinks the AQE "
+        "skew thresholds to GB scale; on uniform data no key comes "
+        "close, so this plan IS the plain one plus the counting job. "
+        "operators/temporal.py asof_join_adaptive.",
+)
+def ext_asof_latest_order_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.temporal import asof_join_adaptive
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    return asof_join_adaptive(
+        events, orders, on="user_id", left_time="ts", right_time="o_orderdate",
+        payload={"o_orderkey": "last_orderkey"}, bucket_seconds=7 * 86400,
+        right_tiebreak="o_orderkey", heavy_threshold=50_000,
+    )
+
+
+@register(
     "ext_sessionize_events",
     oracle="""
         WITH flagged AS (

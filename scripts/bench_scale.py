@@ -96,6 +96,7 @@ SKEW_QUERIES = [
     "ext_tpch_q3_shipping_priority",   # SMJ lineitem.l_orderkey = o_orderkey
     "ext_asof_latest_order",           # window partitionBy events.user_id
     "ext_asof_latest_order_bucketed",  # same query, (key, bucket) window
+    "ext_asof_latest_order_adaptive",  # heavy keys bucketed, rest plain
 ]
 HOT_KEYS = 8       # zipf support size: rank r holds share ∝ 1/r of hot mass
 HOT_FRAC = 0.25    # fraction of fact rows remapped onto the hot keys
@@ -693,6 +694,14 @@ SKEW_HANDLED_BY = {
                                       "(key, weekly bucket) — the hot key's "
                                       "rows spread across its time buckets; "
                                       "result-identical to the plain form",
+    "ext_asof_latest_order_adaptive": "asof_join_adaptive: one exact "
+                                      "heavy-key counting job, then ONLY "
+                                      "detected hot keys pay the bucketed "
+                                      "machinery while the uniform mass "
+                                      "stays on the plain single-window "
+                                      "path — the scale-default form "
+                                      "(bench-sized heavy_threshold 50k, "
+                                      "like the AQE thresholds above)",
 }
 
 

@@ -297,3 +297,149 @@ def test_asof_bucketed_null_times_match_plain_both_directions(spark):
                 )
             )
             assert got == want, (direction, width, got, want)
+
+
+# ---------------------------------------------------------------- adaptive --
+
+def test_asof_adaptive_equals_plain_mixed_keys_both_directions(spark):
+    """asof_join_adaptive must be row-identical to asof_join when the
+    threshold splits the keyspace: heavy keys (above threshold) route
+    through the bucketed path, the rest stay plain, and the union is
+    exactly the plain result."""
+    from data_wrangling_spark.operators.temporal import (
+        asof_join,
+        asof_join_adaptive,
+    )
+
+    ldf, rdf = _random_asof_frames(spark, seed=19, n_left=300, n_keys=4)
+    # n_left=300 over 4 keys -> ~75 left rows/key; threshold 60 makes
+    # some (not all) keys heavy
+    for direction in ("backward", "forward"):
+        want = _rows(
+            asof_join(ldf, rdf, on="k", left_time="t", right_time="rt",
+                      payload={"payload": "p"}, direction=direction,
+                      right_tiebreak="payload")
+        )
+        got = _rows(
+            asof_join_adaptive(
+                ldf, rdf, on="k", left_time="t", right_time="rt",
+                payload={"payload": "p"}, bucket_seconds=60,
+                direction=direction, right_tiebreak="payload",
+                heavy_threshold=60,
+            )
+        )
+        assert got == want, direction
+
+
+def test_asof_adaptive_no_heavy_keys_collapses_to_plain_at_runtime(spark):
+    """With every key under the threshold the heavy-key broadcast is
+    EMPTY at runtime and AQE's empty-relation propagation must erase
+    the split machinery from the executed plan: no semi/anti joins
+    survive, and the bucketed branch is gone — the adaptivity is AQE's,
+    not driver-side collect logic."""
+    from data_wrangling_spark.operators.temporal import (
+        asof_join,
+        asof_join_adaptive,
+    )
+
+    ldf, rdf = _random_asof_frames(spark, seed=23, n_left=40, n_right=20)
+    out = asof_join_adaptive(
+        ldf, rdf, on="k", left_time="t", right_time="rt",
+        payload={"payload": "p"}, bucket_seconds=3600,
+        right_tiebreak="payload", heavy_threshold=1_000_000,
+    )
+    got = _rows(out)  # executes; AQE finalizes the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # the executed section must be join-free; the printed Initial Plan
+    # (pre-AQE) legitimately still shows the split machinery
+    final = plan.split("== Initial Plan ==")[0]
+    assert "LeftSemi" not in final and "LeftAnti" not in final
+    assert got == _rows(
+        asof_join(ldf, rdf, on="k", left_time="t", right_time="rt",
+                  payload={"payload": "p"}, right_tiebreak="payload")
+    )
+    assert _rows(out) == _rows(
+        asof_join(ldf, rdf, on="k", left_time="t", right_time="rt",
+                  payload={"payload": "p"}, right_tiebreak="payload")
+    )
+
+
+def test_asof_adaptive_heavy_null_key_routes_with_its_partition(spark):
+    """NULL is a key value to the window partitioning (plain asof
+    matches NULL-key left rows to NULL-key right rows), so a heavy NULL
+    key must split null-safely — the broadcast split uses eqNullSafe."""
+    from data_wrangling_spark.operators.temporal import (
+        asof_join,
+        asof_join_adaptive,
+    )
+
+    left = spark.createDataFrame(
+        [(i, None, _ts(i)) for i in range(50)]
+        + [(100 + i, "cold", _ts(i)) for i in range(5)],
+        "event_id long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, _ts(0), 1), (None, _ts(25), 2), ("cold", _ts(2), 9)],
+        "k string, rt timestamp, payload int",
+    )
+    want = _rows(
+        asof_join(left, right, on="k", left_time="t", right_time="rt",
+                  payload={"payload": "p"}, right_tiebreak="payload")
+    )
+    got = _rows(
+        asof_join_adaptive(
+            left, right, on="k", left_time="t", right_time="rt",
+            payload={"payload": "p"}, bucket_seconds=10,
+            right_tiebreak="payload", heavy_threshold=20,
+        )
+    )
+    assert got == want
+    # sanity: the NULL key really was heavy (above threshold on the left)
+    assert sum(1 for r in left.collect() if r.k is None) > 20
+
+
+def test_asof_adaptive_rejects_bad_threshold(spark):
+    import pytest
+
+    from data_wrangling_spark.operators.temporal import asof_join_adaptive
+
+    ldf, rdf = _random_asof_frames(spark, seed=3, n_left=5, n_right=5)
+    with pytest.raises(ValueError, match="heavy_threshold"):
+        asof_join_adaptive(ldf, rdf, on="k", left_time="t", right_time="rt",
+                           payload={"payload": "p"}, bucket_seconds=60,
+                           heavy_threshold=0)
+
+
+def test_asof_bucketed_null_key_cross_bucket_carry(spark):
+    """Regression: the boundary join used plain (non-null-safe) key
+    equality, so a NULL key — one partition to the window, same as
+    plain asof_join — lost every cross-bucket payload carry and later
+    buckets' left rows got NULL instead of the carried payload."""
+    from data_wrangling_spark.operators.temporal import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    left = spark.createDataFrame(
+        [(i, None, _ts(i)) for i in range(0, 50, 7)],
+        "event_id long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, _ts(0), 1), (None, _ts(25), 2)],
+        "k string, rt timestamp, payload int",
+    )
+    for direction in ("backward", "forward"):
+        want = _rows(
+            asof_join(left, right, on="k", left_time="t", right_time="rt",
+                      payload={"payload": "p"}, direction=direction,
+                      right_tiebreak="payload")
+        )
+        got = _rows(
+            asof_join_bucketed(
+                left, right, on="k", left_time="t", right_time="rt",
+                payload={"payload": "p"}, bucket_seconds=10,
+                direction=direction, right_tiebreak="payload",
+            )
+        )
+        assert got == want, direction
