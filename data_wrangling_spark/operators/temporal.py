@@ -22,10 +22,10 @@ key) — the 100 TB-safe shape:
 
 Skew note: both partition by the entity key; the window is linear in
 the key's row count but runs as ONE task per key — the one skew shape
-AQE cannot split. ``asof_join_adaptive`` is the scale-safe default: it
-detects heavy keys exactly (one cheap counting job) and routes only
-those through ``asof_join_bucketed``'s (key, time-bucket) window,
-leaving the uniform mass on the plain single-shuffle path.
+AQE cannot split. ``asof_join_adaptive`` is the scale-safe default:
+one cheap hash-bucket counting job detects heavy keys, and ONE carry
+window runs on (key, time-bucket) for those keys and (key, 0) for the
+uniform mass — plain ``asof_join``'s pipeline plus a tiny broadcast.
 """
 
 from __future__ import annotations
@@ -193,43 +193,40 @@ def asof_join_bucketed(
     pre-aggregated payload row per (key, bucket) — never the raw data.
 
     Results are EXACTLY ``asof_join``'s (pinned by equivalence tests):
-    within a bucket the same union-marker carry runs; rows whose bucket
-    holds no earlier right row take the boundary payload — the latest
-    (direction-wise) right payload over all strictly-earlier buckets.
-    ``direction='forward'`` reuses the backward machinery on negated
-    time (max -t with -rt <= -lt IS min rt with rt >= lt; the
-    greatest-tiebreak rule is direction-invariant).
+    within a bucket the same union-marker carry runs, seeded by a
+    boundary row holding the latest (direction-wise) right payload over
+    all strictly-earlier buckets. ``direction='forward'`` reuses the
+    backward machinery on negated time (max -t with -rt <= -lt IS min
+    rt with rt >= lt; the greatest-tiebreak rule is direction-
+    invariant).
 
-    Cost vs ``asof_join``: ~nothing — the round-5 form paid three extra
-    input-sized passes (right summary groupBy, left distinct buckets,
-    a three-way union through the big shuffle) and measured 2.3-2.9x
-    the plain form on uniform keys; this form derives EVERYTHING from
-    the ONE big exchange on (key, bucket):
+    Cost vs ``asof_join``: one extra NARROW pre-pass, nothing else.
+    Two earlier shapes measured 2.3-3.2x the plain form on uniform keys
+    and motivated this one:
 
-    - the union of both (tagged) inputs is explicitly repartitioned on
-      (_ks, _bk) — that exchange is the only input-sized shuffle, and
-      Spark's exchange/stage reuse computes it ONCE for both consumers;
-    - the carry window sorts/reads it (exactly the plain op's cost on a
-      finer key);
-    - the per-bucket summary is a hash aggregate over the SAME exchange
-      (already clustered on the grouping keys: no second shuffle, no
-      second scan), and the boundary window over the summaries is
-      O(touched buckets);
-    - boundary payloads join back to the window OUTPUT on (_ks, _bk):
-      the big side is already hash-partitioned AND sorted on a prefix
-      of the join keys, so only the O(buckets) side moves (AQE
-      broadcasts it at bench scale). A left row's in-bucket carry wins
-      via ``coalesce``; only carry-less rows read the boundary.
+    - round 5 paid three pre-passes (right summary groupBy, left
+      DISTINCT buckets so left-only buckets got boundary coverage, a
+      boundary window over their join);
+    - the first round-6 attempt shared one explicit repartition between
+      the carry window and the summary aggregate and joined boundaries
+      back to the window output — but per-branch column pruning makes
+      the two exchange subplans non-identical, so ReusedExchange never
+      fires and the input was scanned AND shuffled twice, with the
+      explicit repartition also defeating the summary's map-side
+      partial aggregation (full-width shuffle before the agg).
 
-    The key rides as ``_ks = struct(key)``: struct equality and struct
-    hashing are NULL-SAFE per field (``struct(NULL) = struct(NULL)`` is
-    TRUE), so NULL keys form one partition — matching plain
-    ``asof_join``'s window semantics, where NULL is a real key — and
-    the boundary join stays a plain equality that preserves
-    co-partitioning (an ``eqNullSafe`` join key would be rewritten to
-    (coalesce, isnull) keys and force the big side to re-shuffle; a
-    plain-column join would silently drop NULL-key boundaries, the
-    round-6 review find).
+    This form: ONE thin union (key, scaled time, marker, tiebreak,
+    payload — no left carry columns) feeds the per-(key, bucket)
+    summary, whose partial max_by runs ON THE SCAN TASKS so the
+    summary shuffle carries only per-task per-bucket partials; left
+    rows ride the thin union too (outranked by any right row), which
+    is what gives LEFT-ONLY buckets a summary row — and therefore
+    boundary coverage — without round 5's separate distinct pass. The
+    boundary window over summaries is O(touched buckets), and boundary
+    rows are UNIONED into the big exchange as seed rows (marker -1,
+    NULL time, sorting first in each (key, bucket) partition) — no
+    join back, so the wide data flows scan -> one exchange -> window
+    -> project, exactly the plain operator's pipeline on a finer key.
 
     Equal (key, time, tiebreak) right rows with different payloads are
     nondeterministic in BOTH operators — make the tiebreak unique.
@@ -242,7 +239,14 @@ def asof_join_bucketed(
 
     sign = 1.0 if direction == "backward" else -1.0
     lcols = list(left.columns)
-    carry_cols = [c for c in lcols if c != on]  # on reconstructs from _ks
+    # the key is not stored twice when _k can exactly reconstruct it
+    # (same guard as plain asof_join: a union type promotion would
+    # otherwise change the output schema); _s is sign-scaled double, so
+    # left_time always rides as a carry column here
+    key_reconstructable = (
+        left.schema[on].dataType == right.schema[on].dataType
+    )
+    carry_cols = [c for c in lcols if c != on or not key_reconstructable]
     w_lit = float(bucket_seconds)
 
     l_s = (_seconds(left, left_time) * sign).alias("_s")
@@ -263,82 +267,97 @@ def asof_join_bucketed(
     bucket_of = lambda s: F.coalesce(  # noqa: E731
         F.floor(s / w_lit).cast("long"), F.lit(null_bucket).cast("long")
     )
-    r_rows = right.select(
-        F.struct(F.col(on)).alias("_ks"),
-        r_s,
-        F.lit(0).alias("_m"),
-        *[
-            F.lit(None).cast(left.schema[c].dataType).alias(f"_lc_{c}")
-            for c in carry_cols
-        ],
-        F.struct(
-            *[F.col(src).alias(dst) for src, dst in payload.items()]
-        ).alias("_p"),
-        *([F.col(right_tiebreak).alias("_tb")] if right_tiebreak else []),
-    ).withColumn("_bk", bucket_of(F.col("_s")))
-    l_rows = left.select(
-        F.struct(F.col(on)).alias("_ks"),
-        l_s,
-        F.lit(1).alias("_m"),
-        *[F.col(c).alias(f"_lc_{c}") for c in carry_cols],
-        F.lit(None).cast(r_rows.schema["_p"].dataType).alias("_p"),
-        *([F.lit(None).cast(tb_type).alias("_tb")] if right_tiebreak else []),
-    ).withColumn("_bk", bucket_of(F.col("_s")))
-    # THE one input-sized exchange, shared by the window and the summary
-    tagged = l_rows.unionByName(r_rows).repartition("_ks", "_bk")
+    p_expr = F.struct(
+        *[F.col(src).alias(dst) for src, dst in payload.items()]
+    )
+    tb_r = [F.col(right_tiebreak).alias("_tb")] if right_tiebreak else []
+    tb_null = (
+        [F.lit(None).cast(tb_type).alias("_tb")] if right_tiebreak else []
+    )
 
-    # per-(key,bucket) winning right payload: any right row outranks
-    # every left row (left rows exist in the agg only so LEFT-ONLY
-    # buckets still get a summary row — _pb NULL there — which is what
-    # lets the boundary window cover them without a separate distinct
-    # pass); among right rows, greatest (time, tiebreak) wins, matching
-    # the carry window's (_s asc, _m, _tb asc) + last() order exactly.
+    # THIN pre-pass: per-(key, bucket) winning right payload. Any right
+    # row outranks every left row (left rows ride the thin union only
+    # so LEFT-ONLY buckets still get a summary row — _pb NULL there —
+    # which is what lets the boundary window cover them without a
+    # separate distinct pass); among right rows, greatest (time,
+    # tiebreak) wins, matching the carry window's (_s asc, _m, _tb asc)
+    # + last() order exactly. No repartition here: the partial max_by
+    # compacts on the scan tasks, so the shuffle is O(buckets/task).
+    r_thin = right.select(
+        F.col(on).alias("_k"), r_s, F.lit(0).alias("_m"),
+        p_expr.alias("_p"), *tb_r,
+    ).withColumn("_bk", bucket_of(F.col("_s")))
+    p_type = r_thin.schema["_p"].dataType
+    l_thin = left.select(
+        F.col(on).alias("_k"), l_s, F.lit(1).alias("_m"),
+        F.lit(None).cast(p_type).alias("_p"), *tb_null,
+    ).withColumn("_bk", bucket_of(F.col("_s")))
     ord_fields = [(F.lit(1) - F.col("_m")).alias("r"), F.col("_s").alias("s")]
     if right_tiebreak:
         ord_fields.append(F.col("_tb").alias("t"))
-    summary = tagged.groupBy("_ks", "_bk").agg(
-        F.max_by("_p", F.struct(*ord_fields)).alias("_pb")
+    summary = (
+        l_thin.unionByName(r_thin)
+        .groupBy("_k", "_bk")
+        .agg(F.max_by("_p", F.struct(*ord_fields)).alias("_pb"))
     )
+    # boundary payload for bucket b = latest summary among buckets
+    # strictly before b — O(touched buckets) rows through this window
     carry_w = (
-        Window.partitionBy("_ks")
+        Window.partitionBy("_k")
         .orderBy("_bk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     boundary = summary.select(
-        "_ks",
+        "_k",
         "_bk",
-        F.last("_pb", ignorenulls=True).over(carry_w).alias("_pc"),
-    ).filter(F.col("_pc").isNotNull())
+        F.last("_pb", ignorenulls=True).over(carry_w).alias("_p"),
+    ).filter(F.col("_p").isNotNull())
+
+    # WIDE pass: boundary seed rows union into the one big exchange.
+    # Marker order inside a (key, bucket) partition: boundary(-1) first
+    # (NULL _s + asc_nulls_first also sorts it before real rows), then
+    # right(0) before left(1) at equal times — identical to asof_join.
+    null_lc = [
+        F.lit(None).cast(left.schema[c].dataType).alias(f"_lc_{c}")
+        for c in carry_cols
+    ]
+    b_rows = boundary.select(
+        "_k", F.lit(None).cast("double").alias("_s"), "_bk",
+        F.lit(-1).alias("_m"), *null_lc, "_p", *tb_null,
+    )
+    r_rows = right.select(
+        F.col(on).alias("_k"), r_s, F.lit(0).alias("_m"), *null_lc,
+        p_expr.alias("_p"), *tb_r,
+    ).withColumn("_bk", bucket_of(F.col("_s"))).select(*b_rows.columns)
+    l_rows = left.select(
+        F.col(on).alias("_k"), l_s, F.lit(1).alias("_m"),
+        *[F.col(c).alias(f"_lc_{c}") for c in carry_cols],
+        F.lit(None).cast(p_type).alias("_p"), *tb_null,
+    ).withColumn("_bk", bucket_of(F.col("_s"))).select(*b_rows.columns)
 
     order_cols = [F.col("_s").asc_nulls_first(), F.col("_m")] + (
         [F.col("_tb").asc_nulls_first()] if right_tiebreak else []
     )
     w = (
-        Window.partitionBy("_ks", "_bk")
+        Window.partitionBy("_k", "_bk")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = (
-        tagged.select(
-            "_ks",
-            "_bk",
-            "_m",
-            *[f"_lc_{c}" for c in carry_cols],
-            F.last("_p", ignorenulls=True).over(w).alias("_c"),
-        )
-        .filter(F.col("_m") == 1)
+    carried = b_rows.unionByName(r_rows).unionByName(l_rows).select(
+        "_m",
+        "_k",
+        *[f"_lc_{c}" for c in carry_cols],
+        F.last("_p", ignorenulls=True).over(w).alias("_c"),
     )
-    best = F.coalesce(F.col("_c"), F.col("_pc"))
-    return carried.join(boundary, ["_ks", "_bk"], "left").select(
+    return carried.filter(F.col("_m") == 1).select(
         *[
             (
-                F.col("_ks").getField(on)
-                if c == on
+                F.col("_k") if c == on and key_reconstructable
                 else F.col(f"_lc_{c}")
             ).alias(c)
             for c in lcols
         ],
-        *[best.getField(dst).alias(dst) for dst in payload.values()],
+        *[F.col(f"_c.{dst}").alias(dst) for dst in payload.values()],
     )
 
 
@@ -353,76 +372,231 @@ def asof_join_adaptive(
     direction: str = "backward",
     right_tiebreak: str | None = None,
     heavy_threshold: int = 1_000_000,
+    detection_buckets: int = 1 << 16,
 ) -> DataFrame:
-    """The scale-safe DEFAULT as-of join: plain ``asof_join`` for the
-    uniform mass of keys, ``asof_join_bucketed`` for detected hot keys
-    only — so the bucketed form's cross-bucket machinery (its ~2-3x
-    constant on uniform data, measured in SCALING.md) is paid ONLY by
-    the keys that need it, and the plain form's skew cliff (one window
-    task per key, the one shape AQE cannot split) is capped at
-    ``heavy_threshold`` rows per task.
+    """The scale-safe DEFAULT as-of join: ONE carry window whose
+    partition key is (key, time-bucket) for detected hot keys and
+    (key, 0) for everything else — so the uniform mass runs exactly
+    plain ``asof_join``'s one-shuffle pipeline while no key can ever
+    put more than ~one bucket of rows through a single window task
+    (the one skew shape AQE cannot split).
 
-    Detection is EXACT, not sketched, and fully LAZY — part of the
-    returned plan, so composition and honest benchmarking both work:
-    per-key counts over the union of both sides' key columns (map-side
-    partial aggregation makes the shuffle O(distinct keys); the scan
-    reads one column, so parquet column pruning keeps it a few percent
-    of the join's own cost), filtered to count > heavy_threshold — a
-    set provably bounded by total_rows / heavy_threshold (~100k keys
-    at 10^11 rows with the 1M default: a sub-MB broadcast). Both
-    inputs split against a BROADCAST of that heavy-key set (null-safe
-    equality, so a heavy NULL key routes with its partition — NULL is
-    a real key to the window semantics); heavy rows run the bucketed
-    form, the rest the plain form, results union.
+    Why not route hot keys through ``asof_join_bucketed`` as a second
+    pipeline: measured at 20x bench scale, splitting the inputs via
+    semi/anti broadcast joins scanned each table twice and ran two full
+    window pipelines — ~2.5x plain even when the bucketed share was
+    small. Here the wide data flows ONCE: scan -> heavy-flag broadcast
+    join (one tiny build side; a heavy NULL key routes with its
+    partition because detection hashes the key) -> one exchange on
+    (key, effective-bucket) -> window -> project. The only extra input-sized work over plain is
+    the detection pass and the boundary pre-pass, and the boundary
+    pre-pass is semi-filtered to HEAVY rows only — the regime where a
+    hot key's (key, bucket) summary genuinely compacts (a uniform key
+    has ~as many touched buckets as rows, which is why bucketing
+    everything is structurally wasteful — measured: 3.1M summary rows
+    from 5M inputs at weekly buckets on uniform bench data).
 
-    The adaptivity itself is delegated to AQE, not driver code: with
-    no heavy keys the broadcast is EMPTY at runtime, and AQE's empty-
-    relation propagation rewrites the anti joins into plain
-    passthroughs and collapses the entire semi-join + bucketed branch
-    to nothing — the executed plan degenerates to plain ``asof_join``
-    plus the one counting aggregate (pinned by the adaptive plan
-    test). No collect, no second code path, no eager action.
+    Ordering is plain ``asof_join``'s within every partition: light
+    partitions hold a whole key (time asc, NULLs first going backward /
+    last going forward — matching plain's asc/desc traversal exactly);
+    heavy partitions hold one bucket, seeded by a boundary row carrying
+    the latest right payload from all strictly-earlier buckets
+    (``_s = -inf`` so the seed sorts first; real timestamps are finite).
+    Heavy NULL-time rows isolate in the direction-appropriate sentinel
+    bucket, same as ``asof_join_bucketed``. Result-identical to plain
+    by construction (pinned by equivalence tests, including NULL keys,
+    NULL times, and both directions).
 
-    Key-partitioned semantics make the split exact: every (left row,
-    matching right rows) group lives entirely on one side of the split,
-    so plain ∪ bucketed = plain on everything (pinned by equivalence
-    tests, including NULL keys and both directions).
+    Detection is LAZY — part of the returned plan, no collect — and
+    counts HASH BUCKETS of the key, not keys: per-key counting over a
+    high-cardinality keyspace defeats map-side partial aggregation (the
+    partials emit ~one row per distinct key per task — measured ~1s of
+    a 3.1s query at 100x bench scale, sampled or not), while counting
+    ``xxhash64(key) % detection_buckets`` caps every task's partial
+    output at ``detection_buckets`` rows, so the detection shuffle is
+    O(buckets) regardless of data size. A bucket whose total mass
+    exceeds ``heavy_threshold`` flags ALL its keys heavy. False
+    positives (light keys sharing a flagged bucket, or several light
+    keys summing past the threshold) only route extra keys through the
+    bucketed-window path — result-identical, marginal cost; false
+    negatives are impossible (a heavy key's bucket mass >= its own
+    count). NULL keys hash like any value, so no null-safe join
+    machinery is needed anywhere. With no heavy buckets the broadcast
+    is EMPTY at runtime and AQE's empty-relation propagation erases the
+    flag join and the whole boundary subtree — the executed plan
+    degenerates to plain plus the bucket-counting aggregate (pinned by
+    the adaptive plan test).
 
     ``heavy_threshold`` is the max rows a single carry-window task
     should absorb: the 1M default sorts ~tens of MB per task. Size it
     DOWN for wide rows and benchmark rigs (SCALING.md's GB-scale skew
-    section uses 50k, mirroring how its AQE skew thresholds shrink the
-    256 MB default)."""
+    section shrinks it the same way it shrinks the AQE skew
+    thresholds). Size ``detection_buckets`` (default 2^16) so expected
+    bucket mass total_rows / buckets stays well under heavy_threshold
+    (keeps false positives rare) while staying under ~rows-per-task
+    (keeps the partial compaction) — at 10^12 rows and the 1M default
+    threshold, 2^22 buckets gives ~240k expected mass and a still-tiny
+    4M-row detection shuffle."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
     if heavy_threshold <= 0:
         raise ValueError("heavy_threshold must be positive")
+    if detection_buckets <= 0:
+        raise ValueError("detection_buckets must be positive")
 
-    heavy_keys = (
-        left.select(F.col(on).alias("__heavy_k"))
-        .unionByName(right.select(F.col(on).alias("__heavy_k")))
-        .groupBy("__heavy_k")
+    sign = 1.0 if direction == "backward" else -1.0
+    lcols = list(left.columns)
+    key_reconstructable = (
+        left.schema[on].dataType == right.schema[on].dataType
+    )
+    carry_cols = [c for c in lcols if c != on or not key_reconstructable]
+    w_lit = float(bucket_seconds)
+    null_bucket = -(2**63) if direction == "backward" else 2**63 - 1
+    bucket_of = lambda s: F.coalesce(  # noqa: E731
+        F.floor(s / w_lit).cast("long"), F.lit(null_bucket).cast("long")
+    )
+
+    # ---- detection: heavy hash-buckets as a lazy broadcast set ---------
+    # xxhash64(NULL) is the (non-null) seed hash, so NULL keys land in a
+    # bucket like any value — no null-safe join machinery needed. All
+    # consumers (thin semi-filter + wide flag join) join against THIS
+    # one frame with the same condition, so the broadcast exchange is
+    # built — and the counting aggregate run — exactly ONCE
+    # (non-identical build frames made it run per-consumer, measured
+    # +~1s/run at 100x bench scale).
+    hb_of = lambda c: F.pmod(  # noqa: E731
+        F.xxhash64(c, F.lit(41)), F.lit(detection_buckets)
+    )
+    heavy = (
+        left.select(hb_of(F.col(on)).alias("_hb"))
+        .unionByName(right.select(hb_of(F.col(on)).alias("_hb")))
+        .groupBy("_hb")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > F.lit(heavy_threshold))
-        .select("__heavy_k")
+        .select("_hb")
     )
 
-    def _split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        cond = df[on].eqNullSafe(heavy_keys["__heavy_k"])
-        return (
-            df.join(F.broadcast(heavy_keys), cond, "left_semi"),
-            df.join(F.broadcast(heavy_keys), cond, "left_anti"),
+    l_s = (_seconds(left, left_time) * sign).alias("_s")
+    r_s = (_seconds(right, right_time) * sign).alias("_s")
+    tb_type = right.schema[right_tiebreak].dataType if right_tiebreak else None
+    p_expr = F.struct(
+        *[F.col(src).alias(dst) for src, dst in payload.items()]
+    )
+    tb_r = [F.col(right_tiebreak).alias("_tb")] if right_tiebreak else []
+    tb_null = (
+        [F.lit(None).cast(tb_type).alias("_tb")] if right_tiebreak else []
+    )
+
+    # ---- thin boundary pre-pass over HEAVY rows only -------------------
+    # same summary/boundary machinery as asof_join_bucketed, but the
+    # semi-filter to heavy buckets makes the aggregate genuinely compact
+    def _semi(df: DataFrame) -> DataFrame:
+        return df.join(
+            F.broadcast(heavy),
+            hb_of(df["_k"]) == heavy["_hb"],
+            "left_semi",
         )
 
-    l_heavy, l_light = _split(left)
-    r_heavy, r_light = _split(right)
-    plain = asof_join(
-        l_light, r_light, on, left_time, right_time, payload,
-        direction, right_tiebreak,
+    r_thin = _semi(
+        right.select(
+            F.col(on).alias("_k"), r_s, F.lit(0).alias("_m"),
+            p_expr.alias("_p"), *tb_r,
+        )
+    ).withColumn("_bk", bucket_of(F.col("_s")))
+    p_type = r_thin.schema["_p"].dataType
+    l_thin = _semi(
+        left.select(
+            F.col(on).alias("_k"), l_s, F.lit(1).alias("_m"),
+            F.lit(None).cast(p_type).alias("_p"), *tb_null,
+        )
+    ).withColumn("_bk", bucket_of(F.col("_s")))
+    ord_fields = [(F.lit(1) - F.col("_m")).alias("r"), F.col("_s").alias("s")]
+    if right_tiebreak:
+        ord_fields.append(F.col("_tb").alias("t"))
+    summary = (
+        l_thin.unionByName(r_thin)
+        .groupBy("_k", "_bk")
+        .agg(F.max_by("_p", F.struct(*ord_fields)).alias("_pb"))
     )
-    bucketed = asof_join_bucketed(
-        l_heavy, r_heavy, on, left_time, right_time, payload,
-        bucket_seconds, direction, right_tiebreak,
+    carry_w = (
+        Window.partitionBy("_k")
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return plain.unionByName(bucketed)
+    boundary = summary.select(
+        "_k",
+        "_bk",
+        F.last("_pb", ignorenulls=True).over(carry_w).alias("_p"),
+    ).filter(F.col("_p").isNotNull())
+
+    # ---- wide pass: one union, one flag join, one exchange -------------
+    null_lc = [
+        F.lit(None).cast(left.schema[c].dataType).alias(f"_lc_{c}")
+        for c in carry_cols
+    ]
+    # boundary seeds are heavy by construction; -inf sorts before every
+    # real time in both directions' orderings (see docstring)
+    b_rows = boundary.select(
+        "_k", F.lit(float("-inf")).alias("_s"), "_bk",
+        F.lit(-1).alias("_m"), *null_lc, "_p", *tb_null,
+    )
+    r_rows = right.select(
+        F.col(on).alias("_k"), r_s, F.lit(0).alias("_m"), *null_lc,
+        p_expr.alias("_p"), *tb_r,
+    )
+    l_rows = left.select(
+        F.col(on).alias("_k"), l_s, F.lit(1).alias("_m"),
+        *[F.col(c).alias(f"_lc_{c}") for c in carry_cols],
+        F.lit(None).cast(p_type).alias("_p"), *tb_null,
+    )
+    # the flag join's matched test is _hb IS NOT NULL — safe because the
+    # build side's _hb is pmod output, never NULL
+    wide = l_rows.unionByName(r_rows)
+    flagged = (
+        wide.join(F.broadcast(heavy), hb_of(wide["_k"]) == heavy["_hb"], "left")
+        .withColumn(
+            "_bk",
+            F.when(F.col("_hb").isNotNull(), bucket_of(F.col("_s")))
+            .otherwise(F.lit(0).cast("long")),
+        )
+        .unionByName(b_rows.withColumn("_hb", hb_of(F.col("_k"))))
+    )
+    # light partitions mix NULL and real times, so the NULL placement
+    # must match plain's traversal: first going backward (asc), last
+    # going forward (desc on unnegated time); heavy partitions hold no
+    # NULL _s except in the sentinel bucket, where rows tie and _m
+    # orders boundary < right < left as always
+    s_order = (
+        F.col("_s").asc_nulls_first()
+        if direction == "backward"
+        else F.col("_s").asc_nulls_last()
+    )
+    order_cols = [s_order, F.col("_m")] + (
+        [F.col("_tb").asc_nulls_first()] if right_tiebreak else []
+    )
+    w = (
+        Window.partitionBy("_k", "_bk")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = flagged.select(
+        "_m",
+        "_k",
+        *[f"_lc_{c}" for c in carry_cols],
+        F.last("_p", ignorenulls=True).over(w).alias("_c"),
+    )
+    return carried.filter(F.col("_m") == 1).select(
+        *[
+            (
+                F.col("_k") if c == on and key_reconstructable
+                else F.col(f"_lc_{c}")
+            ).alias(c)
+            for c in lcols
+        ],
+        *[F.col(f"_c.{dst}").alias(dst) for dst in payload.values()],
+    )
 
 
 def interval_join(

@@ -212,17 +212,19 @@ def ext_asof_latest_order_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
         ORDER BY e.event_id
     """,
     doc="ext_asof_latest_order through the ADAPTIVE form — the "
-        "recommended default at scale: one exact heavy-key counting job "
-        "(map-side partials, key-column-pruned scan), then hot keys "
-        "route through the (key, weekly-bucket) window and everything "
-        "else stays on the plain single-shuffle path, so the skew-safe "
-        "machinery is paid only where a key would overflow one window "
-        "task. Same oracle as the plain/bucketed forms (result-"
-        "identical by construction). heavy_threshold is bench-sized "
-        "(50k) the same way SCALING.md's skew section shrinks the AQE "
-        "skew thresholds to GB scale; on uniform data no key comes "
-        "close, so this plan IS the plain one plus the counting job. "
-        "operators/temporal.py asof_join_adaptive.",
+        "recommended default at scale: one hash-bucket counting job "
+        "(bucket cardinality caps the partial-agg output per task, so "
+        "the detection shuffle is O(buckets) at any data size) flags "
+        "heavy keys, and ONE carry window runs on (key, weekly bucket) "
+        "for those keys and (key, 0) for everything else — plain "
+        "asof_join's single-shuffle pipeline plus a tiny broadcast. "
+        "Same oracle as the plain/bucketed forms (result-identical by "
+        "construction). heavy_threshold (50k) and detection_buckets "
+        "(4096) are bench-sized the same way SCALING.md's skew section "
+        "shrinks the AQE thresholds to GB scale; on uniform data no "
+        "bucket comes close, so the executed plan IS the plain one "
+        "plus the counting job (AQE empty-relation propagation, "
+        "plan-pinned). operators/temporal.py asof_join_adaptive.",
 )
 def ext_asof_latest_order_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.temporal import asof_join_adaptive
@@ -235,6 +237,7 @@ def ext_asof_latest_order_adaptive(spark: SparkSession, sf_dir: str) -> DataFram
         events, orders, on="user_id", left_time="ts", right_time="o_orderdate",
         payload={"o_orderkey": "last_orderkey"}, bucket_seconds=7 * 86400,
         right_tiebreak="o_orderkey", heavy_threshold=50_000,
+        detection_buckets=4096,
     )
 
 

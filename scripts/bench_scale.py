@@ -694,13 +694,13 @@ SKEW_HANDLED_BY = {
                                       "(key, weekly bucket) — the hot key's "
                                       "rows spread across its time buckets; "
                                       "result-identical to the plain form",
-    "ext_asof_latest_order_adaptive": "asof_join_adaptive: one exact "
-                                      "heavy-key counting job, then ONLY "
-                                      "detected hot keys pay the bucketed "
-                                      "machinery while the uniform mass "
-                                      "stays on the plain single-window "
-                                      "path — the scale-default form "
-                                      "(bench-sized heavy_threshold 50k, "
+    "ext_asof_latest_order_adaptive": "asof_join_adaptive: one hash-bucket "
+                                      "counting job flags heavy keys, then "
+                                      "ONE carry window runs on (key, "
+                                      "weekly bucket) for those keys and "
+                                      "(key, 0) for the uniform mass — the "
+                                      "scale-default form (bench-sized "
+                                      "heavy_threshold 50k / 4096 buckets, "
                                       "like the AQE thresholds above)",
 }
 

@@ -332,11 +332,12 @@ def test_asof_adaptive_equals_plain_mixed_keys_both_directions(spark):
 
 
 def test_asof_adaptive_no_heavy_keys_collapses_to_plain_at_runtime(spark):
-    """With every key under the threshold the heavy-key broadcast is
-    EMPTY at runtime and AQE's empty-relation propagation must erase
-    the split machinery from the executed plan: no semi/anti joins
-    survive, and the bucketed branch is gone — the adaptivity is AQE's,
-    not driver-side collect logic."""
+    """With every bucket under the threshold the heavy-bucket broadcast
+    is EMPTY at runtime and AQE's empty-relation propagation must erase
+    the routing machinery from the executed plan: no join of any kind
+    survives (the flag join and the boundary subtree's semi-filters are
+    all gone) — the adaptivity is AQE's, not driver-side collect
+    logic."""
     from data_wrangling_spark.operators.temporal import (
         asof_join,
         asof_join_adaptive,
@@ -352,9 +353,9 @@ def test_asof_adaptive_no_heavy_keys_collapses_to_plain_at_runtime(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     # the executed section must be join-free; the printed Initial Plan
-    # (pre-AQE) legitimately still shows the split machinery
+    # (pre-AQE) legitimately still shows the routing machinery
     final = plan.split("== Initial Plan ==")[0]
-    assert "LeftSemi" not in final and "LeftAnti" not in final
+    assert "Join" not in final
     assert got == _rows(
         asof_join(ldf, rdf, on="k", left_time="t", right_time="rt",
                   payload={"payload": "p"}, right_tiebreak="payload")
@@ -368,7 +369,9 @@ def test_asof_adaptive_no_heavy_keys_collapses_to_plain_at_runtime(spark):
 def test_asof_adaptive_heavy_null_key_routes_with_its_partition(spark):
     """NULL is a key value to the window partitioning (plain asof
     matches NULL-key left rows to NULL-key right rows), so a heavy NULL
-    key must split null-safely — the broadcast split uses eqNullSafe."""
+    key must route with its partition — detection hashes the key, and
+    xxhash64(NULL) is a real bucket, so no null-safe join machinery is
+    involved anywhere."""
     from data_wrangling_spark.operators.temporal import (
         asof_join,
         asof_join_adaptive,
@@ -409,6 +412,39 @@ def test_asof_adaptive_rejects_bad_threshold(spark):
         asof_join_adaptive(ldf, rdf, on="k", left_time="t", right_time="rt",
                            payload={"payload": "p"}, bucket_seconds=60,
                            heavy_threshold=0)
+    with pytest.raises(ValueError, match="detection_buckets"):
+        asof_join_adaptive(ldf, rdf, on="k", left_time="t", right_time="rt",
+                           payload={"payload": "p"}, bucket_seconds=60,
+                           detection_buckets=0)
+
+
+def test_asof_adaptive_bucket_false_positives_are_result_identical(spark):
+    """detection_buckets=1 forces EVERY key into one detection bucket:
+    the combined mass trips the threshold, so every key — heavy or not
+    — routes through the bucketed-window path as a false positive. The
+    result must still be exactly plain asof_join's (routing is a
+    partitioning decision, never a semantics decision)."""
+    from data_wrangling_spark.operators.temporal import (
+        asof_join,
+        asof_join_adaptive,
+    )
+
+    ldf, rdf = _random_asof_frames(spark, seed=31, n_left=120, n_keys=5)
+    for direction in ("backward", "forward"):
+        want = _rows(
+            asof_join(ldf, rdf, on="k", left_time="t", right_time="rt",
+                      payload={"payload": "p"}, direction=direction,
+                      right_tiebreak="payload")
+        )
+        got = _rows(
+            asof_join_adaptive(
+                ldf, rdf, on="k", left_time="t", right_time="rt",
+                payload={"payload": "p"}, bucket_seconds=60,
+                direction=direction, right_tiebreak="payload",
+                heavy_threshold=10, detection_buckets=1,
+            )
+        )
+        assert got == want, direction
 
 
 def test_asof_bucketed_null_key_cross_bucket_carry(spark):
