@@ -301,11 +301,22 @@ def boilerplate_spans(
     so ``count(*)`` IS the document frequency — no count-distinct
     state) → top-k. The shuffle is vocabulary-of-spans-sized with
     map-side partial aggregation; no pairwise comparison anywhere.
+    The dominant cost is span CONSTRUCTION, not the shuffle (measured
+    at 100x: 21.5s of a 27.6s query building 26M 3-gram strings that
+    compact to 27k distinct spans), so tokenization is staged into a
+    projected ``_toks`` column (evaluated once — the same CollapseProject
+    economics as quality_features) and shingling runs the single-pass
+    ``shingles_from_tokens`` index transform.
     """
-    from data_wrangling_spark.operators.dedup import shingles
+    from data_wrangling_spark.operators.dedup import shingles_from_tokens
+    from data_wrangling_spark.functions import text as TX
 
-    spans = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), F.explode(shingles(text_col, n=n)).alias("span")
+    toked = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), TX.tokens(text_col).alias("_toks")
+    )
+    spans = toked.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("_toks"), n=n)).alias("span"),
     )
     return (
         spans.groupBy("span")

@@ -3135,30 +3135,46 @@ def ext_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Written the way distributed engines decorrelate it — the "
         "per-part average is ONE pre-aggregation of the fact joined "
         "back on partkey (shuffle is |parts|-sized), never a per-row "
-        "correlated re-scan; the threshold compares EXACTLY in "
-        "integers (qty_cents * 5 * n < sum_cents), immune to float "
-        "summation order.",
+        "correlated re-scan — AND the textbook semi-filter: only brand "
+        "parts' averages are ever consumed, so BOTH the pre-agg input "
+        "and the outer side broadcast-semi-join to the brand's "
+        "partkeys first, shrinking the pre-agg shuffle by the brand "
+        "selectivity (~1/25). The filter is on partkey, so a brand "
+        "part keeps every one of its lineitem rows and its average is "
+        "bit-identical (the oracle pre-aggregates unfiltered — same "
+        "result, the consumed rows agree). The threshold compares "
+        "EXACTLY in integers (qty_cents * 5 * n < sum_cents), immune "
+        "to float summation order.",
 )
 def ext_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty_cents = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_partkey",
-        qty_cents.alias("_qc"),
-        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("_pc"),
-    )
-    pa = li.groupBy("l_partkey").agg(
-        F.sum("_qc").cast("bigint").alias("_qty_sum"),
-        F.count(F.lit(1)).alias("_qty_n"),
-    )
     brand_parts = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_brand") == "Brand#5")
         .select("p_partkey")
     )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            qty_cents.alias("_qc"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("_pc"),
+        )
+        .join(
+            F.broadcast(brand_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+    )
+    pa = li.groupBy("l_partkey").agg(
+        F.sum("_qc").cast("bigint").alias("_qty_sum"),
+        F.count(F.lit(1)).alias("_qty_n"),
+    )
     return (
-        li.join(brand_parts, li.l_partkey == F.col("p_partkey"))
-        .join(pa.withColumnRenamed("l_partkey", "_pa_key"),
-              F.col("l_partkey") == F.col("_pa_key"))
+        li.join(pa.withColumnRenamed("l_partkey", "_pa_key"),
+                F.col("l_partkey") == F.col("_pa_key"))
         .filter(F.col("_qc") * 5 * F.col("_qty_n") < F.col("_qty_sum"))
         .agg(
             (F.sum("_pc") / F.lit(100.0)).alias("total_price"),
