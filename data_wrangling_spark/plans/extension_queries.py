@@ -110,9 +110,10 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_dedup_minhash_lsh",
-    oracle=golden_oracle("x_dedup_minhash_lsh"),  # pinned-snapshot golden
-        # (plans/seeded_goldens.py policy); semantics ground truth stays
-        # tests/test_dedup.py recall vs exact ngram_jaccard
+    oracle=golden_oracle("x_dedup_minhash_lsh"),  # INDEPENDENTLY
+        # derived golden: pure-Python XXH64 dual implementation must
+        # match before capture (plans/seeded_goldens.py policy +
+        # standing pytest); recall pinned vs exact ngram_jaccard
     doc="X-DEDUP-FUZZY scale form: 64-hash MinHash, 16-band LSH bucket "
         "join, est-Jaccard ≥ 0.35. Rows-only driver check; "
         "tests/test_dedup.py checks recall vs the exact Jaccard pairs.",
@@ -128,8 +129,10 @@ def x_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_dedup_simhash",
-    oracle=golden_oracle("x_dedup_simhash"),  # pinned-snapshot golden;
-        # bit-sketch semantics pinned in tests/test_dedup.py
+    oracle=golden_oracle("x_dedup_simhash"),  # INDEPENDENTLY derived
+        # golden: pure-Python XXH64 dual implementation must match
+        # before capture (plans/seeded_goldens.py policy + standing
+        # pytest); bit-sketch semantics pinned in tests/test_dedup.py
     doc="SimHash near-dup: 64-bit sketch, 4-chunk pigeonhole bucket join, "
         "hamming ≤ 3 verification via bit_count(xor).",
 )

@@ -7,18 +7,27 @@ hashing). Round 4 left them as rows-only driver checks; per the round-4
 brief they are upgraded to hash-checked via content-addressed goldens —
 the same committed-expected-output technique as ``plans/osm_oracle.py``.
 
-PROVENANCE POLICY (be honest about what this checks): unlike the OSM
-goldens (independent dual implementation), these are pinned snapshots of
-the engine's own output, captured by ``scripts/capture_seeded_goldens.py``
-at a moment when the SEMANTIC pins were green — the recall/equivalence
-pytest suites (test_dedup.py, test_similarity.py, test_sketches.py)
-remain the ground truth for meaning, and a cross-partitioning
-determinism probe (7/7 stable at shuffle.partitions ∈ {7, 32, 64})
-backs the snapshot's stability. The golden therefore converts the
-driver's check from "returns 25 rows" into "returns exactly the rows it
-returned when the semantics were last validated" — a regression oracle,
-not an independent derivation. Changing a seeded implementation
-deliberately requires re-running the capture script and the full suite.
+PROVENANCE POLICY (be honest about what this checks): two tiers.
+
+- ``x_dedup_minhash_lsh`` and ``x_dedup_simhash`` are INDEPENDENT
+  DERIVATIONS (the same standard as the OSM goldens): a pure-Python
+  re-implementation of XXH64 from the published spec plus the operators'
+  documented semantics (``scripts/pure_seeded_reference.py``, sharing no
+  code with ``operators/dedup.py``) must produce the identical rows
+  before the capture script will pin a golden, and the comparison also
+  runs as a standing pytest at sf0.001
+  (test_dedup.py::test_minhash_simhash_match_independent_pure_python_derivation).
+- The remaining five (hyperplane-LSH dedup, Lloyd-IVF, p-stable/MLlib
+  LSH, HLL) are pinned snapshots of the engine's own output, captured at
+  a moment when the SEMANTIC pins were green — the recall/equivalence
+  pytest suites (test_dedup.py, test_similarity.py, test_sketches.py)
+  remain the ground truth for meaning, and a cross-partitioning
+  determinism probe (7/7 stable at shuffle.partitions ∈ {7, 32, 64})
+  backs the snapshot's stability: a regression oracle, not an
+  independent derivation.
+
+Changing a seeded implementation deliberately requires re-running the
+capture script and the full suite.
 
 Mechanics: the golden parquet carries one slice per corpus fingerprint
 (a DuckDB-computable key over the base table — text-length sum,

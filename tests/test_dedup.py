@@ -242,3 +242,63 @@ def test_shingles_window_semantics(spark):
     # explode equivalence: null and empty both contribute zero rows
     n_rows = df.select(F.explode(shingles("text", n=3))).count()
     assert n_rows == 3
+
+
+def test_shingles_from_tokens_matches_expression_form(spark):
+    """The fast pre-staged-column form must agree with the safe
+    expression form on every edge: normal, short, NULL, repeated."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.functions.text import tokens
+    from data_wrangling_spark.operators.dedup import (
+        shingles,
+        shingles_from_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b"), (2, None), (3, "x x x x"), (4, "")],
+        "id long, text string",
+    )
+    staged = df.select("id", tokens("text").alias("_toks"))
+    for n in (1, 2, 3):
+        want = {r.id: r.s for r in df.select(
+            "id", shingles("text", n=n).alias("s")).collect()}
+        got = {r.id: r.s for r in staged.select(
+            "id", shingles_from_tokens(F.col("_toks"), n=n).alias("s")
+        ).collect()}
+        assert got == want, n
+
+
+def test_minhash_simhash_match_independent_pure_python_derivation(spark):
+    """Dual-implementation oracle (same independence standard as
+    plans/osm_oracle.py): the registered minhash-LSH and simhash queries
+    must equal a pure-Python re-derivation built on the PUBLISHED XXH64
+    algorithm (scripts/pure_seeded_reference.py), sharing no code with
+    operators/dedup.py. This is the standing form of the capture-time
+    gate in scripts/capture_seeded_goldens.py."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    import duckdb
+    import pure_seeded_reference as R
+
+    from data_wrangling_spark.plans.registry import QUERIES, queries
+
+    queries()
+    docs = duckdb.query(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        " ORDER BY doc_id"
+    ).fetchall()
+    got_mh = [
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in QUERIES["x_dedup_minhash_lsh"].spark(spark, SF_DIR).collect()
+    ]
+    assert got_mh == R.derive_minhash_pairs(docs, threshold=0.35)
+    got_sh = [
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in QUERIES["x_dedup_simhash"].spark(spark, SF_DIR).collect()
+    ]
+    assert got_sh == R.derive_simhash_pairs(docs, max_hamming=3)
