@@ -31,6 +31,31 @@ _RAW_EVENTS_SCHEMA = (
     "event_type string, value double, props string"
 )
 
+#: schema for Spark-written landing files (physical INT96 ts): the
+#: vectorized reader decodes INT96 only as TimestampType, so ts arrives
+#: as a ready timestamp and needs no unit conversion (_ts_is_int96)
+_TS_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def _load_events_stream(spark: SparkSession, src: str, stage: str) -> DataFrame:
+    """Schema-dispatching streaming load: INT96 files read ts natively,
+    raw-int64 files read it as long and convert per the footer's unit."""
+    if _ts_is_int96(src):
+        return (
+            spark.readStream.schema(_TS_EVENTS_SCHEMA)
+            .format("parquet")
+            .load(stage)
+        )
+    stream = (
+        spark.readStream.schema(_RAW_EVENTS_SCHEMA).format("parquet").load(stage)
+    )
+    return stream.withColumn(
+        "ts", F.timestamp_micros(F.expr(_ts_micros_expr(src)))
+    )
+
 
 def _ts_micros_expr(path: str) -> str:
     """SQL expr converting the raw int64 ``ts`` of this file to epoch
@@ -48,10 +73,38 @@ def _ts_micros_expr(path: str) -> str:
     return "ts"  # timestamp[us]
 
 
+def _source_files(src: str) -> list[str]:
+    """A landing 'file' may be a single parquet file or a directory of
+    part files (the scale harness writes multi-file tables); return the
+    concrete file list either way."""
+    if os.path.isdir(src):
+        return sorted(
+            os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        )
+    return [src]
+
+
 def _ts_unit(path: str) -> str:
     import pyarrow.parquet as pq
 
-    return str(pq.read_schema(path).field("ts").type)
+    return str(pq.read_schema(_source_files(path)[0]).field("ts").type)
+
+
+def _ts_is_int96(path: str) -> bool:
+    """True when ``ts`` is stored as physical INT96 — Spark's own legacy
+    timestamp encoding (the default parquet writer output), which the
+    vectorized reader can ONLY decode as TimestampType: declaring the
+    raw-int64 streaming schema against it fails with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH. Landing files written by Spark
+    jobs (e.g. the scale harness's materialized events) take this
+    branch; the raw testdata (plain INT64 nanos) takes the int64+convert
+    branch."""
+    import pyarrow.parquet as pq
+
+    sch = pq.ParquetFile(_source_files(path)[0]).schema
+    return sch.column(sch.names.index("ts")).physical_type == "INT96"
 
 
 def _assert_uniform_ts_unit(stage: str, expected: str) -> None:
@@ -87,12 +140,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     src = f"{sf_dir}/events.parquet"
     # the file streaming source requires a DIRECTORY (its 'basePath');
-    # stage a symlink dir pointing at the bounded file — on a cluster this
-    # would simply be the landing directory new files arrive in
-    stage = _staged_dir("events", src)
+    # stage a symlink dir pointing at the bounded file(s) — on a cluster
+    # this would simply be the landing directory new files arrive in. A
+    # multi-file source (scale harness layout) stages one link per part
+    # file, so the stream discovers them like arriving files.
+    stage = _staged_dir("events", *_source_files(src))
     _assert_uniform_ts_unit(stage, _ts_unit(src))
-    stream = spark.readStream.schema(_RAW_EVENTS_SCHEMA).format("parquet").load(stage)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr(_ts_micros_expr(src))))
+    return _load_events_stream(spark, src, stage)
 
 
 #: memoized staging dirs: repeated calls (bench loops, test suites) reuse
@@ -315,9 +369,11 @@ def dedup_stream(
     sf_dir: str,
     watermark: str = "2 hours",
     table_name: str = "stream_dedup",
-) -> DataFrame:
+    sink: str = "memory",
+    progress_out: dict | None = None,
+) -> DataFrame | None:
     """Streaming exact deduplication: the landing directory is staged with
-    the events file TWICE (modeling the at-least-once re-delivery every
+    the events file(s) TWICE (modeling the at-least-once re-delivery every
     real ingest pipeline sees), and ``dropDuplicatesWithinWatermark`` on
     the event key collapses redelivered rows. The watermark bounds the
     dedup state — keys older than the watermark are evicted, which is the
@@ -325,29 +381,48 @@ def dedup_stream(
     otherwise grows forever).
 
     Output == the distinct source rows, so this op carries a full DuckDB
-    oracle (x_stream_dedup) despite being a streaming job."""
+    oracle (x_stream_dedup) despite being a streaming job.
+
+    ``sink='noop'`` executes the full stream without materializing rows
+    (scale benchmarking; returns None). ``progress_out`` receives
+    ``state_rows_peak`` — the max ``numRowsTotal`` across the run's state
+    operators, the measured state-boundedness evidence."""
     from data_wrangling_spark.sources.tables import ensure_utc
 
     ensure_utc(spark)
     src = f"{sf_dir}/events.parquet"
-    stage = _staged_dir("dedup", src, src)
+    files = _source_files(src)
+    stage = _staged_dir("dedup", *files, *files)
     _assert_uniform_ts_unit(stage, _ts_unit(src))
     stream = (
-        spark.readStream.schema(_RAW_EVENTS_SCHEMA).format("parquet").load(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr(_ts_micros_expr(src))))
+        _load_events_stream(spark, src, stage)
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type")
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = stream.writeStream.outputMode("append").trigger(availableNow=True)
+    if sink == "noop":
+        q = writer.format("noop").start()
+    else:
+        q = writer.format("memory").queryName(table_name).start()
     q.awaitTermination()
-    return spark.table(table_name)
+    _record_state_rows(q, progress_out)
+    return None if sink == "noop" else spark.table(table_name)
+
+
+def _record_state_rows(q, progress_out: dict | None) -> None:
+    """Stuff the run's peak stateful-operator row count (and the batch
+    count) into ``progress_out`` from the query's progress history — the
+    measured form of every 'state is bounded by X' claim."""
+    if progress_out is None:
+        return
+    peak, batches = 0, 0
+    for p in q.recentProgress:
+        batches += 1
+        for op in p.get("stateOperators", []) or []:
+            peak = max(peak, int(op.get("numRowsTotal", 0) or 0))
+    progress_out["state_rows_peak"] = peak
+    progress_out["batches"] = batches
 
 
 def _session_fn(gap_minutes: int):
@@ -436,7 +511,9 @@ def sessionize_stream(
     gap_minutes: int = 30,
     watermark: str = "30 minutes",
     table_name: str = "stream_sessions",
-) -> DataFrame:
+    sink: str = "memory",
+    progress_out: dict | None = None,
+) -> DataFrame | None:
     """Custom stateful streaming operator (SURVEY.md §2.10's
     ``applyInPandasWithState`` escape hatch): gap-based sessionization
     with event-time timeouts.
@@ -447,7 +524,10 @@ def sessionize_stream(
     newer than the final watermark = max_ts - watermark_delay) remain in
     state — exactly the rows a resumed stream would still be allowed to
     extend. At scale this is the state-bounded path: memory holds one
-    (start, end, n) triple per active user, not per event.
+    (start, end, n) triple per active user, not per event —
+    ``progress_out['state_rows_peak']`` reports the measured peak, and
+    ``sink='noop'`` runs the full stream without materializing output
+    (scale benchmarking; returns None).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -464,12 +544,11 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = out.writeStream.outputMode("append").trigger(availableNow=True)
+    if sink == "noop":
+        q = writer.format("noop").start()
+    else:
+        q = writer.format("memory").queryName(table_name).start()
     q.awaitTermination()
-    return spark.table(table_name)
+    _record_state_rows(q, progress_out)
+    return None if sink == "noop" else spark.table(table_name)
