@@ -599,6 +599,61 @@ def asof_join_adaptive(
     )
 
 
+def trailing_window_features(
+    df: DataFrame,
+    on: str,
+    time_col: str,
+    window_seconds: int,
+    exprs: dict[str, F.Column],
+) -> DataFrame:
+    """Trailing time-RANGE window features — the feature-engineering
+    staple ("events per user in the trailing 7 days", "rolling spend in
+    the trailing 30 days") expressed as ONE RangeFrame window, no
+    self-join: each ``exprs`` entry (output name -> aggregate Column,
+    e.g. ``{"n_7d": F.count(F.lit(1))}``) evaluates over
+    [t - window_seconds, t] within the row's ``on`` partition.
+
+    Exactness: ordering is integer epoch MICROseconds (``unix_micros``),
+    so the frame bound is exact interval arithmetic — casting the
+    timestamp to long (seconds) would truncate sub-second components and
+    shift the boundary for rows within the same second; a double cast
+    would round microseconds at large epochs. Frame bounds are inclusive
+    on both ends, matching SQL ``RANGE BETWEEN INTERVAL .. PRECEDING AND
+    CURRENT ROW``; equal-time rows share one frame, so the output is
+    deterministic without a tiebreak.
+
+    Scale shape: one shuffle on the key; Spark's RangeFrame evaluator
+    slides both bounds monotonically through each sorted partition —
+    O(rows) per key, never re-scanning the window per row. Skew caveat
+    as for every per-key window (one task per key — see the module
+    docstring); for hot-key-safe trailing aggregates over a KNOWN grid,
+    pre-bucket to (key, time_bucket) counts first and window the bucket
+    summaries (the asof_join_adaptive pattern).
+
+    Rows with NULL time are EXCLUDED (a NULL has no trailing window;
+    keeping them would put engine-specific NULL-ordering semantics in
+    the frame).
+    """
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    t = F.col(time_col)
+    if isinstance(
+        df.schema[time_col].dataType,
+        (TimestampType, TimestampNTZType, DateType),
+    ):
+        t = t.cast("timestamp_ltz")
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.unix_micros(t))
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    return df.filter(F.col(time_col).isNotNull()).select(
+        "*", *[e.over(w).alias(name) for name, e in exprs.items()]
+    )
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,

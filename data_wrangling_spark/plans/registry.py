@@ -105,7 +105,11 @@ DRIVER_WINDOW: list[str] = [
     "ext_tpch_q7_volume_shipping",
     "ext_tpch_q8_market_share",
     "ext_tpch_q13_order_distribution",
-    "ext_tpch_q14_promo_revenue",
+    # round 6: ext_rolling_event_features (trailing time-RANGE window
+    # features — the registry's first RangeFrame plan) swaps in for
+    # ext_tpch_q14_promo_revenue (green r5 driver row; the TPC-H family
+    # keeps ten other members in the window)
+    "ext_rolling_event_features",
     "ext_tpch_q19_disjunctive_pushdown",
     "ext_tpch_q22_dormant_customers",
     "x_text_chunk_overlap",

@@ -242,6 +242,54 @@ def ext_asof_latest_order_adaptive(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "ext_rolling_event_features",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+               CAST(SUM(value_cents) OVER w AS BIGINT) AS sum_7d_cents
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+            FROM events WHERE ts IS NOT NULL
+        )
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL '7 days' PRECEDING
+                           AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+    doc="Trailing-window feature engineering (operators/temporal.py "
+        "trailing_window_features): per event, the user's event count "
+        "and exact cents spend over the trailing 7 days — ONE RangeFrame "
+        "window ordered by integer epoch micros (exact interval bound; "
+        "no self-join, no per-row rescan: Spark's range evaluator "
+        "slides both bounds monotonically). The only exchange is the "
+        "per-user hash partition.",
+)
+def ext_rolling_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.temporal import (
+        trailing_window_features,
+    )
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("value_cents"),
+    )
+    out = trailing_window_features(
+        events, on="user_id", time_col="ts", window_seconds=7 * 86400,
+        # plain aggregates only: .over() must wrap the aggregate itself
+        # (cast(sum(x)).over(w) is MISSING_GROUP_BY); Spark SUM(BIGINT)
+        # is already bigint, the oracle casts DuckDB's HUGEINT back
+        exprs={
+            "n_7d": F.count(F.lit(1)),
+            "sum_7d_cents": F.sum("value_cents"),
+        },
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "n_7d", "sum_7d_cents"
+    ).orderBy("event_id")
+
+
+@register(
     "ext_sessionize_events",
     oracle="""
         WITH flagged AS (

@@ -479,3 +479,70 @@ def test_asof_bucketed_null_key_cross_bucket_carry(spark):
             )
         )
         assert got == want, direction
+
+
+# ------------------------------------------------------- trailing window --
+
+def test_trailing_window_features_boundary_and_nulls(spark):
+    """RANGE frame bounds are exact micros: a row exactly window_seconds
+    earlier is INCLUDED, one microsecond earlier is not; equal-time rows
+    share a frame; NULL-time rows are excluded."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.operators.temporal import (
+        trailing_window_features,
+    )
+
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        (1, "u", base - dt.timedelta(seconds=60, microseconds=1), 100),
+        (2, "u", base - dt.timedelta(seconds=60), 10),
+        (3, "u", base, 1),
+        (4, "u", base, 2),          # tie with row 3: same frame
+        (5, "u", None, 999),        # excluded
+        (6, "v", base, 5),          # other key unaffected
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, t timestamp, v long"
+    )
+    out = {
+        r.event_id: (r.n, r.s)
+        for r in trailing_window_features(
+            df, on="k", time_col="t", window_seconds=60,
+            exprs={"n": F.count(F.lit(1)), "s": F.sum("v")},
+        ).collect()
+    }
+    assert 5 not in out                      # NULL time excluded
+    assert out[1] == (1, 100)                # own frame only
+    assert out[2] == (2, 110)                # row 1 is 1us inside row 2's frame
+    # rows 3/4 tie and share one frame: row 2 at exactly -60s is
+    # INCLUDED, row 1 at -60s-1us is NOT
+    assert out[3] == (3, 13) and out[4] == (3, 13)
+    assert out[6] == (1, 5)
+
+
+def test_trailing_window_features_plan_one_exchange(spark):
+    """One hash exchange on the key, a RangeFrame window, no join."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.operators.temporal import (
+        trailing_window_features,
+    )
+    from data_wrangling_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "ts")
+    out = trailing_window_features(
+        ev, on="user_id", time_col="ts", window_seconds=7 * 86400,
+        exprs={"n": F.count(F.lit(1))},
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Join" not in plan
+    assert "specifiedwindowframe(RangeFrame" in plan
+
+    with __import__("pytest").raises(ValueError, match="window_seconds"):
+        trailing_window_features(ev, on="user_id", time_col="ts",
+                                 window_seconds=0, exprs={})
