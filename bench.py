@@ -134,9 +134,14 @@ def main() -> None:
             "region", "nation", "customer", "supplier", "part",
             "orders", "lineitem", "events", "documents", "embeddings",
         ]:
+            # a table may be one file (testdata) or a directory of part
+            # files (scale-harness layout) — same handling as
+            # scripts/bench_scale.duckdb_time_suite, this anchor's
+            # methodology twin
+            p = f"{sf_dir}/{t}.parquet"
+            src = p if os.path.isfile(p) else f"{p}/*.parquet"
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{sf_dir}/{t}.parquet')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
             )
         for name, spec in specs.items():
             if not spec.oracle:

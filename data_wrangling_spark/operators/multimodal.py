@@ -175,15 +175,7 @@ def decode_ppm(payload: bytes, dim: int = 8) -> list[float]:
             else:
                 gray = row[x]
             col_sums[x] += gray
-    col_means = [s / h / maxval for s in col_sums]
-    # box-average columns into dim buckets (strip resize)
-    out = []
-    for i in range(dim):
-        lo = i * w // dim
-        hi = max((i + 1) * w // dim, lo + 1)
-        seg = col_means[lo:hi] if lo < w else [0.0]
-        out.append(sum(seg) / len(seg))
-    return out
+    return _strip_features([s / h / maxval for s in col_sums], dim)
 
 
 def encode_ppm(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
@@ -241,14 +233,7 @@ def decode_bmp(payload: bytes, dim: int = 8) -> list[float]:
         for x in range(w):
             b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
             col_sums[x] += 0.299 * r + 0.587 * g + 0.114 * b
-    col_means = [s / h / 255.0 for s in col_sums]
-    out = []
-    for i in range(dim):
-        lo = i * w // dim
-        hi = max((i + 1) * w // dim, lo + 1)
-        seg = col_means[lo:hi] if lo < w else [0.0]
-        out.append(sum(seg) / len(seg))
-    return out
+    return _strip_features([s / h / 255.0 for s in col_sums], dim)
 
 
 def encode_bmp(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:

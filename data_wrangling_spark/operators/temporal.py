@@ -264,8 +264,22 @@ def asof_join_bucketed(
     # round-5 review caught the forward case diverging when NULLs
     # grouped into SQL's one NULL bucket, which sorts first both ways).
     null_bucket = -(2**63) if direction == "backward" else 2**63 - 1
-    bucket_of = lambda s: F.coalesce(  # noqa: E731
-        F.floor(s / w_lit).cast("long"), F.lit(null_bucket).cast("long")
+    # bucket index clamped to +-4e18 before the long cast: ANY monotone-
+    # in-time bucket assignment is semantically safe (buckets only split
+    # the carry; merging distant buckets is harmless), and the clamp
+    # keeps extreme-but-finite numeric times (e.g. raw nanos with tiny
+    # bucket_seconds) from overflowing the ANSI cast. NaN/+-inf times
+    # remain a documented precondition violation: they fail loudly at
+    # the cast under ANSI (the session default) instead of silently
+    # misordering.
+    # greatest/least SKIP NULLs (they would swallow the sentinel), so
+    # the NULL branch is an explicit when, not a coalesce
+    bucket_of = lambda s: F.when(  # noqa: E731
+        s.isNull(), F.lit(null_bucket).cast("long")
+    ).otherwise(
+        F.least(
+            F.greatest(F.floor(s / w_lit), F.lit(-4e18)), F.lit(4e18)
+        ).cast("long")
     )
     p_expr = F.struct(
         *[F.col(src).alias(dst) for src, dst in payload.items()]
@@ -454,8 +468,22 @@ def asof_join_adaptive(
     carry_cols = [c for c in lcols if c != on or not key_reconstructable]
     w_lit = float(bucket_seconds)
     null_bucket = -(2**63) if direction == "backward" else 2**63 - 1
-    bucket_of = lambda s: F.coalesce(  # noqa: E731
-        F.floor(s / w_lit).cast("long"), F.lit(null_bucket).cast("long")
+    # bucket index clamped to +-4e18 before the long cast: ANY monotone-
+    # in-time bucket assignment is semantically safe (buckets only split
+    # the carry; merging distant buckets is harmless), and the clamp
+    # keeps extreme-but-finite numeric times (e.g. raw nanos with tiny
+    # bucket_seconds) from overflowing the ANSI cast. NaN/+-inf times
+    # remain a documented precondition violation: they fail loudly at
+    # the cast under ANSI (the session default) instead of silently
+    # misordering.
+    # greatest/least SKIP NULLs (they would swallow the sentinel), so
+    # the NULL branch is an explicit when, not a coalesce
+    bucket_of = lambda s: F.when(  # noqa: E731
+        s.isNull(), F.lit(null_bucket).cast("long")
+    ).otherwise(
+        F.least(
+            F.greatest(F.floor(s / w_lit), F.lit(-4e18)), F.lit(4e18)
+        ).cast("long")
     )
 
     # ---- detection: heavy hash-buckets as a lazy broadcast set ---------
@@ -466,8 +494,23 @@ def asof_join_adaptive(
     # built — and the counting aggregate run — exactly ONCE
     # (non-identical build frames made it run per-consumer, measured
     # +~1s/run at 100x bench scale).
+    # EVERY hash site must see the key at ONE type: xxhash64 hashes
+    # IntegerType and LongType differently (4- vs 8-byte primitive
+    # paths), so hashing each side's native dtype would bucket the SAME
+    # key value differently across detection / thin pre-pass / wide
+    # routing when the sides' key dtypes differ — splitting a key's mass
+    # across detection buckets (false negatives) and, worse, routing
+    # wide rows into bucketed partitions whose boundary seeds the thin
+    # pass never built (the round-6 review find). The canonical type is
+    # the union-promoted key type, the one the wide pass carries.
+    key_type = (
+        left.select(F.col(on).alias("_k"))
+        .unionByName(right.select(F.col(on).alias("_k")))
+        .schema["_k"]
+        .dataType
+    )
     hb_of = lambda c: F.pmod(  # noqa: E731
-        F.xxhash64(c, F.lit(41)), F.lit(detection_buckets)
+        F.xxhash64(c.cast(key_type), F.lit(41)), F.lit(detection_buckets)
     )
     heavy = (
         left.select(hb_of(F.col(on)).alias("_hb"))
@@ -633,6 +676,11 @@ def trailing_window_features(
     Rows with NULL time are EXCLUDED (a NULL has no trailing window;
     keeping them would put engine-specific NULL-ordering semantics in
     the frame).
+
+    Numeric time columns are accepted as epoch SECONDS — the same
+    contract as the sibling temporal operators' ``_seconds`` — scaled to
+    micros with rounding (exact for integer seconds always and for
+    fractional values up to ~2^53 us ≈ year 2255).
     """
     if window_seconds <= 0:
         raise ValueError("window_seconds must be positive")
@@ -643,10 +691,12 @@ def trailing_window_features(
         df.schema[time_col].dataType,
         (TimestampType, TimestampNTZType, DateType),
     ):
-        t = t.cast("timestamp_ltz")
+        micros = F.unix_micros(t.cast("timestamp_ltz"))
+    else:
+        micros = F.round(t.cast("double") * 1_000_000, 0).cast("long")
     w = (
         Window.partitionBy(on)
-        .orderBy(F.unix_micros(t))
+        .orderBy(micros)
         .rangeBetween(-window_seconds * 1_000_000, 0)
     )
     return df.filter(F.col(time_col).isNotNull()).select(

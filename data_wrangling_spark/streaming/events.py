@@ -108,26 +108,40 @@ def _ts_is_int96(path: str) -> bool:
 
 
 def _assert_uniform_ts_unit(stage: str, expected: str) -> None:
-    """The unit divisor is baked into the stream at plan-build time from
-    ONE footer probe, so a landing directory must be single-unit: a
-    later-arriving file with a different timestamp unit would be
-    silently misconverted by a fixed 1000x factor. Fail loudly instead.
-    (On a real deployment this check runs in the ingest path that admits
-    files to the landing directory.)"""
-    units = {}
+    """The unit divisor AND the schema dispatch are baked into the
+    stream at plan-build time from ONE footer probe, so a landing
+    directory must be uniform in BOTH dimensions the probe reads: the
+    logical unit (a mixed-unit file would be silently misconverted by a
+    fixed 1000x factor) and the PHYSICAL encoding (pyarrow reports both
+    INT96 and raw INT64-nanos as timestamp[ns], so a unit check alone
+    passes a mix that then dies mid-batch with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH once the fixed schema meets the
+    other encoding — the round-6 review find). Fail loudly up front.
+    (On a real deployment this check runs in the ingest path that
+    admits files to the landing directory.)"""
+    expected_phys = None
+    units: dict[str, str] = {}
+    phys: dict[str, str] = {}
     for f in sorted(os.listdir(stage)):
+        p = os.path.join(stage, f)
         try:
-            units[f] = _ts_unit(os.path.join(stage, f))
+            units[f] = _ts_unit(p)
+            phys[f] = "INT96" if _ts_is_int96(p) else "other"
         except Exception as exc:
             raise ValueError(
                 f"unreadable parquet footer in streaming dir {stage}: {f}"
             ) from exc
+        if expected_phys is None:
+            expected_phys = phys[f]
     mixed = {f: u for f, u in units.items() if u != expected}
-    if mixed:
+    mixed_phys = {f: p for f, p in phys.items() if p != expected_phys}
+    if mixed or mixed_phys:
         raise ValueError(
-            f"mixed parquet timestamp units in streaming dir {stage}: "
-            f"expected {expected}, found {mixed} — the stream's unit "
-            "conversion is fixed at plan-build time"
+            f"mixed parquet timestamp encodings in streaming dir {stage}: "
+            f"expected unit {expected} / physical {expected_phys}, found "
+            f"units {mixed or '{}'} / physical {mixed_phys or '{}'} — the "
+            "stream's schema and unit conversion are fixed at plan-build "
+            "time"
         )
 
 

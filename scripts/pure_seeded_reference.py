@@ -136,9 +136,15 @@ def xxhash64_cols(*values, seed: int = SPARK_SEED) -> int:
 # ---------------------------------------------------------------- corpus --
 
 def _tokens(text: str) -> list[str]:
-    """Mirror functions/text.tokens: split(trim(text), r"\\s+") —
-    Spark split on '' yields [''] (size 1), same as Java split."""
-    return re.split(r"\s+", text.strip())
+    """Mirror functions/text.tokens: split(trim(text), r"\\s+") with
+    SPARK's semantics, not Python's — Spark ``trim`` strips only ASCII
+    space (' '), and Java regex ``\\s`` is ASCII-only
+    ([ \\t\\n\\x0B\\f\\r]) while Python's ``\\s`` is Unicode-aware: a
+    text with leading tabs or U+00A0 would tokenize differently under
+    str.strip() + Unicode \\s and fail the dual-implementation gate on a
+    correct engine (the round-6 review find). Spark split on '' yields
+    [''] (size 1), same as Java split."""
+    return re.split(r"[ \t\n\x0b\f\r]+", text.strip(" "))
 
 
 def _shingles(text: str, n: int = 3) -> list[str]:

@@ -302,3 +302,45 @@ def test_minhash_simhash_match_independent_pure_python_derivation(spark):
         for r in QUERIES["x_dedup_simhash"].spark(spark, SF_DIR).collect()
     ]
     assert got_sh == R.derive_simhash_pairs(docs, max_hamming=3)
+
+
+def test_pure_python_derivation_whitespace_edges(spark):
+    """The dual implementation must agree on whitespace the corpus never
+    exercises: leading tabs (Spark trim strips only ' '), U+00A0 and
+    thin space (Java \\s is ASCII-only, Python's is Unicode-aware),
+    vertical tab / form feed. Hand-built corpus, both operators."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    import pure_seeded_reference as R
+
+    from data_wrangling_spark.operators.dedup import (
+        minhash_near_duplicates,
+        simhash_near_duplicates,
+    )
+
+    docs = [
+        (1, "\tshared prefix tokens here alpha beta gamma delta"),
+        (2, " shared prefix tokens here alpha beta gamma delta"),
+        (3, "shared prefix tokens here alpha beta gamma delta"),
+        (4, "shared prefix tokens here alpha beta gamma delta"),
+        (5, "a\x0bb shared prefix tokens here alpha beta gamma\fdelta"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got_sh = [
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_duplicates(df, "doc_id", "text", max_hamming=10)
+        .orderBy("doc_a", "doc_b").collect()
+    ]
+    assert got_sh == R.derive_simhash_pairs(docs, max_hamming=10)
+    got_mh = [
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in minhash_near_duplicates(
+            df, "doc_id", "text", num_hashes=64, bands=16, threshold=0.2
+        ).orderBy("doc_a", "doc_b").collect()
+    ]
+    assert got_mh == R.derive_minhash_pairs(docs, threshold=0.2)

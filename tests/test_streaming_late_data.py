@@ -112,7 +112,7 @@ def test_mixed_timestamp_units_fail_loudly(tmp_path):
 
     write(tmp_path / "a.parquet", "ns")
     write(tmp_path / "b.parquet", "us")
-    with pytest.raises(ValueError, match="mixed parquet timestamp units"):
+    with pytest.raises(ValueError, match="mixed parquet timestamp encodings"):
         _assert_uniform_ts_unit(str(tmp_path), _ts_unit(str(tmp_path / "a.parquet")))
 
     # single-unit dir passes

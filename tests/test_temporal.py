@@ -546,3 +546,44 @@ def test_trailing_window_features_plan_one_exchange(spark):
     with __import__("pytest").raises(ValueError, match="window_seconds"):
         trailing_window_features(ev, on="user_id", time_col="ts",
                                  window_seconds=0, exprs={})
+
+
+def test_asof_adaptive_mixed_key_dtypes_heavy_key_carries(spark):
+    """Left key INT, right key BIGINT (union-promoted to BIGINT): every
+    hash site must see the PROMOTED type, or the same key value buckets
+    differently across detection / boundary pre-pass / wide routing —
+    xxhash64 hashes 4-byte and 8-byte primitives differently — and a
+    heavy key's left-only buckets silently lose their boundary carry
+    (the round-6 review find). Heavy key, sparse left rows in buckets
+    with no right rows: each must still receive the carried payload."""
+    import datetime as dt
+
+    from data_wrangling_spark.operators.temporal import (
+        asof_join,
+        asof_join_adaptive,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, 7, base + dt.timedelta(hours=6 * i)) for i in range(60)],
+        "event_id long, k int, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, base, 1), (7, base + dt.timedelta(days=4), 2)],
+        "k long, rt timestamp, payload int",
+    )
+    want = _rows(
+        asof_join(left, right, on="k", left_time="t", right_time="rt",
+                  payload={"payload": "p"}, right_tiebreak="payload")
+    )
+    # every left row after day 0 must carry a payload — the plain result
+    # has carries, so a broken boundary path cannot pass by vacuity
+    assert sum(1 for r in want if r[-1] is not None) >= 59
+    got = _rows(
+        asof_join_adaptive(
+            left, right, on="k", left_time="t", right_time="rt",
+            payload={"payload": "p"}, bucket_seconds=86400,
+            right_tiebreak="payload", heavy_threshold=10,
+        )
+    )
+    assert got == want
