@@ -9,22 +9,29 @@ the same committed-expected-output technique as ``plans/osm_oracle.py``.
 
 PROVENANCE POLICY (be honest about what this checks): two tiers.
 
-- ``x_dedup_minhash_lsh`` and ``x_dedup_simhash`` are INDEPENDENT
-  DERIVATIONS (the same standard as the OSM goldens): a pure-Python
-  re-implementation of XXH64 from the published spec plus the operators'
-  documented semantics (``scripts/pure_seeded_reference.py``, sharing no
-  code with ``operators/dedup.py``) must produce the identical rows
-  before the capture script will pin a golden, and the comparison also
-  runs as a standing pytest at sf0.001
-  (test_dedup.py::test_minhash_simhash_match_independent_pure_python_derivation).
-- The remaining five (hyperplane-LSH dedup, Lloyd-IVF, p-stable/MLlib
-  LSH, HLL) are pinned snapshots of the engine's own output, captured at
+- ``x_dedup_minhash_lsh``, ``x_dedup_simhash``,
+  ``x_dedup_embedding_cosine``, and ``x_sim_topk_lsh`` are INDEPENDENT
+  DERIVATIONS (the same standard as the OSM goldens): a pure-Python re-implementation of
+  XXH64 from the published spec, plus fold-order-exact float64
+  hyperplane/cosine arithmetic and the operators' documented semantics
+  (``scripts/pure_seeded_reference.py``, sharing no code with
+  ``operators/dedup.py``) must produce the identical rows before the
+  capture script will pin a golden, and the comparisons also run as
+  standing pytests at sf0.001 (test_dedup.py).
+- The remaining three (Lloyd-IVF, MLlib BRP, HLL) are
+  pinned snapshots of the engine's own output, captured at
   a moment when the SEMANTIC pins were green — the recall/equivalence
   pytest suites (test_dedup.py, test_similarity.py, test_sketches.py)
   remain the ground truth for meaning, and a cross-partitioning
   determinism probe (7/7 stable at shuffle.partitions ∈ {7, 32, 64})
   backs the snapshot's stability: a regression oracle, not an
-  independent derivation.
+  independent derivation. (Lloyd-IVF iterates DISTRIBUTED partial-sum
+  means whose float64 accumulation order is partition-dependent, and
+  the MLlib BRP form lives behind MLlib's own hashing and Spark's HLL
+  rollup behind its internal HLL++ sketch — re-deriving those
+  independently would mean re-implementing engine internals whose
+  accumulation order or sketch layout the engine deliberately does not
+  promise.)
 
 Changing a seeded implementation deliberately requires re-running the
 capture script and the full suite.

@@ -5,14 +5,15 @@ sketch queries at sf0.001 AND sf0.01 and pins them as content-addressed
 golden rows, keyed by a DuckDB-computable corpus fingerprint so ONE
 fixed oracle SQL string serves whichever scale factor the harness runs.
 
-Provenance policy (documented in plans/seeded_goldens.py): these goldens
-are pinned snapshots of the engine's own seeded implementations — the
-semantic truth lives in the pytest recall/equivalence pins
-(tests/test_dedup.py, test_similarity.py, test_sketches.py); the golden
-upgrades the driver check from "returns rows" to "returns exactly the
-rows it returned when the semantics were last validated". Run this
-script ONLY after deliberately changing a seeded implementation, then
-re-run the full pytest suite:
+Provenance policy (documented in plans/seeded_goldens.py): two tiers —
+minhash/simhash/embedding-cosine/topk-lsh goldens are gated on an
+INDEPENDENT pure-Python derivation (scripts/pure_seeded_reference.py)
+and will not pin unless the engine matches it; the remaining three
+(Lloyd-IVF, MLlib BRP, HLL) are pinned snapshots of the engine's own
+seeded implementations, whose semantic truth lives in the pytest
+recall/equivalence pins (tests/test_dedup.py, test_similarity.py,
+test_sketches.py). Run this script ONLY after deliberately changing a
+seeded implementation, then re-run the full pytest suite:
 
     python scripts/capture_seeded_goldens.py
 """
@@ -84,23 +85,43 @@ def main() -> None:
                 },
             )
             assert spec["columns"] == list(df.columns)
-            if name in ("x_dedup_minhash_lsh", "x_dedup_simhash"):
-                # INDEPENDENT derivation gate (pure-Python XXH64 from the
-                # published spec — scripts/pure_seeded_reference.py): for
-                # these two, the golden is only pinned if the engine
-                # output equals the dual implementation, upgrading their
-                # provenance from regression snapshot to independently
-                # derived expected output.
+            if name in (
+                "x_dedup_minhash_lsh",
+                "x_dedup_simhash",
+                "x_dedup_embedding_cosine",
+                "x_sim_topk_lsh",
+            ):
+                # INDEPENDENT derivation gate (pure-Python XXH64 /
+                # fold-exact float64 — scripts/pure_seeded_reference.py):
+                # for these four, the golden is only pinned if the
+                # engine output equals the dual implementation,
+                # upgrading their provenance from regression snapshot to
+                # independently derived expected output.
                 import pure_seeded_reference as R
 
-                docs = con.execute(
-                    f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
-                    " ORDER BY doc_id"
-                ).fetchall()
-                if name == "x_dedup_minhash_lsh":
-                    want = R.derive_minhash_pairs(docs, threshold=0.35)
+                if name in ("x_dedup_embedding_cosine", "x_sim_topk_lsh"):
+                    vecs = [
+                        (i, list(v) if v is not None else None)
+                        for i, v in con.execute(
+                            f"SELECT vec_id, embedding FROM "
+                            f"read_parquet('{sf}/embeddings.parquet') "
+                            "ORDER BY vec_id"
+                        ).fetchall()
+                    ]
+                    if name == "x_dedup_embedding_cosine":
+                        want = R.derive_embedding_cosine_pairs(vecs)
+                    else:
+                        want = R.derive_topk_lsh(vecs)
                 else:
-                    want = R.derive_simhash_pairs(docs, max_hamming=3)
+                    docs = con.execute(
+                        f"SELECT doc_id, text FROM "
+                        f"read_parquet('{sf}/documents.parquet')"
+                        " ORDER BY doc_id"
+                    ).fetchall()
+                    if name == "x_dedup_minhash_lsh":
+                        want = R.derive_minhash_pairs(docs, threshold=0.35)
+                    else:
+                        want = R.derive_simhash_pairs(docs, max_hamming=3)
                 assert rows == want, (
                     f"{name}@{sf}: engine output diverges from the "
                     f"independent pure-Python derivation "

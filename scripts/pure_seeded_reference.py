@@ -268,3 +268,185 @@ def derive_simhash_pairs(
         if ham <= max_hamming:
             out.append((a, b, ham))
     return out
+
+
+# ------------------------------------------------- embedding cosine LSH --
+
+def _hash_unit(p: int, d: int) -> float:
+    """Restatement of the documented hyperplane-weight spec
+    (operators/dedup.py _hash_unit): murmur-style finalizer of (p, d)
+    mapped to [-0.5, 0.5). Shared deterministic SPEC, not shared code —
+    the independence this module buys is over the ENGINE side (Spark
+    expression semantics, fold order, banding joins)."""
+    x = (p * 1_000_003 + d * 8191 + 0x9E3779B9) & 0xFFFFFFFF
+    x ^= x >> 16
+    x = (x * 0x85EBCA6B) & 0xFFFFFFFF
+    x ^= x >> 13
+    x = (x * 0xC2B2AE35) & 0xFFFFFFFF
+    x ^= x >> 16
+    return x / 2**32 - 0.5
+
+
+def _fold_dot(xs, ws) -> float:
+    """Sequential left fold acc + x*w — bit-identical to the engine's
+    F.aggregate(zip_with(...), 0.0, acc + x) (IEEE double, same order)."""
+    acc = 0.0
+    for x, w in zip(xs, ws):
+        acc = acc + x * w
+    return acc
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Spark F.round(double, d): Double.toString -> BigDecimal ->
+    setScale(d, HALF_UP). Python repr == Double.toString (shortest
+    round-trip), so Decimal(repr(x)) reproduces it exactly."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-digits)
+    return float(
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def derive_embedding_cosine_pairs(
+    vecs: list[tuple[int, list[float] | None]],
+    threshold: float = 0.95,
+    planes: int = 16,
+    bands: int = 4,
+    round_digits: int = 4,
+) -> list[tuple[int, int, float]]:
+    """Independent ``x_dedup_embedding_cosine`` (hyperplane-LSH banded
+    candidates + exact in-bucket cosine >= threshold), including the
+    query's planted duplicates (ids < 5 rescaled by 1.1 through a
+    float32 round-trip under id+1000000) and 4dp HALF_UP rounding.
+
+    A NULL vector signs every plane 0 (the engine's when(NULL>=0,1)
+    .otherwise(0)) and is eliminated by its NULL cosine at the
+    verification step, never earlier — same path as the engine."""
+    import struct as _struct
+
+    def f32(x: float) -> float:
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    allv: dict[int, list[float] | None] = {i: v for i, v in vecs}
+    for i, v in vecs:
+        if i < 5 and v is not None:
+            allv[1000000 + i] = [f32(float(x) * 1.1) for x in v]
+
+    per_band = planes // bands
+    weights = None
+    sigs: dict[int, list[int]] = {}
+    for i, v in allv.items():
+        if v is None:
+            sigs[i] = [0] * planes
+            continue
+        if weights is None:
+            weights = [
+                [_hash_unit(p, d) for d in range(len(v))]
+                for p in range(planes)
+            ]
+        sigs[i] = [
+            1 if _fold_dot(v, weights[p]) >= 0 else 0 for p in range(planes)
+        ]
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for i, sig in sigs.items():
+        for c in range(bands):
+            key = "".join(
+                str(b) for b in sig[c * per_band:(c + 1) * per_band]
+            )
+            buckets.setdefault((c, key), []).append(i)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cand.add((ms[i], ms[j]))
+    out = []
+    for a, b in sorted(cand):
+        va, vb = allv[a], allv[b]
+        if va is None or vb is None:
+            continue
+        na = _fold_dot(va, va) ** 0.5
+        nb = _fold_dot(vb, vb) ** 0.5
+        denom = na * nb
+        if denom == 0.0:
+            continue  # engine: try_divide -> NULL -> fails >= threshold
+        cos = _fold_dot(va, vb) / denom
+        if cos >= threshold:
+            out.append((a, b, _round_half_up(cos, round_digits)))
+    return out
+
+
+def derive_topk_lsh(
+    vecs: list[tuple[int, list[float] | None]],
+    k: int = 5,
+    planes: int = 12,
+    bands: int = 4,
+    query_max_id: int = 5,
+) -> list[tuple[int, int, float, int]]:
+    """Independent ``x_sim_topk_lsh`` (queries = vec_id < query_max_id):
+    hyperplane band join prunes candidates, exact fold-order cosine
+    ranks them (score desc, neighbor_id tiebreak), and any query whose
+    bucket candidates rank fewer than k rows falls back to exact
+    brute-force top-k over the whole corpus — the same
+    built-into-the-plan fallback as the engine. Raw float scores (no
+    rounding): fold-exact arithmetic makes them bit-identical."""
+    allv = {i: v for i, v in vecs}
+    per_band = planes // bands
+    weights = None
+    sigs: dict[int, list[int]] = {}
+    for i, v in allv.items():
+        if v is None:
+            sigs[i] = [0] * planes
+            continue
+        if weights is None:
+            weights = [
+                [_hash_unit(p, d) for d in range(len(v))]
+                for p in range(planes)
+            ]
+        sigs[i] = [
+            1 if _fold_dot(v, weights[p]) >= 0 else 0 for p in range(planes)
+        ]
+
+    def cos(a: int, b: int) -> float | None:
+        va, vb = allv[a], allv[b]
+        if va is None or vb is None:
+            return None
+        denom = _fold_dot(va, va) ** 0.5 * _fold_dot(vb, vb) ** 0.5
+        if denom == 0.0:
+            return None
+        return _fold_dot(va, vb) / denom
+
+    def topk(q: int, neighbors) -> list[tuple[int, int, float, int]]:
+        scored = [(n, cos(q, n)) for n in neighbors]
+        # NULL scores sort last under desc and can still occupy ranks —
+        # mirror Spark row_number over (score desc_nulls_last, id asc)
+        scored.sort(key=lambda t: (t[1] is None, -(t[1] or 0.0), t[0]))
+        return [
+            (q, n, s, r + 1) for r, (n, s) in enumerate(scored[:k])
+        ]
+
+    qids = sorted(i for i in allv if i < query_max_id)
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for i, sig in sigs.items():
+        for c in range(bands):
+            key = "".join(
+                str(b) for b in sig[c * per_band:(c + 1) * per_band]
+            )
+            buckets.setdefault((c, key), []).append(i)
+    cand: dict[int, set[int]] = {q: set() for q in qids}
+    for (c, key), members in buckets.items():
+        qs = [m for m in members if m in cand]
+        if not qs:
+            continue
+        for q in qs:
+            cand[q].update(m for m in members if m != q)
+    out: list[tuple[int, int, float, int]] = []
+    for q in qids:
+        lsh_rows = topk(q, sorted(cand[q]))
+        if len(lsh_rows) >= k:
+            out.extend(lsh_rows)
+        else:
+            out.extend(topk(q, sorted(i for i in allv if i != q)))
+    out.sort(key=lambda t: (t[0], t[3]))
+    return out

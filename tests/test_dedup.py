@@ -344,3 +344,40 @@ def test_pure_python_derivation_whitespace_edges(spark):
         ).orderBy("doc_a", "doc_b").collect()
     ]
     assert got_mh == R.derive_minhash_pairs(docs, threshold=0.2)
+
+
+def test_embedding_lsh_queries_match_independent_derivation(spark):
+    """Dual-implementation oracle for the float-arithmetic seeded
+    queries: x_dedup_embedding_cosine and x_sim_topk_lsh must equal the
+    pure-Python fold-order-exact re-derivation (hyperplane weights from
+    the documented spec, sequential-fold float64 dot/cosine — bit-
+    identical to the engine's F.aggregate fold)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "scripts")
+    )
+    import duckdb
+    import pure_seeded_reference as R
+
+    from data_wrangling_spark.plans.registry import QUERIES, queries
+
+    queries()
+    vecs = [
+        (i, list(v) if v is not None else None)
+        for i, v in duckdb.query(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+    ]
+    got_ec = [
+        (r.id_a, r.id_b, r.cosine)
+        for r in QUERIES["x_dedup_embedding_cosine"].spark(spark, SF_DIR).collect()
+    ]
+    assert got_ec == R.derive_embedding_cosine_pairs(vecs)
+    got_lsh = [
+        (r.query_id, r.neighbor_id, r.score, r.rank)
+        for r in QUERIES["x_sim_topk_lsh"].spark(spark, SF_DIR).collect()
+    ]
+    assert got_lsh == R.derive_topk_lsh(vecs)
