@@ -326,3 +326,82 @@ def boilerplate_spans(
         .limit(top)
         .select("span", F.col("n_docs").cast("bigint").alias("n_docs"))
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top: int = 20,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the corpus — the lexical-search
+    primitive an LLM-data pipeline uses for decontamination lookups,
+    hard-negative mining, and retrieval-based curation:
+
+        score(d, Q) = sum over t in Q of
+            ln(1 + (N - df_t + 0.5) / (df_t + 0.5))        # RSJ idf
+            * tf * (k1 + 1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale shape: the token array is FILTERED to the query terms before
+    the explode (per-element isin — no full posting list ever
+    materializes), so the exploded relation is O(matching tokens), not
+    O(all tokens); tf aggregates it with map-side partials; df and the
+    (N, avgdl) corpus stats are tiny aggregates joined back by
+    broadcast (df has at most |query| rows, stats exactly one — the
+    whitelisted provably-tiny-broadcast pattern). Top-k is
+    TakeOrderedAndProject; the rank window runs over <= ``top`` rows.
+
+    Exactness for the oracle: every input to the float math (tf, df, N,
+    dl, the exact integer-sum avgdl) is integer-derived and engine-
+    identical, so scores differ at most by library-ulp in ln/division;
+    scores are rounded to 6dp and the rank computed ON the rounded
+    score with an id tiebreak, the same both-engines-round pattern as
+    the ANN queries. Matching is exact whitespace tokens,
+    case-sensitive — normalize upstream if needed."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toked = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), TX.tokens(text_col).alias("_toks")
+    )
+    with_dl = toked.select(
+        id_col, "_toks", F.size("_toks").alias("_dl")
+    )
+    stats = with_dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    terms = [F.lit(t) for t in query_terms]
+    hits = with_dl.select(
+        id_col,
+        "_dl",
+        F.explode(
+            F.filter("_toks", lambda t: t.isin(*terms))
+        ).alias("_term"),
+    )
+    tf = hits.groupBy(id_col, "_dl", "_term").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    tf_part = (F.col("_tf") * (k1 + 1.0)) / (
+        F.col("_tf")
+        + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), id_col)
+    return (
+        scored.orderBy(F.desc("score"), id_col)
+        .limit(top)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .orderBy("rank")
+    )

@@ -118,7 +118,10 @@ DRIVER_WINDOW: list[str] = [
     "ext_correlated_subquery",
     "ext_ntile_deciles",
     "ext_fuzzy_join_snm",
-    "x_text_lexical_diversity",
+    # round 6: x_text_bm25_search (new BM25 retrieval primitive) swaps
+    # in for x_text_lexical_diversity (green r5 driver row; the text
+    # family keeps stats/curation/chunking/boilerplate in the window)
+    "x_text_bm25_search",
     "ext_range_join_bucketed",
     "x_text_repetition",
     "x_sim_topk_ivf",

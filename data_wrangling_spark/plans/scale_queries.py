@@ -242,6 +242,61 @@ def ext_asof_latest_order_adaptive(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "x_text_bm25_search",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE text IS NOT NULL
+        ), dl AS (
+            SELECT doc_id, len(t) AS dl, t FROM toks
+        ), stats AS (
+            SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+        ), hits AS (
+            SELECT doc_id, dl,
+                   unnest(list_filter(t,
+                       x -> x IN ('spark', 'table', 'filter'))) AS term
+            FROM dl
+        ), tf AS (
+            SELECT doc_id, dl, term, COUNT(*) AS tf
+            FROM hits GROUP BY 1, 2, 3
+        ), dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        ), scored AS (
+            SELECT doc_id,
+                   ROUND(SUM(
+                       ln(1 + (n - df + 0.5) / (df + 0.5))
+                       * tf * (1.2 + 1)
+                         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   ), 6) AS score
+            FROM tf JOIN dfreq USING (term), stats
+            GROUP BY doc_id
+        )
+        SELECT doc_id, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                    AS INT) AS rank
+        FROM scored QUALIFY rank <= 20 ORDER BY rank
+    """,
+    doc="Okapi BM25 top-20 lexical retrieval for a 3-term query "
+        "(operators/text_analysis.py bm25_topk) — decontamination "
+        "lookups / hard-negative mining. Token arrays are filtered to "
+        "the query terms BEFORE the explode (no full posting list); tf "
+        "aggregates with map-side partials; df (<= |query| rows) and "
+        "the 1-row (N, avgdl) stats join back by broadcast. All float "
+        "inputs are integer-derived, scores round to 6dp on BOTH "
+        "engines and the rank is computed on the rounded score with a "
+        "doc_id tiebreak, so library-ulp ln differences cannot flip "
+        "ranks.",
+)
+def x_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.text_analysis import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, query_terms=["spark", "table", "filter"], top=20
+    )
+
+
+@register(
     "ext_rolling_event_features",
     oracle="""
         SELECT event_id, user_id, ts,

@@ -64,6 +64,7 @@ BNLJ_ALLOWED = {
     "ext_gapfill_daily",       # 1-row bounds agg + generated date spine
     "ext_tpch_q22_dormant_customers",  # 1-row balance-threshold agg broadcast
     "x_corpus_temperature_mixture",    # 1-row mixture-total broadcast
+    "x_text_bm25_search",              # 1-row (N, avgdl) stats broadcast
 }
 # notable CLEAN plans (verified no BNLJ despite the pattern suggesting
 # one): ext_range_join_bucketed (bucket explode gives Catalyst an equi

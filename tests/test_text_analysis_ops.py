@@ -244,3 +244,34 @@ def test_quality_features_replaces_existing_columns(spark):
     got = quality_features(mid)
     assert got.columns[:3] == ["doc_id", "n_tokens", "text"]
     assert got.filter(F.col("n_tokens") < 0).count() == 0
+
+
+def test_bm25_topk_ranking_and_edges(spark):
+    """BM25 basics on a hand corpus: a doc matching more query terms
+    with shorter length outranks a longer partial match; docs with no
+    query term are absent; unknown terms contribute nothing; empty
+    query_terms raises."""
+    import pytest
+
+    from data_wrangling_spark.operators.text_analysis import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark table"),                      # both terms, short
+            (2, "spark spark spark filler filler filler filler filler"),
+            (3, "table"),                            # one term, shortest
+            (4, "nothing relevant here"),            # no terms
+            (5, None),                               # NULL text dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, query_terms=["spark", "table", "zzz_absent"],
+                    top=10).collect()
+    ids = [r.doc_id for r in out]
+    assert set(ids) == {1, 2, 3}          # doc 4/5 never appear
+    assert ids[0] == 1                    # both-term short doc ranks first
+    assert [r.rank for r in out] == [1, 2, 3]
+    assert all(r.score > 0 for r in out)
+
+    with pytest.raises(ValueError, match="query_terms"):
+        bm25_topk(docs, query_terms=[])
