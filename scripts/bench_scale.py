@@ -86,6 +86,11 @@ EXTRA_QUERIES = [
     "ext_tpch_q4_late_shipments",
     "ext_tpch_q6_forecast_revenue",
     "ext_tpch_q17_small_quantity",
+    # round-6 additions (after the committed round-6 capture): RangeFrame
+    # rolling features, BM25 retrieval, the adaptive as-of form
+    "ext_rolling_event_features",
+    "x_text_bm25_search",
+    "ext_asof_latest_order_adaptive",
 ]
 
 # ---------------------------------------------------------------- skew --
