@@ -102,18 +102,30 @@ DRIVER_WINDOW: list[str] = [
     # ext_pricing_summary; x_sketch_hll_bound ->
     # x_sketch_hll_weekly_users; x_stream_dedup -> x_stream_sessionize
     # + x_stream_osm_ingest) --------------------------------------
-    "ext_tpch_q7_volume_shipping",
-    "ext_tpch_q8_market_share",
-    "ext_tpch_q13_order_distribution",
+    # round 6: the eight queries completing the TPC-H 22-shape family
+    # (Q2/Q9/Q11/Q12/Q15/Q16/Q20/Q21, five on the derived partsupp
+    # relation) take their first driver rows; their slots come from
+    # eight entries each holding a green r5 driver row with the TPC-H
+    # family keeping 8+ other members in the window (q7 -> q21's
+    # multi-fact shape; q8 -> q15's scalar-compare; q13 -> q16's
+    # grouped counts; q19 -> q12's conditional split; q4 -> q21 shares
+    # its lateness semi logic; q6 -> q20's pushdown+having;
+    # chunk_overlap / temperature_mixture -> the text family keeps
+    # stats/curation/boilerplate/bm25)
+    "ext_tpch_q2_min_cost_supplier",
+    "ext_tpch_q9_product_type_profit",
+    "ext_tpch_q11_important_parts",
+    "ext_tpch_q12_late_priority_lines",
+    "ext_tpch_q15_top_supplier",
+    "ext_tpch_q16_supplier_part_counts",
+    "ext_tpch_q20_excess_stock_suppliers",
+    "ext_tpch_q21_waiting_suppliers",
     # round 6: ext_rolling_event_features (trailing time-RANGE window
     # features — the registry's first RangeFrame plan) swaps in for
     # ext_tpch_q14_promo_revenue (green r5 driver row; the TPC-H family
     # keeps ten other members in the window)
     "ext_rolling_event_features",
-    "ext_tpch_q19_disjunctive_pushdown",
     "ext_tpch_q22_dormant_customers",
-    "x_text_chunk_overlap",
-    "x_corpus_temperature_mixture",
     "x_text_boilerplate_spans",
     "ext_correlated_subquery",
     "ext_ntile_deciles",
@@ -139,14 +151,9 @@ DRIVER_WINDOW: list[str] = [
     # x_sim_topk_lsh (green r5 driver row; ANN family still represented
     # by bruteforce + ivf + mllib_brp in the window)
     "ext_asof_latest_order_adaptive",
-    # second round-5 widening batch: Q4 semi-with-date-conjunct, Q6
-    # pure pushdown, Q17 decorrelated per-part average; slots from
-    # x_dedup_keep_best / ext_stratified_sample / ext_deciles_scalable
-    # (each holds a green r4 driver row; families still represented by
-    # the dedup set, x_corpus_temperature_mixture + stratified's pytest
-    # pins, and ext_ntile_deciles + ext_percentiles_scalable)
-    "ext_tpch_q4_late_shipments",
-    "ext_tpch_q6_forecast_revenue",
+    # Q17 keeps its slot into round 6 because its implementation
+    # changed this round (brand-partkey semi-filter on the pre-agg):
+    # the changed plan should earn a fresh driver row
     "ext_tpch_q17_small_quantity",
 ]
 

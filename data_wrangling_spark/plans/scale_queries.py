@@ -3284,3 +3284,553 @@ def ext_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 widening: the eight remaining TPC-H query shapes (Q2, Q9, Q11,
+# Q12, Q15, Q16, Q20, Q21), completing the 22-query family. The schema
+# has no partsupp table, so the five shapes that consume it (Q2/Q9/Q11/
+# Q16/Q20) derive the part-supplier relation from lineitem history via
+# _derived_partsupp below — the supply CATALOG a warehouse would
+# maintain, reconstructed from the fact table with one aggregate.
+# ---------------------------------------------------------------------------
+
+#: derived stand-in for TPC-H partsupp: one row per (partkey, suppkey)
+#: pair observed in lineitem, with unit cost = min observed
+#: price-per-unit in exact cents (division is IEEE-exact and identical
+#: on both engines) and qty = total units shipped. Its SQL twin is the
+#: `ps` CTE repeated literally in each consuming oracle.
+_PS_SQL = """
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               CAST(MIN(CAST(ROUND(l_extendedprice / l_quantity * 100)
+                             AS BIGINT)) AS BIGINT) AS ps_cost_cents,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS ps_qty
+        FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    unit_cents = F.round(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100, 0
+    ).cast("bigint")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+            unit_cents.alias("_unit_cents"),
+            F.round(F.col("l_quantity"), 0).cast("bigint").alias("_qty"),
+        )
+        .groupBy("ps_partkey", "ps_suppkey")
+        .agg(
+            F.min("_unit_cents").cast("bigint").alias("ps_cost_cents"),
+            F.sum("_qty").cast("bigint").alias("ps_qty"),
+        )
+    )
+
+
+def _region_suppliers(spark: SparkSession, sf_dir: str, r_name: str) -> DataFrame:
+    """supplier ⨝ nation ⨝ region, filtered to one region — a <=100-row
+    dim chain, always broadcast by the caller."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == r_name)
+    nr = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
+@register(
+    "ext_tpch_q2_min_cost_supplier",
+    oracle=f"""
+        WITH ps AS ({_PS_SQL}),
+        s_eu AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        eu_ps AS (
+            SELECT ps.*, s_name, s_acctbal, n_name FROM ps
+            JOIN s_eu ON ps_suppkey = s_suppkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               ps_cost_cents / 100.0 AS supply_cost
+        FROM eu_ps
+        JOIN part ON p_partkey = ps_partkey
+        WHERE p_type = 'LARGE' AND p_size <= 10
+          AND ps_cost_cents = (SELECT MIN(e2.ps_cost_cents) FROM eu_ps e2
+                               WHERE e2.ps_partkey = p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    doc="TPC-H Q2-shaped minimum-cost supplier: for each LARGE small-"
+        "size part, the EUROPE supplier(s) offering the minimum unit "
+        "cost (derived partsupp — no partsupp table in this schema; "
+        "unit cost = min observed price-per-unit in exact cents). The "
+        "correlated MIN subquery decorrelates into ONE min-cost window "
+        "over the region-restricted supply relation: supplier/nation/"
+        "region chain broadcasts (<=100 rows), the window and the "
+        "groupBy share the derived relation, and the part dim "
+        "broadcasts into the final filter. Ties on min cost keep all "
+        "suppliers, exactly like the reference query.",
+)
+def ext_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ps = _derived_partsupp(spark, sf_dir)
+    s_eu = _region_suppliers(spark, sf_dir, "EUROPE")
+    eu_ps = ps.join(F.broadcast(s_eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("ps_partkey")
+    best = eu_ps.withColumn(
+        "_min_cents", F.min("ps_cost_cents").over(w)
+    ).filter(F.col("ps_cost_cents") == F.col("_min_cents"))
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_name")
+    )
+    return (
+        best.join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            (F.col("ps_cost_cents") / F.lit(100.0)).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "ext_tpch_q9_product_type_profit",
+    oracle="""
+        SELECT n_name, o_year,
+               CAST(SUM(amount_cents) AS BIGINT) / 100.0 AS sum_profit
+        FROM (
+            SELECT n_name,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(ROUND((l_extendedprice * (1 - l_discount)
+                               - 0.6 * p_retailprice * l_quantity) * 100)
+                        AS BIGINT) AS amount_cents
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%gear%'
+        ) profit
+        GROUP BY n_name, o_year
+        ORDER BY n_name, o_year DESC
+    """,
+    doc="TPC-H Q9-shaped product-type profit by supplier nation and "
+        "order year. No partsupp supplycost exists, so cost adapts to "
+        "60% of the part's retail price (the classic gross-margin "
+        "stand-in); profit = revenue - cost in exact cents with the "
+        "SAME left-associated IEEE expression on both engines. Plan: "
+        "the filtered part dim (~13% of 2k rows), supplier, and nation "
+        "all broadcast; the only big-big join is lineitem ⨝ orders on "
+        "orderkey, then one hash aggregate on (nation, year) with "
+        "map-side partials.",
+)
+def ext_tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100,
+        0,
+    ).cast("bigint")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", amount_cents.alias("_cents"), "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg((F.sum("_cents").cast("bigint") / F.lit(100.0)).alias("sum_profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+@register(
+    "ext_tpch_q11_important_parts",
+    oracle=f"""
+        WITH ps AS ({_PS_SQL}),
+        asia_ps AS (
+            SELECT ps.* FROM ps
+            JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+        ),
+        val AS (
+            SELECT ps_partkey AS p_partkey,
+                   CAST(SUM(ps_cost_cents * ps_qty) AS BIGINT) AS value_cents
+            FROM asia_ps GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM val)
+        SELECT p_partkey, value_cents / 100.0 AS part_value
+        FROM val, tot
+        WHERE value_cents * 1000 > total_cents
+        ORDER BY value_cents DESC, p_partkey
+    """,
+    doc="TPC-H Q11-shaped important-stock identification: parts whose "
+        "ASIA-supplied inventory value (derived partsupp cost × qty, "
+        "exact integer cents) exceeds 0.1% of the region's total. The "
+        "HAVING-vs-scalar-subquery becomes one per-part aggregate plus "
+        "a 1-row grand-total broadcast compared in exact integers "
+        "(value_cents * 1000 > total_cents — no float fraction). "
+        "Supplier/nation/region chain broadcasts into the derived "
+        "relation; two hash aggregates share the partkey shuffle key.",
+)
+def ext_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _derived_partsupp(spark, sf_dir)
+    s_asia = _region_suppliers(spark, sf_dir, "ASIA").select("s_suppkey")
+    val = (
+        ps.join(F.broadcast(s_asia), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("ps_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(F.col("ps_cost_cents") * F.col("ps_qty"))
+            .cast("bigint")
+            .alias("value_cents")
+        )
+    )
+    tot = val.agg(F.sum("value_cents").cast("bigint").alias("_total_cents"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1000 > F.col("_total_cents"))
+        .select(
+            "p_partkey", (F.col("value_cents") / F.lit(100.0)).alias("part_value")
+        )
+        .orderBy(F.desc("value_cents"), "p_partkey")
+    )
+
+
+@register(
+    "ext_tpch_q12_late_priority_lines",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="TPC-H Q12-shaped late-line priority split: lines shipped >=30 "
+        "days after their order date in 1997, classified by return "
+        "flag (the schema has no shipmode column) into high- vs "
+        "low-priority order counts via conditional sums in ONE "
+        "aggregate pass. The year range pushes to the lineitem scan; "
+        "the lateness conjunct evaluates on join matches; one shuffle "
+        "on orderkey, one tiny agg on the 3-value flag.",
+)
+def ext_tpch_q12_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.expr("o_orderdate + INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "ext_tpch_q15_top_supplier",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_cents / 100.0 AS total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_cents = (SELECT MAX(total_cents) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15-shaped top supplier: the supplier(s) with maximum "
+        "revenue over 1996Q1, revenue in exact integer cents so the "
+        "max-equality is float-safe. The view + scalar-subquery shape "
+        "becomes one per-supplier aggregate reused twice: a 1-row MAX "
+        "broadcast joined back against the same aggregate (no global "
+        "window — a single-partition sort never appears), then the "
+        "<=|suppliers| winners broadcast-join the supplier dim. Ties "
+        "keep every winning supplier, as the reference view does.",
+)
+def ext_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev_cents = _revenue_cents()
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_cents).cast("bigint").alias("total_cents"))
+    )
+    top = rev.agg(F.max("total_cents").alias("_max_cents"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("total_cents") == F.col("_max_cents"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("total_cents") / F.lit(100.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "ext_tpch_q16_supplier_part_counts",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        )
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM pairs
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16-shaped supplier diversity count: distinct suppliers "
+        "able to supply each (brand, type, size) combination, from the "
+        "derived supply pairs (DISTINCT partkey/suppkey over lineitem "
+        "— no partsupp table), excluding one brand, one type family, "
+        "and suppliers with negative balances (the 'customer "
+        "complaints' stand-in; the schema has no s_comment). The NOT "
+        "IN becomes a broadcast left_anti on the tiny flagged-supplier "
+        "set (safe: s_suppkey is never NULL); part filters broadcast; "
+        "COUNT(DISTINCT) runs as Spark's two-phase partial-distinct "
+        "aggregate, never a single-node set.",
+)
+def ext_tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    flagged = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        pairs.join(
+            F.broadcast(flagged),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "ext_tpch_q20_excess_stock_suppliers",
+    oracle="""
+        WITH shipped AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS qty
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE 'blue%'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey, l_partkey
+        )
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA'
+          AND s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > 40)
+        ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q20-shaped excess-stock suppliers: AMERICA suppliers "
+        "who moved >40 units of some blue part during 1997 (the "
+        "availqty-vs-half-of-shipped predicate adapts to a per-"
+        "(supplier, part) shipped-quantity threshold — no partsupp "
+        "availqty exists). The nested IN chain becomes: blue partkeys "
+        "broadcast-semi into lineitem, one (suppkey, partkey) "
+        "aggregate, HAVING, then a left_semi into the broadcast "
+        "supplier/nation/region chain. Quantities are exact integers; "
+        "every join is key-equi.",
+)
+def ext_tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blue = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("blue%"))
+        .select("p_partkey")
+    )
+    shippers = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(blue),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("bigint"))
+             .cast("bigint").alias("_qty"))
+        .filter(F.col("_qty") > 40)
+        .select("l_suppkey")
+    )
+    return (
+        _region_suppliers(spark, sf_dir, "AMERICA")
+        .join(shippers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "ext_tpch_q21_waiting_suppliers",
+    oracle="""
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE r_name = 'ASIA' AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate >
+                                orders.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    doc="TPC-H Q21-shaped waiting suppliers: ASIA suppliers whose late "
+        "line (shipped >60 days after order date — the lateness "
+        "definition shared with Q4; no commitdate/receiptdate exists) "
+        "was the ONLY late one on a finished multi-supplier order. "
+        "The EXISTS / NOT EXISTS pair decorrelates into per-order "
+        "distinct-supplier and distinct-LATE-supplier counts computed "
+        "as collect_set windows over the SAME orderkey partition the "
+        "join just shuffled on — one pass over the fact-fact join, no "
+        "aggregate-plus-join-back re-computation of it; a late line "
+        "qualifies iff n_supp > 1 and n_late_supp = 1 (its own "
+        "supplier being that one). Window state per order is the "
+        "distinct supplier set of ONE order (bounded by lines per "
+        "order, ~7). Counts rows per supplier exactly as the "
+        "reference's l1 multiplicity does. The oracle keeps the "
+        "literal EXISTS form so DuckDB derives the answer "
+        "independently; the supplier/nation/region chain broadcasts.",
+)
+def ext_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lo = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "_late",
+            F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS"),
+        )
+        .select("l_orderkey", "l_suppkey", "_late")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_orderkey")
+    counted = lo.withColumn(
+        "_n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "_n_late_supp",
+        F.size(
+            F.collect_set(F.when(F.col("_late"), F.col("l_suppkey"))).over(w)
+        ),
+    )
+    asia = _region_suppliers(spark, sf_dir, "ASIA").select("s_suppkey", "s_name")
+    waiting = (
+        counted.filter(
+            F.col("_late") & (F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1)
+        )
+        .join(F.broadcast(asia), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

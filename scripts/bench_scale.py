@@ -91,6 +91,16 @@ EXTRA_QUERIES = [
     "ext_rolling_event_features",
     "x_text_bm25_search",
     "ext_asof_latest_order_adaptive",
+    # round-6 second batch: the eight shapes completing the TPC-H
+    # 22-query family (five on the derived partsupp relation)
+    "ext_tpch_q2_min_cost_supplier",
+    "ext_tpch_q9_product_type_profit",
+    "ext_tpch_q11_important_parts",
+    "ext_tpch_q12_late_priority_lines",
+    "ext_tpch_q15_top_supplier",
+    "ext_tpch_q16_supplier_part_counts",
+    "ext_tpch_q20_excess_stock_suppliers",
+    "ext_tpch_q21_waiting_suppliers",
 ]
 
 # ---------------------------------------------------------------- skew --

@@ -65,6 +65,8 @@ BNLJ_ALLOWED = {
     "ext_tpch_q22_dormant_customers",  # 1-row balance-threshold agg broadcast
     "x_corpus_temperature_mixture",    # 1-row mixture-total broadcast
     "x_text_bm25_search",              # 1-row (N, avgdl) stats broadcast
+    "ext_tpch_q11_important_parts",    # 1-row grand-total-value broadcast
+    "ext_tpch_q15_top_supplier",       # 1-row max-revenue broadcast
 }
 # notable CLEAN plans (verified no BNLJ despite the pattern suggesting
 # one): ext_range_join_bucketed (bucket explode gives Catalyst an equi
