@@ -427,26 +427,48 @@ def encode_png(
     )
 
 
+def decode_jpeg(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL image decode with zero third-party dependencies #4: baseline
+    JPEG via the spec-implemented codec in ``operators/jpeg.py`` (ITU-T
+    T.81: Huffman + DCT, Annex K tables; 4:4:4/4:2:0/4:2:2 sampling,
+    restart intervals; progressive/12-bit raise loudly). Same contract
+    as the other real decoders — gray strip of [0, 1] intensities — and
+    the gray IS the JPEG Y channel: JFIF luma is the identical ITU-R 601
+    formula decode_ppm/bmp/png apply to RGB, so cross-format agreement
+    holds up to quantization loss (pinned in tests)."""
+    if payload is None:
+        raise NotImplementedError(
+            "payload fetch by URI not implemented in this environment"
+        )
+    from data_wrangling_spark.operators.jpeg import decode_jpeg_gray
+
+    plane = decode_jpeg_gray(payload)  # (h, w) luma in [0, 255]
+    col_means = (plane.mean(axis=0) / 255.0).tolist()
+    return _strip_features(col_means, dim)
+
+
 def decode_raster(payload: bytes, dim: int = 8) -> list[float]:
     """Magic-byte format dispatch over the dependency-free real decoders:
-    PNG signature → PNG, 'BM' → BMP, 'P5'/'P6' → PGM/PPM. The registry
-    entry that makes the decode seam polymorphic over a mixed-format
-    payload column without per-row configuration; unknown magics raise
-    with the observed prefix so misrouted payloads surface instead of
-    producing junk features."""
+    PNG signature → PNG, JPEG SOI → JPEG, 'BM' → BMP, 'P5'/'P6' →
+    PGM/PPM. The registry entry that makes the decode seam polymorphic
+    over a mixed-format payload column without per-row configuration;
+    unknown magics raise with the observed prefix so misrouted payloads
+    surface instead of producing junk features."""
     if payload is None:
         raise NotImplementedError(
             "payload fetch by URI not implemented in this environment"
         )
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload, dim)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload, dim)
     if payload[:2] == b"BM":
         return decode_bmp(payload, dim)
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload, dim)
     raise ValueError(
-        f"unrecognized raster magic {payload[:2]!r}: expected PNG, BMP "
-        "('BM'), or binary PGM/PPM ('P5'/'P6')"
+        f"unrecognized raster magic {payload[:2]!r}: expected PNG, JPEG "
+        "(SOI), BMP ('BM'), or binary PGM/PPM ('P5'/'P6')"
     )
 
 
@@ -457,6 +479,7 @@ _DECODERS = {
     "ppm": decode_ppm,
     "bmp": decode_bmp,
     "png": decode_png,
+    "jpeg": decode_jpeg,
     "raster": decode_raster,
 }
 
