@@ -405,3 +405,101 @@ def bm25_topk(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .orderBy("rank")
     )
+
+
+def lm_score_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained bigram language-model quality score — the
+    CCNet/Gopher-style perplexity filter every LLM data pipeline runs:
+    train an add-one-smoothed bigram LM on the corpus itself, then score
+    each document by its average per-bigram negative log-likelihood
+    (high = unusual token transitions = boilerplate/garbled/outlier
+    text; low = fluent in-distribution text).
+
+        P(w2 | w1) = (C(w1 w2) + 1) / (C_prefix(w1) + V)
+
+    with C_prefix(w1) = occurrences of w1 as a bigram prefix (so the
+    distribution sums to 1 over the vocabulary) and V = |distinct
+    tokens|.
+
+    Exactness for the oracle: every count is an exact integer, the
+    probability is ONE double division of exact ints (bit-identical
+    both engines), and each bigram's NLL is rounded to integer
+    MICRO-nats before summation — so the per-document sum is integer
+    arithmetic, immune to float summation order across partitions and
+    engines (the int-cents pattern applied to logs). The derived
+    ``avg_nll`` divides two exact ints in double, rounded to 6dp.
+
+    Scale shape: bigrams explode with multiplicity (a slice of one
+    index-transform over the staged token array — the
+    shingles_from_tokens construction, lambda referencing only the
+    bound column); the model tables are two hash aggregates (distinct
+    bigrams / distinct prefixes) with map-side partials; scoring is two
+    shuffle joins on the model keys plus a 1-row vocabulary-size
+    broadcast; the final per-document aggregate is one more hash agg.
+    The tokenized relation feeds three consumers (bigram counts, prefix
+    counts, scoring) — three passes over the exploded bigrams, the
+    honest cost of training and applying the model in one query."""
+    toked = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), TX.tokens(text_col).alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+    )
+    toks = F.col("_toks")
+    m = F.size(toks) - F.lit(1)
+    # (w1, "w1 w2") structs with MULTIPLICITY, in document order; the
+    # trailing entry's try_element_at past the end is NULL (concat_ws
+    # would emit a partial gram) so slice to the first m
+    bigram_structs = F.slice(
+        F.transform(
+            toks,
+            lambda x, i: F.struct(
+                x.alias("w1"),
+                F.concat_ws(
+                    " ", x, F.try_element_at(toks, i + F.lit(2))
+                ).alias("bg"),
+            ),
+        ),
+        1,
+        m,
+    )
+    bi = (
+        toked.select(id_col, F.explode(bigram_structs).alias("_b"))
+        .select(
+            id_col,
+            F.col("_b.w1").alias("_w1"),
+            F.col("_b.bg").alias("_bg"),
+        )
+    )
+    big = bi.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c12"))
+    uni = bi.groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
+    voc = toked.select(F.explode("_toks").alias("_tok")).agg(
+        F.countDistinct("_tok").alias("_v")
+    )
+    nll_micro = F.round(
+        -F.log(
+            (F.col("_c12") + F.lit(1.0)) / (F.col("_c1") + F.col("_v"))
+        )
+        * 1000000.0,
+        0,
+    ).cast("bigint")
+    return (
+        bi.join(big, "_bg")
+        .join(uni, "_w1")
+        .join(F.broadcast(voc))
+        .select(id_col, nll_micro.alias("_nll"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("_nll").cast("bigint").alias("nll_micro_sum"),
+            F.round(
+                F.sum("_nll").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0),
+                6,
+            ).alias("avg_nll"),
+        )
+    )

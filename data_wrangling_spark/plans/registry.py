@@ -84,7 +84,10 @@ DRIVER_WINDOW: list[str] = [
     "x_vec_normalize",
     "x_sketch_hll_weekly_users",
     "x_sim_topk_mllib_brp",
-    "ext_tpch_q5_local_supplier",
+    # round 6: x_text_lm_score (new bigram-LM perplexity filter) swaps
+    # in for ext_tpch_q5_local_supplier (green r4+r5 driver rows; the
+    # TPC-H family keeps 15+ members in the window)
+    "x_text_lm_score",
     "op_jsonl_roundtrip",
     "ext_anti_join",
     "x_stream_sessionize",

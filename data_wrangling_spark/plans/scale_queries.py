@@ -3588,6 +3588,7 @@ def ext_tpch_q12_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFr
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1996-04-01'
+              AND l_suppkey IS NOT NULL
             GROUP BY l_suppkey
         )
         SELECT s_suppkey, s_name, total_cents / 100.0 AS total_revenue
@@ -3606,11 +3607,19 @@ def ext_tpch_q12_late_priority_lines(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def ext_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_cents = _revenue_cents()
+    # the explicit suppkey null filter (semantically free: the supplier
+    # join drops a NULL group anyway, and the oracle carries the same
+    # predicate) makes BOTH consumers' aggregate subtrees identical
+    # below the suppkey exchange, so AQE's ReuseExchange computes the
+    # per-supplier aggregate ONCE — without it, the main branch gains a
+    # join-derived isnotnull the max branch lacks and the fact is
+    # scanned and aggregated twice (verified on the executed plan)
     rev = (
         _t(spark, sf_dir, "lineitem")
         .filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy("l_suppkey")
         .agg(F.sum(rev_cents).cast("bigint").alias("total_cents"))
@@ -3834,3 +3843,52 @@ def ext_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "x_text_lm_score",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+            WHERE text IS NOT NULL
+              AND len(string_split_regex(trim(text), '\s+')) >= 2
+        ), bi AS (
+            SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
+            FROM tok, unnest(range(1, len(t))) AS r(i)
+        ), big AS (
+            SELECT bg, COUNT(*) AS c12 FROM bi GROUP BY 1
+        ), uni AS (
+            SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1
+        ), voc AS (
+            SELECT COUNT(DISTINCT x) AS v
+            FROM (SELECT unnest(t) AS x FROM tok)
+        ), scored AS (
+            SELECT doc_id,
+                   CAST(ROUND(-ln((c12 + 1.0) / (c1 + v)) * 1000000.0)
+                        AS BIGINT) AS nll
+            FROM bi JOIN big USING (bg) JOIN uni USING (w1), voc
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(nll) AS BIGINT) AS nll_micro_sum,
+               ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+                   AS avg_nll
+        FROM scored GROUP BY doc_id
+    """,
+    doc="Corpus-trained bigram LM quality scoring "
+        "(operators/text_analysis.py lm_score_bigram) — the CCNet/"
+        "Gopher-style perplexity filter: add-one-smoothed bigram model "
+        "trained on the corpus, each document scored by average NLL. "
+        "Hash-exact across engines because each bigram's NLL is rounded "
+        "to integer MICRO-nats before summation (integer sums are "
+        "immune to float summation order); the probability itself is "
+        "one double division of exact integer counts. Model tables are "
+        "hash aggregates with map-side partials; scoring is two shuffle "
+        "joins on the model keys + a 1-row vocabulary broadcast.",
+)
+def x_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.text_analysis import lm_score_bigram
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_score_bigram(docs)

@@ -275,3 +275,42 @@ def test_bm25_topk_ranking_and_edges(spark):
 
     with pytest.raises(ValueError, match="query_terms"):
         bm25_topk(docs, query_terms=[])
+
+
+def test_lm_score_bigram_hand_computed(spark):
+    """Bigram-LM scoring on a corpus small enough to compute by hand.
+
+    Corpus: d1 = "a b a b", d2 = "a b c", d3 = "z" (dropped: < 2
+    tokens), d4 = NULL (dropped). Bigram occurrences: d1 -> (a b),
+    (b a), (a b); d2 -> (a b), (b c).
+    Counts: C(a b)=3, C(b a)=1, C(b c)=1; prefixes C(a)=3, C(b)=2;
+    V=3 ({a, b, c}: the vocabulary is built from SURVIVING docs, so
+    d3's 'z' contributes nothing — the <2-token filter runs before
+    tokenize-for-vocabulary on both engines).
+    P(a b) = (3+1)/(3+3) = 2/3;  P(b a) = (1+1)/(2+3) = 2/5;
+    P(b c) = (1+1)/(2+3) = 2/5.
+    """
+    import math
+
+    from data_wrangling_spark.operators.text_analysis import lm_score_bigram
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "z"), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in lm_score_bigram(docs).collect()}
+    assert set(rows) == {1, 2}
+
+    nll = {
+        "ab": round(-math.log((3 + 1.0) / (3 + 3)) * 1e6),
+        "ba": round(-math.log((1 + 1.0) / (2 + 3)) * 1e6),
+        "bc": round(-math.log((1 + 1.0) / (2 + 3)) * 1e6),
+    }
+    d1_sum = 2 * nll["ab"] + nll["ba"]
+    d2_sum = nll["ab"] + nll["bc"]
+    assert rows[1].n_bigrams == 3 and rows[1].nll_micro_sum == d1_sum
+    assert rows[2].n_bigrams == 2 and rows[2].nll_micro_sum == d2_sum
+    assert rows[1].avg_nll == round(d1_sum / 3 / 1e6, 6)
+    assert rows[2].avg_nll == round(d2_sum / 2 / 1e6, 6)
+    # the repeated in-distribution transition scores LOWER (more fluent)
+    assert rows[1].avg_nll < rows[2].avg_nll
