@@ -186,6 +186,10 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos + 1 >= len(d):
+            # same contract as the sibling decoders' truncation checks:
+            # ValueError, not a raw IndexError from the byte indexing
+            raise ValueError("truncated JPEG entropy-coded data")
         b = d[self.pos]
         if b == 0xFF:
             nxt = d[self.pos + 1]
@@ -222,8 +226,12 @@ class _BitReader:
         self.bitbuf = 0
         self.nbits = 0
         d = self.data
-        while not (d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7):
+        while self.pos + 1 < len(d) and not (
+            d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
             self.pos += 1
+        if self.pos + 1 >= len(d):
+            raise ValueError("truncated JPEG entropy-coded data (no RST)")
         self.pos += 2
 
 
@@ -265,6 +273,11 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     while pos < n:
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at offset {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them or the second 0xFF is misread as the
+        # code and the real code as segment-length high byte
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before SOS
@@ -344,6 +357,12 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
 def _decode_scan(data, pos, frame, comps, quant, huff_dc, huff_ac,
                  restart_interval) -> np.ndarray:
     w, h, _ = frame
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is non-interleaved — one
+        # data unit per MCU in plain raster order, the declared sampling
+        # factors IGNORED (some encoders write h=v=2 on grayscale; honor
+        # the spec, not the declaration, or the geometry desyncs)
+        comps = [dict(comps[0], h=1, v=1)]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
@@ -367,30 +386,49 @@ def _decode_scan(data, pos, frame, comps, quant, huff_dc, huff_ac,
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:
                 reader.sync_to_restart()
                 pred = {c["id"]: 0 for c in comps}
-            try:
-                for c in comps:
-                    qtab = quant[c["tq"]]
-                    dc_tab, ac_tab = huff_dc[c["dc"]], huff_ac[c["ac"]]
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            coeffs = _decode_block(
-                                reader, dc_tab, ac_tab, qtab, pred, c["id"]
-                            )
-                            if c is luma:
-                                block = _A.T @ coeffs @ _A + 128.0
-                                y0 = (my * luma["v"] + by) * 8
-                                x0 = (mx * luma["h"] + bx) * 8
-                                plane[y0:y0 + 8, x0:x0 + 8] = block
-            except _RestartMarker:
-                # encoder emitted RST before we expected it — resync
-                reader.bitbuf = 0
-                reader.nbits = 0
-                pred = {c["id"]: 0 for c in comps}
+            while True:
+                try:
+                    for c in comps:
+                        qtab = quant[c["tq"]]
+                        dc_tab, ac_tab = huff_dc[c["dc"]], huff_ac[c["ac"]]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                coeffs = _decode_block(
+                                    reader, dc_tab, ac_tab, qtab, pred,
+                                    c["id"], want=c is luma,
+                                )
+                                if coeffs is not None:
+                                    block = _A.T @ coeffs @ _A + 128.0
+                                    y0 = (my * luma["v"] + by) * 8
+                                    x0 = (mx * luma["h"] + bx) * 8
+                                    plane[y0:y0 + 8, x0:x0 + 8] = block
+                    break
+                except _RestartMarker:
+                    # encoder emitted RST before we expected it (cadence
+                    # mismatch vs DRI, or RSTn with no DRI): RST markers
+                    # sit byte-aligned BETWEEN MCUs, so the raise means
+                    # the previous MCU ended here and THIS MCU's data
+                    # starts after the marker — consume the 2 marker
+                    # bytes (the raise leaves pos ON the 0xFF), reset
+                    # predictors exactly as the encoder did at its
+                    # restart, and RETRY the same MCU (skipping it would
+                    # shift every later MCU one slot — review find; the
+                    # loop terminates because each retry consumes bytes
+                    # and _fill raises ValueError at end of data)
+                    reader.pos += 2
+                    reader.bitbuf = 0
+                    reader.nbits = 0
+                    pred = {c["id"]: 0 for c in comps}
             mcu_index += 1
     return np.clip(plane[:h, :w], 0.0, 255.0)
 
 
-def _decode_block(reader, dc_tab, ac_tab, qtab, pred, cid) -> np.ndarray:
+def _decode_block(reader, dc_tab, ac_tab, qtab, pred, cid,
+                  want: bool = True) -> np.ndarray | None:
+    """Entropy-decode one data unit. ``want=False`` (discarded chroma)
+    still consumes the exact same bits and maintains the DC predictor —
+    required for bitstream sync — but skips the dequantize/dezigzag/
+    reshape (the features are luma-only; see module docstring)."""
     zz = np.zeros(64, dtype=np.int64)
     size = _decode_huffman(reader, dc_tab)
     diff = _extend(reader.read_bits(size), size)
@@ -410,6 +448,8 @@ def _decode_block(reader, dc_tab, ac_tab, qtab, pred, cid) -> np.ndarray:
             raise ValueError("AC run past end of block")
         zz[k] = _extend(reader.read_bits(s), s)
         k += 1
+    if not want:
+        return None
     coeffs = np.zeros(64)
     coeffs[ZIGZAG] = zz * qtab
     return coeffs.reshape(8, 8)

@@ -3384,18 +3384,30 @@ def _region_suppliers(spark: SparkSession, sf_dir: str, r_name: str) -> DataFram
 def ext_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ps = _derived_partsupp(spark, sf_dir)
-    s_eu = _region_suppliers(spark, sf_dir, "EUROPE")
-    eu_ps = ps.join(F.broadcast(s_eu), F.col("ps_suppkey") == F.col("s_suppkey"))
-    w = Window.partitionBy("ps_partkey")
-    best = eu_ps.withColumn(
-        "_min_cents", F.min("ps_cost_cents").over(w)
-    ).filter(F.col("ps_cost_cents") == F.col("_min_cents"))
     parts = (
         _t(spark, sf_dir, "part")
         .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
         .select("p_partkey", "p_name")
     )
+    ps = _derived_partsupp(spark, sf_dir)
+    # the part filter semi-joins BELOW the window: the per-partkey min
+    # is independent across partkeys, so dropping never-output partkeys
+    # first shrinks the window's shuffle/sort input by the part-filter
+    # selectivity (~8x here) with an identical result (review find)
+    s_eu = _region_suppliers(spark, sf_dir, "EUROPE")
+    eu_ps = (
+        ps.join(F.broadcast(s_eu),
+                F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(parts.select("p_partkey")),
+            F.col("ps_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = eu_ps.withColumn(
+        "_min_cents", F.min("ps_cost_cents").over(w)
+    ).filter(F.col("ps_cost_cents") == F.col("_min_cents"))
     return (
         best.join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
         .select(

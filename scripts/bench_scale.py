@@ -101,6 +101,7 @@ EXTRA_QUERIES = [
     "ext_tpch_q16_supplier_part_counts",
     "ext_tpch_q20_excess_stock_suppliers",
     "ext_tpch_q21_waiting_suppliers",
+    "x_text_lm_score",
 ]
 
 # ---------------------------------------------------------------- skew --

@@ -576,3 +576,59 @@ def test_extract_features_raster_dispatch_includes_jpeg(spark):
     want = [(0.299 * 200 + (0.587 + 0.114) * 16 * x) / 255.0 for x in range(w)]
     assert feats[2] == pytest.approx(want, abs=1e-6)
     assert feats[1] == pytest.approx(want, abs=3e-3)  # JPEG: quantization loss
+
+
+def test_decode_jpeg_stream_robustness():
+    """Review-pass pins on T.81 conformance corners: (a) 0xFF fill
+    bytes before a marker are legal padding, not a marker code; (b) a
+    single-component scan is non-interleaved — MCU = one data unit,
+    declared sampling factors IGNORED (some encoders write h=v=2 on
+    grayscale); (c) truncated entropy data raises the sibling decoders'
+    ValueError contract, not a raw IndexError; (d) an unexpected RSTn
+    (cadence mismatch vs DRI) consumes the marker and resyncs instead
+    of silently zeroing every remaining MCU."""
+    import numpy as np
+
+    from data_wrangling_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg,
+    )
+
+    w, h = 24, 16
+    img = [((x * 13 + y * 29) % 256,) * 3 for y in range(h) for x in range(w)]
+    ok = encode_jpeg(w, h, img, grayscale=True)
+    want = decode_jpeg_gray(ok)
+
+    # (a) fill byte before DQT decodes identically
+    at = ok.index(b"\xff\xdb")
+    padded = ok[:at] + b"\xff" + ok[at:]
+    assert np.array_equal(decode_jpeg_gray(padded), want)
+
+    # (b) grayscale stream re-declared with 2x2 sampling factors: the
+    # SOF component spec is (id, hv, tq) right after the 6-byte header
+    sof_at = ok.index(b"\xff\xc0")
+    hv_at = sof_at + 4 + 6 + 1  # marker+len bytes, frame header, comp id
+    assert ok[hv_at] == 0x11
+    redeclared = ok[:hv_at] + b"\x22" + ok[hv_at + 1:]
+    assert np.array_equal(decode_jpeg_gray(redeclared), want)
+
+    # (c) truncation mid-scan -> ValueError (the contract), never
+    # IndexError
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_gray(ok[:-20])
+
+    # (d) restart cadence mismatch: encode WITH restart markers, decode
+    # with a DRI segment claiming a LONGER interval — the unexpected
+    # RSTn path must consume the marker and keep decoding real data
+    rst = encode_jpeg(w, h, img, grayscale=True, restart_interval=1)
+    dri_at = rst.index(b"\xff\xdd")
+    wrong_dri = (
+        rst[:dri_at + 4]
+        + (99).to_bytes(2, "big")
+        + rst[dri_at + 6:]
+    )
+    got = decode_jpeg_gray(wrong_dri)
+    # consuming the RST and RETRYING the same MCU reproduces the
+    # encoder's exact state (predictors reset at each marker), so the
+    # decode is bit-identical despite the lying DRI
+    assert np.array_equal(got, want)
