@@ -632,3 +632,47 @@ def test_decode_jpeg_stream_robustness():
     # encoder's exact state (predictors reset at each marker), so the
     # decode is bit-identical despite the lying DRI
     assert np.array_equal(got, want)
+
+
+def test_jpeg_roundtrip_property():
+    """Property sweep: random noise images (the DCT worst case) of
+    random non-multiple-of-8 geometry, across qualities and every
+    encode mode, must round-trip within a quality-dependent mean-error
+    envelope (measured worst-case ~11/5.1/1.7 gray levels at q70/85/95
+    on noise; bounds set ~1.5x above), decode at exact geometry, and be
+    invariant to restart intervals. Deterministic seeds — this is a
+    coverage sweep, not a flaky fuzz."""
+    import numpy as np
+
+    from data_wrangling_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg,
+    )
+
+    bound = {70: 16.0, 85: 8.0, 95: 3.0}
+    for seed in range(8):
+        rs = np.random.RandomState(seed)
+        w, h = int(rs.randint(1, 33)), int(rs.randint(1, 33))
+        rgb = rs.randint(0, 256, size=(h * w, 3))
+        pixels = [tuple(int(v) for v in p) for p in rgb]
+        ref = (
+            0.299 * rgb[:, 0] + 0.587 * rgb[:, 1] + 0.114 * rgb[:, 2]
+        ).reshape(h, w)
+        for q in (70, 85, 95):
+            for kw in (
+                {"grayscale": True},
+                {"subsampling": "444"},
+                {"subsampling": "420"},
+            ):
+                plane = decode_jpeg_gray(
+                    encode_jpeg(w, h, pixels, quality=q, **kw)
+                )
+                assert plane.shape == (h, w), (seed, q, kw)
+                err = float(np.abs(plane - ref).mean())
+                assert err < bound[q], (seed, q, kw, err)
+        # restart markers never change the decoded plane
+        a = decode_jpeg_gray(encode_jpeg(w, h, pixels, grayscale=True))
+        b = decode_jpeg_gray(
+            encode_jpeg(w, h, pixels, grayscale=True, restart_interval=3)
+        )
+        assert np.array_equal(a, b), seed
