@@ -436,13 +436,17 @@ def lm_score_bigram(
     Scale shape: bigrams explode with multiplicity (a slice of one
     index-transform over the staged token array — the
     shingles_from_tokens construction, lambda referencing only the
-    bound column); the model tables are two hash aggregates (distinct
-    bigrams / distinct prefixes) with map-side partials; scoring is two
-    shuffle joins on the model keys plus a 1-row vocabulary-size
-    broadcast; the final per-document aggregate is one more hash agg.
-    The tokenized relation feeds three consumers (bigram counts, prefix
-    counts, scoring) — three passes over the exploded bigrams, the
-    honest cost of training and applying the model in one query."""
+    bound column); the bigram-count aggregate keys on (_bg, _w1) —
+    bigram cardinality, since the string determines its prefix — and
+    the prefix counts derive from IT (sum over w2), so bigram
+    OCCURRENCES are aggregated once, not twice; scoring joins back on
+    the same (_bg, _w1) keys plus a 1-row vocabulary broadcast, and
+    the per-document NLL sum is one final hash agg. Two passes over
+    the exploded bigrams total (model build + scoring join) — at bench
+    scale the derived-prefix form A/B'd neutral (~7s either way at
+    10x, the joins dominate), but it removes a full occurrence-level
+    shuffle that grows with the corpus while the derived aggregate is
+    bounded by distinct-bigram cardinality."""
     toked = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), TX.tokens(text_col).alias("_toks"))
@@ -474,8 +478,15 @@ def lm_score_bigram(
             F.col("_b.bg").alias("_bg"),
         )
     )
-    big = bi.groupBy("_bg").agg(F.count(F.lit(1)).alias("_c12"))
-    uni = bi.groupBy("_w1").agg(F.count(F.lit(1)).alias("_c1"))
+    # the bigram string determines its prefix, so grouping by
+    # (_bg, _w1) has bigram cardinality and the prefix counts derive
+    # from the bigram counts (C_prefix(w1) = sum over w2 of C(w1 w2))
+    # — one aggregate over DISTINCT bigrams instead of a third full
+    # pass over bigram OCCURRENCES; and because the model join below
+    # uses the same (_bg, _w1) keys as this groupBy, the exploded
+    # relation's exchange is shuffled once and reused
+    big = bi.groupBy("_bg", "_w1").agg(F.count(F.lit(1)).alias("_c12"))
+    uni = big.groupBy("_w1").agg(F.sum("_c12").cast("long").alias("_c1"))
     voc = toked.select(F.explode("_toks").alias("_tok")).agg(
         F.countDistinct("_tok").alias("_v")
     )
@@ -487,7 +498,7 @@ def lm_score_bigram(
         0,
     ).cast("bigint")
     return (
-        bi.join(big, "_bg")
+        bi.join(big, ["_bg", "_w1"])
         .join(uni, "_w1")
         .join(F.broadcast(voc))
         .select(id_col, nll_micro.alias("_nll"))
