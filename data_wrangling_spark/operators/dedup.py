@@ -518,3 +518,177 @@ def _hash_unit(p: int, d: int) -> float:
     x = (x * 0xC2B2AE35) & 0xFFFFFFFF
     x ^= x >> 16
     return x / 2**32 - 0.5
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup): k-means clusters + within-cluster cosine prune
+# ---------------------------------------------------------------------------
+
+#: Knuth multiplicative-hash constants for the deterministic seed pick —
+#: SQL-expressible exact integer arithmetic (unlike xxhash64, which a
+#: plain-SQL oracle cannot replay): h(id) = ((id % 2^20) * 2654435761) % 2^20.
+_SEED_HASH_MULT = 2654435761
+_SEED_HASH_MOD = 1 << 20
+
+
+def _quantize_micro(vec_col: str | F.Column, scale: int) -> F.Column:
+    """array<float> → array<bigint> of round(x * scale) micro-units.
+
+    Every downstream comparison (k-means distances, centroid argmin,
+    cosine threshold) is then EXACT integer arithmetic — identical in any
+    engine — so the whole pipeline is reproducible by a plain-SQL oracle
+    with no float-accumulation-order caveats. Precondition: |x| * scale
+    must keep d·m² inside int64 (|x| ≤ ~380 at scale=1e6, d=64); unit-ish
+    embedding scales are far inside that."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        c.cast("array<double>"), lambda x: F.round(x * scale).cast("long")
+    )
+
+
+def _int_dot(a: str, b: str) -> F.Column:
+    """Exact int64 dot product of two array<bigint> columns."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_cluster(cents: list[list[int]]) -> F.Column:
+    """Argmin over LITERAL centroids: each (distance, idx) pair packs
+    into one long as dist*64 + idx (exact while dist < 2^57 — integer
+    squared-L2 of micro-quantized unit-ish vectors is ~1e14), so
+    array_min gives the (dist, smaller-idx) tiebreak for free and the
+    whole assignment is one narrow codegen'd projection over the ``_q``
+    column (no join, no shuffle, no BNLJ)."""
+    if len(cents) > 64:
+        raise ValueError("packed argmin supports at most 64 clusters")
+    entries = []
+    for j, c in enumerate(cents):
+        lit_c = F.array(*[F.lit(int(v)).cast("long") for v in c])
+        d = F.aggregate(
+            F.zip_with(F.col("_q"), lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        entries.append(d * 64 + F.lit(j))
+    return (F.array_min(F.array(*entries)) % 64).cast("int")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 2,
+    threshold_milli: int = 950,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with
+    k-means, then mark as duplicates vectors whose cosine to a
+    SMALLER-id vector in the SAME cluster is ≥ threshold_milli/1000.
+    Clustering makes the pairwise check affordable: only within-cluster
+    pairs are compared, O(Σ|cluster|²) instead of O(n²).
+
+    Returns (id_col, cluster_id int, kept boolean) — one row per input
+    vector; ``kept`` is False for pruned near-duplicates (the smallest
+    id of each near-dup group inside a cluster survives).
+
+    Fully deterministic and cross-engine exact, no pinned goldens:
+    - vectors quantized to integer micro-units (:func:`_quantize_micro`);
+    - seed centroids: the ``n_clusters`` vectors with the smallest
+      Knuth-multiplicative hash of id (hash order decorrelates the pick
+      from insertion order, and the hash is plain int arithmetic a SQL
+      oracle replays exactly);
+    - ``iters`` Lloyd rounds: integer squared-L2 argmin (ties → lower
+      cluster idx), then integer centroid update floor(sum/count) via
+      CAST-to-double division — IEEE-identical in Spark / DuckDB /
+      Python; empty clusters keep their previous centroid;
+    - duplicate test with no sqrt and no floats:
+      dot > 0  AND  dot²·10⁶ ≥ threshold_milli²·|a|²·|b|²  in
+      DECIMAL(38,0) — exact, and safe (< 1e38) for int64 norms.
+
+    Scale shape: each Lloyd round is ONE corpus scan — assignment is a
+    literal-centroid projection (no join; centroids live in the plan),
+    and the update aggregate ships k·d (cluster, dim) partial-sum rows,
+    collected driver-side as the k·d-value control plane (the same
+    per-round truncation as similarity.lloyd_centroids, which this
+    mirrors with integer arithmetic). The pairwise stage is an equi
+    self-join on cluster_id — shuffle keyed and bounded by cluster
+    sizes; at 100 TB you raise ``n_clusters`` so n²/k stays tractable
+    (SemDeDup's own recipe: k ~ sqrt(n))."""
+    import math
+
+    qd = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), _quantize_micro(vec_col, scale).alias("_q")
+    )
+    seed_rows = (
+        qd.select(
+            "_id",
+            "_q",
+            (((F.col("_id") % _SEED_HASH_MOD) * _SEED_HASH_MULT)
+             % _SEED_HASH_MOD).alias("_h"),
+        )
+        .orderBy("_h", "_id")
+        .limit(n_clusters)
+        .collect()
+    )
+    cents = [list(r["_q"]) for r in seed_rows]
+    for _ in range(iters):
+        sums = (
+            qd.select(
+                _nearest_cluster(cents).alias("_cell"),
+                F.posexplode("_q").alias("_pos", "_val"),
+            )
+            .groupBy("_cell", "_pos")
+            .agg(F.sum("_val").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty cluster → previous centroid
+        for r in sums:
+            # floor(CAST(s AS DOUBLE)/n): the one division in the whole
+            # pipeline — IEEE-754 correctly-rounded, so identical in
+            # Python, Spark, and DuckDB for identical integer inputs
+            new[r["_cell"]][r["_pos"]] = math.floor(float(r["_s"]) / float(r["_n"]))
+        cents = new
+
+    fin = qd.select(
+        "_id",
+        "_q",
+        _nearest_cluster(cents).alias("_cell"),
+        _int_dot("_q", "_q").alias("_n2"),
+    )
+    a = fin.select(
+        F.col("_id").alias("_id_a"), F.col("_q").alias("_qa"),
+        F.col("_cell").alias("_cell"), F.col("_n2").alias("_n2a"),
+    )
+    b = fin.select(
+        F.col("_id").alias("_id_b"), F.col("_q").alias("_qb"),
+        F.col("_cell").alias("_cell"), F.col("_n2").alias("_n2b"),
+    )
+
+    def dec(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    dot = _int_dot("_qa", "_qb")
+    dups = (
+        a.join(b, ["_cell"])
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .withColumn("_dot", dot)
+        .filter(
+            (F.col("_dot") > 0)
+            & (
+                dec(F.col("_dot")) * dec(F.col("_dot")) * dec(F.lit(1_000_000))
+                >= dec(F.lit(threshold_milli * threshold_milli))
+                * dec(F.col("_n2a")) * dec(F.col("_n2b"))
+            )
+        )
+        .select(F.col("_id_b").alias("_dup"))
+        .distinct()
+    )
+    return fin.join(dups, fin["_id"] == dups["_dup"], "left").select(
+        F.col("_id").alias(id_col),
+        F.col("_cell").cast("int").alias("cluster_id"),
+        F.col("_dup").isNull().alias("kept"),
+    )

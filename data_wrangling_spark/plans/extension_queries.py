@@ -179,6 +179,131 @@ def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _semantic_dedup_oracle_sql(
+    k: int = 8, iters: int = 2, threshold_milli: int = 950
+) -> str:
+    """DuckDB oracle for x_dedup_semantic: the integer-exact SemDeDup
+    pipeline (operators/dedup.py:semantic_dedup) is fully SQL-expressible
+    because every step is exact integer arithmetic — quantized vectors,
+    integer squared-L2 argmin, floor(sum/count) centroid updates via a
+    deterministic IEEE double division, and a sqrt-free HUGEINT cosine
+    test. Fixed Lloyd rounds unroll into a chain of MATERIALIZED CTEs
+    (one (dist, assign, centroid) triple per round — the
+    _pagerank_oracle_sql technique), so this is an INDEPENDENT
+    derivation, not a pinned snapshot."""
+    head = r"""
+        WITH base AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   CAST(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> CAST(CAST(x * 1.1 AS FLOAT) AS DOUBLE))
+                        AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 5
+        ), qv AS MATERIALIZED (
+            SELECT vec_id, pos, CAST(ROUND(e * 1000000) AS BIGINT) AS val
+            FROM (SELECT vec_id, unnest(v) AS e,
+                         unnest(range(0, len(v))) AS pos
+                  FROM base)
+        ), c0 AS MATERIALIZED (
+            SELECT s.cluster_id, q.pos, q.val
+            FROM (SELECT vec_id,
+                         CAST(ROW_NUMBER() OVER (
+                             ORDER BY (vec_id %% 1048576) * 2654435761 %% 1048576,
+                                      vec_id) AS INT) - 1 AS cluster_id
+                  FROM base) s
+            JOIN qv q USING (vec_id)
+            WHERE s.cluster_id < %d
+        )""" % k
+    parts = [head]
+    for r in range(1, iters + 1):
+        parts.append("""
+        , d%d AS MATERIALIZED (
+            SELECT q.vec_id, c.cluster_id,
+                   SUM((q.val - c.val) * (q.val - c.val)) AS dist
+            FROM qv q JOIN c%d c USING (pos) GROUP BY 1, 2
+        ), a%d AS MATERIALIZED (
+            SELECT vec_id, cluster_id FROM (
+                SELECT vec_id, cluster_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cluster_id) AS rn
+                FROM d%d) WHERE rn = 1
+        ), c%d AS MATERIALIZED (
+            SELECT c.cluster_id, c.pos,
+                   COALESCE(CAST(FLOOR(CAST(m.s AS DOUBLE) / m.n) AS BIGINT),
+                            c.val) AS val
+            FROM c%d c LEFT JOIN (
+                SELECT a.cluster_id, q.pos, SUM(q.val) AS s, COUNT(*) AS n
+                FROM a%d a JOIN qv q USING (vec_id) GROUP BY 1, 2
+            ) m ON m.cluster_id = c.cluster_id AND m.pos = c.pos
+        )""" % (r, r - 1, r, r, r, r - 1, r))
+    parts.append("""
+        , dfin AS MATERIALIZED (
+            SELECT q.vec_id, c.cluster_id,
+                   SUM((q.val - c.val) * (q.val - c.val)) AS dist
+            FROM qv q JOIN c%d c USING (pos) GROUP BY 1, 2
+        ), afin AS MATERIALIZED (
+            SELECT vec_id, cluster_id FROM (
+                SELECT vec_id, cluster_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cluster_id) AS rn
+                FROM dfin) WHERE rn = 1
+        ), nrm AS MATERIALIZED (
+            SELECT vec_id, CAST(SUM(val * val) AS BIGINT) AS n2
+            FROM qv GROUP BY 1
+        ), dots AS MATERIALIZED (
+            SELECT fa.vec_id AS id_a, fb.vec_id AS id_b,
+                   CAST(SUM(qa.val * qb.val) AS HUGEINT) AS dot
+            FROM afin fa
+            JOIN afin fb ON fa.cluster_id = fb.cluster_id
+                        AND fa.vec_id < fb.vec_id
+            JOIN qv qa ON qa.vec_id = fa.vec_id
+            JOIN qv qb ON qb.vec_id = fb.vec_id AND qb.pos = qa.pos
+            GROUP BY 1, 2
+        ), dups AS MATERIALIZED (
+            SELECT DISTINCT d.id_b
+            FROM dots d
+            JOIN nrm na ON na.vec_id = d.id_a
+            JOIN nrm nb ON nb.vec_id = d.id_b
+            WHERE d.dot > 0
+              AND d.dot * d.dot * 1000000 >=
+                  %d * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)
+        )
+        SELECT f.vec_id, f.cluster_id, (d.id_b IS NULL) AS kept
+        FROM afin f LEFT JOIN dups d ON f.vec_id = d.id_b
+        ORDER BY f.vec_id""" % (iters, threshold_milli * threshold_milli))
+    return "".join(parts)
+
+
+@register(
+    "x_dedup_semantic",
+    oracle=_semantic_dedup_oracle_sql(),
+    doc="SemDeDup semantic dedup: k-means over integer-quantized "
+        "embeddings (2 Lloyd rounds, exact int squared-L2, deterministic "
+        "multiplicative-hash seeds), then within-cluster cosine ≥ 0.95 "
+        "pruning — smallest id per near-dup group survives. The same "
+        "planted ×1.1 duplicates as x_dedup_embedding_cosine give a "
+        "non-trivial pruned set. Every step is exact integer arithmetic, "
+        "so the DuckDB oracle is an independent chained-CTE re-derivation "
+        "(no pinned golden).",
+)
+def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 1.1
+        ).cast("array<float>").alias("embedding"),
+    )
+    out = semantic_dedup(
+        emb.unionByName(planted), "vec_id", "embedding",
+        n_clusters=8, iters=2, threshold_milli=950,
+    )
+    return out.orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # X-SIM-SEARCH
 # ---------------------------------------------------------------------------

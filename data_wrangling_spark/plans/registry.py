@@ -148,7 +148,13 @@ DRIVER_WINDOW: list[str] = [
     # the 7 formerly rows-only queries has a hash-checked driver row --
     "x_dedup_minhash_lsh",
     "x_dedup_simhash",
-    "x_dedup_embedding_cosine",
+    # round 7: x_dedup_semantic (new SemDeDup operator — k-means +
+    # within-cluster cosine prune, independent chained-CTE SQL oracle)
+    # swaps in for x_dedup_embedding_cosine (green r5+r6 driver rows;
+    # the embedding-dedup family stays represented by x_dedup_semantic,
+    # which subsumes the cosine-verify semantics, and the demoted entry
+    # keeps its independent golden + sf0.001 pytest oracle row)
+    "x_dedup_semantic",
     # round 6: ext_asof_latest_order_adaptive (the new scale-default
     # as-of form, this round's headline change) swaps in for
     # x_sim_topk_lsh (green r5 driver row; ANN family still represented

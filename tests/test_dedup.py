@@ -381,3 +381,127 @@ def test_embedding_lsh_queries_match_independent_derivation(spark):
         for r in QUERIES["x_sim_topk_lsh"].spark(spark, SF_DIR).collect()
     ]
     assert got_lsh == R.derive_topk_lsh(vecs)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def semantic_vectors(spark):
+    """Tiny embedding corpus with planted near-duplicates: id 100 is a
+    rescaled copy of id 0 (cosine exactly ~1), id 101 a rescale of id 1;
+    the rest are axis-aligned-ish and mutually dissimilar."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.2]),
+        (1, [0.0, 1.0, 0.1, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.1, 0.0, 0.0]),
+        (4, [0.3, 0.3, -0.9, 0.1]),
+        (100, [1.1, 0.0, 0.0, 0.22]),   # 1.1 x id 0
+        (101, [0.0, 0.9, 0.09, 0.0]),   # 0.9 x id 1
+    ]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_semantic_dedup_prunes_planted_rescales(spark, semantic_vectors):
+    out = {
+        r.vec_id: r
+        for r in dedup.semantic_dedup(
+            semantic_vectors, n_clusters=3, iters=2
+        ).collect()
+    }
+    assert len(out) == 7
+    # rescaled copies are cosine-1 near-dups; the SMALLER id survives
+    assert out[0].kept and not out[100].kept
+    assert out[1].kept and not out[101].kept
+    # a near-dup pair is only prunable inside one cluster
+    assert out[0].cluster_id == out[100].cluster_id
+    assert out[1].cluster_id == out[101].cluster_id
+    # dissimilar vectors all survive
+    for vid in (2, 3, 4):
+        assert out[vid].kept
+
+
+def test_semantic_dedup_partition_invariant(spark, semantic_vectors):
+    """Exact integer arithmetic end-to-end: the result cannot depend on
+    partitioning (no float accumulation order anywhere)."""
+    base = sorted(
+        map(tuple, dedup.semantic_dedup(
+            semantic_vectors, n_clusters=3, iters=2
+        ).collect())
+    )
+    for parts in (1, 7):
+        got = sorted(
+            map(tuple, dedup.semantic_dedup(
+                semantic_vectors.repartition(parts), n_clusters=3, iters=2
+            ).collect())
+        )
+        assert got == base
+
+
+def test_semantic_dedup_matches_independent_python_derivation(spark):
+    """Dual-implementation check (the plans/osm_oracle.py standard): a
+    pure-Python re-derivation of the documented semantics — quantize,
+    multiplicative-hash seeds, integer Lloyd with floor(sum/count)
+    updates, sqrt-free integer cosine test — must reproduce the operator
+    on the real embeddings table."""
+    import math
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    got = sorted(
+        map(tuple, dedup.semantic_dedup(emb, n_clusters=4, iters=2).collect())
+    )
+
+    rows = emb.collect()
+    qv = {
+        r.vec_id: [int(math_round(float(x) * 1_000_000)) for x in r.embedding]
+        for r in rows
+    }
+    k, iters, tau2 = 4, 2, 950 * 950
+    seeds = sorted(qv, key=lambda i: ((i % (1 << 20)) * 2654435761 % (1 << 20), i))[:k]
+    cents = [list(qv[i]) for i in seeds]
+
+    def nearest(v):
+        best = None
+        for j, c in enumerate(cents):
+            d = sum((a - b) * (a - b) for a, b in zip(v, c))
+            if best is None or (d, j) < best:
+                best = (d, j)
+        return best[1]
+
+    for _ in range(iters):
+        sums, cnts = {}, {}
+        for i, v in qv.items():
+            j = nearest(v)
+            cnts[j] = cnts.get(j, 0) + 1
+            s = sums.setdefault(j, [0] * len(v))
+            for p, x in enumerate(v):
+                s[p] += x
+        for j in sums:
+            cents[j] = [
+                math.floor(float(s) / float(cnts[j])) for s in sums[j]
+            ]
+    cell = {i: nearest(v) for i, v in qv.items()}
+    n2 = {i: sum(x * x for x in v) for i, v in qv.items()}
+    dup = set()
+    for b in qv:
+        for a in qv:
+            if a < b and cell[a] == cell[b]:
+                dot = sum(x * y for x, y in zip(qv[a], qv[b]))
+                if dot > 0 and dot * dot * 1_000_000 >= tau2 * n2[a] * n2[b]:
+                    dup.add(b)
+                    break
+    want = sorted((i, cell[i], i not in dup) for i in qv)
+    assert got == want
+
+
+def math_round(x: float) -> int:
+    """ROUND half-away-from-zero — what Spark's round() and DuckDB's
+    ROUND() both do (Python's built-in round is banker's)."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
