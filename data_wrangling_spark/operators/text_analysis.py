@@ -514,3 +514,56 @@ def lm_score_bigram(
             ).alias("avg_nll"),
         )
     )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) —
+    the gibberish/repetition quality signal: natural prose sits in a
+    band, mass-repeated boilerplate scores near 0, and random-token
+    noise scores near ln(n_tokens). Complements repetition_signals
+    (surface n-gram repeats) and lm_score_bigram (corpus-model fit)
+    with a model-free per-document statistic.
+
+    Returns (id_col, n_tokens, distinct_tokens, entropy_micro) where
+    entropy_micro is integer MICRO-nats:
+
+        H = ln(n) - (Σ_tok c·ln(c)) / n
+
+    with each c·ln(c) term rounded to integer micro-nats BEFORE the sum
+    (the lm_score_bigram int-cents-for-logs pattern) — the inner sum is
+    an integer sum, immune to float summation order, and the outer
+    expression is a single double op over two exact integers, so the
+    value is hash-exact across engines and partitionings.
+
+    Scale shape: explode → (doc, token) hash agg → (doc) hash agg, all
+    JVM expressions. The first shuffle is bounded by distinct (doc,
+    token) pairs (map-side combine collapses occurrence multiplicity);
+    the second by document count."""
+    from data_wrangling_spark.functions.text import tokens
+
+    counts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum(
+            F.round(F.lit(1000000.0) * F.col("_c") * F.log("_c")).cast("long")
+        ).alias("_s"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("distinct_tokens").cast("long").alias("distinct_tokens"),
+        F.round(
+            F.lit(1000000.0) * F.log("n_tokens")
+            - F.col("_s").cast("double") / F.col("n_tokens")
+        )
+        .cast("long")
+        .alias("entropy_micro"),
+    )

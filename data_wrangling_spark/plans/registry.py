@@ -138,7 +138,12 @@ DRIVER_WINDOW: list[str] = [
     # family keeps stats/curation/chunking/boilerplate in the window)
     "x_text_bm25_search",
     "ext_range_join_bucketed",
-    "x_text_repetition",
+    # round 7: x_text_entropy (new token-distribution entropy signal)
+    # swaps in for x_text_repetition (green r5+r6 driver rows; the
+    # repetition/diversity signal family keeps boilerplate_spans +
+    # lm_score in the window and the demoted entry stays in the sf0.001
+    # pytest oracle suite)
+    "x_text_entropy",
     "x_sim_topk_ivf",
     # -- round-5 rotation: the four newly golden-oracled seeded queries
     # (plans/seeded_goldens.py) swap in for proven near-duplicates

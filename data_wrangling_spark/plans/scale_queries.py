@@ -3904,3 +3904,41 @@ def x_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return lm_score_bigram(docs)
+
+
+@register(
+    "x_text_entropy",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS tk
+            FROM documents WHERE text IS NOT NULL
+        ), cnt AS (
+            SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+                   CAST(SUM(CAST(ROUND(1000000.0 * c * ln(c)) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM cnt GROUP BY 1
+        )
+        SELECT doc_id, n_tokens, distinct_tokens,
+               CAST(ROUND(1000000.0 * ln(n_tokens)
+                          - CAST(s AS DOUBLE) / n_tokens) AS BIGINT)
+                   AS entropy_micro
+        FROM agg
+    """,
+    doc="Per-document token-distribution Shannon entropy in integer "
+        "micro-nats (operators/text_analysis.py token_entropy) — the "
+        "model-free gibberish/boilerplate quality signal beside "
+        "repetition_signals and the bigram-LM score. Hash-exact across "
+        "engines: each c·ln(c) term is rounded to integer micro-nats "
+        "before an integer sum (immune to summation order); the final "
+        "value is one double op over two exact integers.",
+)
+def x_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.text_analysis import token_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_entropy(docs)

@@ -102,6 +102,9 @@ EXTRA_QUERIES = [
     "ext_tpch_q20_excess_stock_suppliers",
     "ext_tpch_q21_waiting_suppliers",
     "x_text_lm_score",
+    # round-7 additions: SemDeDup semantic dedup + token-entropy signal
+    "x_dedup_semantic",
+    "x_text_entropy",
 ]
 
 # ---------------------------------------------------------------- skew --

@@ -314,3 +314,30 @@ def test_lm_score_bigram_hand_computed(spark):
     assert rows[2].avg_nll == round(d2_sum / 2 / 1e6, 6)
     # the repeated in-distribution transition scores LOWER (more fluent)
     assert rows[1].avg_nll < rows[2].avg_nll
+
+
+def test_token_entropy_hand_computed(spark):
+    """H = ln(n) - (sum c*ln c)/n in integer micro-nats, computed by
+    hand for three tiny documents (uniform, skewed, single-token)."""
+    import math
+
+    from data_wrangling_spark.operators.text_analysis import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # uniform: H = ln 4
+            (2, "a a a b"),          # skewed: ln 4 - (3 ln 3)/4
+            (3, "x x x x"),          # degenerate: H = 0
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in token_entropy(docs).collect()}
+
+    def micro(n, counts):
+        s = sum(round(1000000.0 * c * math.log(c)) for c in counts)
+        return round(1000000.0 * math.log(n) - float(s) / n)
+
+    assert rows[1].n_tokens == 4 and rows[1].distinct_tokens == 4
+    assert rows[1].entropy_micro == micro(4, [1, 1, 1, 1]) == 1386294
+    assert rows[2].entropy_micro == micro(4, [3, 1])
+    assert rows[3].entropy_micro == 0 and rows[3].distinct_tokens == 1
