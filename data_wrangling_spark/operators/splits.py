@@ -63,6 +63,47 @@ def dataset_split(
     return df.withColumn("split", split_col).withColumn("bucket", bucket)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across
+    splits: collapse the near-duplicate ``pairs`` relation into
+    connected components (operators/graph.py), give every document a
+    ``group_id`` (its cluster's min member id; singletons use their own
+    id), and hash-bucket the GROUP — so all members of a near-dup group
+    land in the same split. Splitting by row id instead (the naive
+    ``dataset_split``) puts ~2·p·(1-p) of every dup pair across the
+    train/test boundary — the classic evaluation-contamination bug this
+    operator exists to prevent.
+
+    Singleton documents get the same split as plain
+    ``dataset_split(df, id_col)`` would give them (group_id == id and
+    the bucket function is identical) — adopting leakage safety never
+    reshuffles the un-duplicated majority of the corpus.
+
+    Returns (id_col, group_id, bucket, split).
+
+    Scale shape: the component build is the bounded iterative label
+    propagation of dedup_clusters (its input is the PAIRS relation —
+    near-dup pairs, tiny next to the corpus); attaching groups is one
+    left equi join on id; the split itself is a narrow md5 projection.
+    """
+    from data_wrangling_spark.operators.graph import dedup_clusters
+
+    clusters = dedup_clusters(pairs, pair_a, pair_b)
+    grouped = (
+        df.join(clusters, df[id_col] == clusters["id"], "left")
+        .withColumn("group_id", F.coalesce("cluster_id", F.col(id_col)))
+        .drop("id", "cluster_id")
+    )
+    return dataset_split(grouped, "group_id", fractions)
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str,

@@ -75,7 +75,6 @@ DRIVER_WINDOW: list[str] = [
     # swaps in for op_csv_roundtrip (4 green driver rows r1-r4; sink
     # family still represented by op_jsonl_roundtrip below)
     "ext_asof_latest_order_bucketed",
-    "ext_merge_upsert",
     "x_dedup_exact",
     "x_sim_topk_bruteforce",
     "x_text_stats",
@@ -160,6 +159,12 @@ DRIVER_WINDOW: list[str] = [
     # which subsumes the cosine-verify semantics, and the demoted entry
     # keeps its independent golden + sf0.001 pytest oracle row)
     "x_dedup_semantic",
+    # round 7: x_dataset_split_leakage_safe (new group-aware split —
+    # near-dup components hash-bucketed as one unit) swaps in for
+    # ext_merge_upsert (green r4-r6 driver rows; the write-shape family
+    # stays represented by op_jsonl_roundtrip and the demoted entry
+    # keeps its sf0.001 pytest oracle row)
+    "x_dataset_split_leakage_safe",
     # round 6: ext_asof_latest_order_adaptive (the new scale-default
     # as-of form, this round's headline change) swaps in for
     # x_sim_topk_lsh (green r5 driver row; ANN family still represented

@@ -3942,3 +3942,77 @@ def x_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return token_entropy(docs)
+
+
+@register(
+    "x_dataset_split_leakage_safe",
+    # same recursive-CTE transitive closure as x_dedup_clusters (full
+    # corpus, same shingle/threshold parameters), then the
+    # ext_dataset_split md5 bucket applied to the GROUP id
+    oracle=r"""
+        WITH RECURSIVE docs AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            )) AS shingle
+            FROM docs WHERE len(toks) >= 3
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), jac AS (
+            SELECT p.doc_a, p.doc_b
+            FROM cand p JOIN sizes sa ON p.doc_a = sa.doc_id
+                        JOIN sizes sb ON p.doc_b = sb.doc_id
+            WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= 0.3
+        ), edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM jac
+            UNION ALL
+            SELECT doc_b, doc_a FROM jac
+        ), cc_nodes AS (
+            SELECT DISTINCT a AS id FROM edges
+        ), reach(id, r) AS (
+            SELECT id, id FROM cc_nodes
+            UNION
+            SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+        ), comp AS (
+            SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        ), grp AS (
+            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        ), b AS (
+            SELECT doc_id, group_id,
+                   CAST(concat('0x', substring(md5(CAST(group_id AS VARCHAR)),
+                                               1, 4)) AS INTEGER) AS bucket
+            FROM grp
+        )
+        SELECT doc_id, group_id, bucket,
+               CASE WHEN bucket < 52429 THEN 'train'
+                    WHEN bucket < 58982 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b ORDER BY doc_id
+    """,
+    doc="Leakage-safe train/val/test split (operators/splits.py "
+        "leakage_safe_split): n-gram-Jaccard near-dup pairs collapse "
+        "into connected components, every document hash-buckets by its "
+        "GROUP id — near-duplicate groups can never straddle the "
+        "train/test boundary (the evaluation-contamination bug of "
+        "row-id splits). Singletons land exactly where ext_dataset_split "
+        "puts them, so adopting leakage safety never reshuffles the "
+        "un-duplicated majority.",
+)
+def x_dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.dedup import ngram_jaccard_pairs
+    from data_wrangling_spark.operators.splits import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    out = leakage_safe_split(
+        docs, "doc_id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select("doc_id", "group_id", "bucket", "split").orderBy("doc_id")

@@ -102,9 +102,11 @@ EXTRA_QUERIES = [
     "ext_tpch_q20_excess_stock_suppliers",
     "ext_tpch_q21_waiting_suppliers",
     "x_text_lm_score",
-    # round-7 additions: SemDeDup semantic dedup + token-entropy signal
+    # round-7 additions: SemDeDup semantic dedup, token-entropy signal,
+    # leakage-safe split
     "x_dedup_semantic",
     "x_text_entropy",
+    "x_dataset_split_leakage_safe",
 ]
 
 # ---------------------------------------------------------------- skew --

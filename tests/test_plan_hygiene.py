@@ -32,6 +32,8 @@ SF_DIR = "/root/testdata/sf0.001"
 EXECUTES_ON_BUILD = {n for n in QUERIES if n.startswith("x_stream_")} | {
     "x_graph_pagerank",
     "x_dedup_clusters",
+    # leakage-safe split runs dedup_clusters' Pregel rounds at build
+    "x_dataset_split_leakage_safe",
     # BucketedRandomProjectionLSH.fit runs real jobs when the DataFrame is
     # built; its BNLJ-cleanliness is noted in the CLEAN-plans comment below
     # and pinned by tests/test_similarity.py

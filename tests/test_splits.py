@@ -142,3 +142,44 @@ def test_temperature_mixture_clamps_negative_mass(spark):
     }
     assert got["neg"] == (-8, 0)
     assert got["pos"] == (4, 1_000_000)
+
+
+def test_leakage_safe_split_never_splits_a_pair(spark):
+    """The defining property: both members of every near-dup pair (and
+    by transitivity every member of a component) land in ONE split."""
+    from data_wrangling_spark.operators.dedup import ngram_jaccard_pairs
+    from data_wrangling_spark.operators.splits import leakage_safe_split
+    from data_wrangling_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    out = leakage_safe_split(docs, "doc_id", pairs)
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    pair_rows = pairs.collect()
+    assert pair_rows, "fixture corpus must contain near-dup pairs"
+    for p in pair_rows:
+        assert split_of[p.doc_a] == split_of[p.doc_b], (p.doc_a, p.doc_b)
+
+
+def test_leakage_safe_split_singletons_match_plain_split(spark):
+    """Docs in no near-dup group keep exactly the split plain
+    dataset_split gives them — leakage safety is a no-op for the
+    un-duplicated majority."""
+    from data_wrangling_spark.operators.dedup import ngram_jaccard_pairs
+    from data_wrangling_spark.operators.splits import (
+        dataset_split,
+        leakage_safe_split,
+    )
+    from data_wrangling_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    safe = {r.doc_id: (r.group_id, r.split)
+            for r in leakage_safe_split(docs, "doc_id", pairs).collect()}
+    plain = {r.doc_id: r.split for r in dataset_split(docs, "doc_id").collect()}
+    singles = [d for d, (g, _) in safe.items() if g == d]
+    assert singles
+    for d in singles:
+        assert safe[d][1] == plain[d]
