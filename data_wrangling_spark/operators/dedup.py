@@ -521,6 +521,76 @@ def _hash_unit(p: int, d: int) -> float:
 
 
 # ---------------------------------------------------------------------------
+# cross-source overlap diagnostics
+# ---------------------------------------------------------------------------
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise content overlap between corpus slices (sources / crawls
+    / snapshots): the n-gram-shingle Jaccard of each pair of groups —
+    the corpus-composition diagnostic that tells you two crawls are
+    near-copies BEFORE you pay to train on both. Complements the
+    document-level dedup family with a slice-level rollup.
+
+    Returns (source_a, source_b, n_shared, n_a, n_b, jaccard_ppm) for
+    every group pair sharing at least one shingle, jaccard in integer
+    parts-per-million (exact-integer division, cross-engine stable).
+
+    Scale shape: one explode → (group, shingle) DISTINCT (map-side
+    combine bounds the shuffle by the per-group vocabulary, not token
+    occurrences); the pair stage is an inverted-index equi join on the
+    shingle — candidates only, never group × group × vocabulary — and
+    the result is bounded by #groups². Group sizes join back via two
+    broadcasts (#groups rows each)."""
+    sh = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"),
+            F.explode(shingles(text_col, n)).alias("_shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    a = sh.select(F.col("_g").alias("source_a"), "_shingle")
+    b = sh.select(F.col("_g").alias("source_b"), "_shingle")
+    shared = (
+        a.join(b, "_shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("_g").alias("source_a"),
+                                     F.col("_n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_g").alias("source_b"),
+                                     F.col("_n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.lit(1000000.0) * F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup): k-means clusters + within-cluster cosine prune
 # ---------------------------------------------------------------------------
 

@@ -725,3 +725,51 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("o_custkey").alias("exact_distinct"))
         .orderBy("status")
     )
+
+
+@register(
+    "x_corpus_source_overlap",
+    oracle=r"""
+        WITH docs AS (
+            SELECT source, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), sh AS (
+            SELECT DISTINCT source, unnest(list_distinct(
+                list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            )) AS shingle
+            FROM docs WHERE len(toks) >= 3
+        ), sz AS (
+            SELECT source, COUNT(*) AS n FROM sh GROUP BY 1
+        ), shared AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   COUNT(*) AS n_shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+                              AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT s.source_a, s.source_b,
+               CAST(s.n_shared AS BIGINT) AS n_shared,
+               CAST(sa.n AS BIGINT) AS n_a,
+               CAST(sb.n AS BIGINT) AS n_b,
+               CAST(ROUND(1000000.0 * s.n_shared / (sa.n + sb.n - s.n_shared))
+                    AS BIGINT) AS jaccard_ppm
+        FROM shared s
+        JOIN sz sa ON sa.source = s.source_a
+        JOIN sz sb ON sb.source = s.source_b
+        ORDER BY s.source_a, s.source_b
+    """,
+    doc="Cross-source content-overlap matrix (operators/dedup.py "
+        "source_overlap): pairwise 3-gram-shingle Jaccard between corpus "
+        "sources in integer ppm — the slice-level redundancy diagnostic "
+        "(two crawls that are near-copies show up here before you train "
+        "on both). Inverted-index equi join on the shingle; shuffle "
+        "bounded by per-source vocabulary, result by #sources².",
+)
+def x_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.dedup import source_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_overlap(docs, "source", "text", n=3).orderBy(
+        "source_a", "source_b"
+    )

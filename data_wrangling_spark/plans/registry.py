@@ -88,7 +88,11 @@ DRIVER_WINDOW: list[str] = [
     # TPC-H family keeps 15+ members in the window)
     "x_text_lm_score",
     "op_jsonl_roundtrip",
-    "ext_anti_join",
+    # round 7: x_corpus_source_overlap (new slice-level redundancy
+    # diagnostic) swaps in for ext_anti_join (green r4-r6 driver rows;
+    # the join-shape family keeps semi/anti coverage via
+    # ext_tpch_q21/q22 and the TPC-H block)
+    "x_corpus_source_overlap",
     "x_stream_sessionize",
     "x_dedup_clusters",
     "x_graph_pagerank",

@@ -107,6 +107,7 @@ EXTRA_QUERIES = [
     "x_dedup_semantic",
     "x_text_entropy",
     "x_dataset_split_leakage_safe",
+    "x_corpus_source_overlap",
 ]
 
 # ---------------------------------------------------------------- skew --

@@ -505,3 +505,21 @@ def math_round(x: float) -> int:
     import math
 
     return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def test_source_overlap_symmetric_identity(spark):
+    """source_overlap semantics: a source overlapped with a copy of
+    itself under another label shares its whole vocabulary (jaccard 1),
+    and disjoint-vocabulary sources produce no row."""
+    rows = [
+        (1, "alpha beta gamma delta", "s1"),
+        (2, "alpha beta gamma delta", "s2"),     # exact copy of s1
+        (3, "one two three four five", "s3"),    # disjoint vocabulary
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.source_a, r.source_b): r for r in
+           dedup.source_overlap(df, "source", "text", n=3).collect()}
+    assert set(got) == {("s1", "s2")}
+    r = got[("s1", "s2")]
+    assert r.n_shared == r.n_a == r.n_b == 2  # two distinct trigrams
+    assert r.jaccard_ppm == 1_000_000
