@@ -184,16 +184,37 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """X-DEDUP-FUZZY via exact n-gram Jaccard: inverted-index join on
     shingles → per-pair intersection counts → Jaccard ≥ threshold.
 
     Shuffles on the shingle (bounded fan-out per shingle at realistic
     vocabularies); pair aggregation keys are (id_a, id_b) of candidate
-    pairs only — never materializes the full n² grid."""
+    pairs only — never materializes the full n² grid.
+
+    ``max_df`` is the stop-shingle safety valve for corpus scale: a
+    shingle appearing in f documents contributes f·(f-1)/2 candidate
+    pairs, so one boilerplate phrase shared by a million documents is a
+    5·10¹¹-row join all by itself. With ``max_df`` set, shingles whose
+    document frequency exceeds it are dropped BEFORE the pair join (one
+    extra DF aggregate + semi join), and the per-document sizes are
+    recomputed on the pruned postings so the reported value is the exact
+    Jaccard of the PRUNED shingle sets (the standard stop-gram-filtered
+    similarity, not an approximation of the unpruned one). Ubiquitous
+    shingles carry no discriminative signal, so near-dup recall is
+    unaffected; default None preserves exact unpruned semantics."""
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle")
     )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -523,3 +523,26 @@ def test_source_overlap_symmetric_identity(spark):
     r = got[("s1", "s2")]
     assert r.n_shared == r.n_a == r.n_b == 2  # two distinct trigrams
     assert r.jaccard_ppm == 1_000_000
+
+
+def test_ngram_jaccard_max_df_prunes_stop_shingles(spark):
+    """max_df drops ubiquitous shingles before the pair join and
+    recomputes sizes on the pruned postings — docs related ONLY through
+    a boilerplate phrase stop pairing, while genuine near-dups keep an
+    exact (pruned-set) Jaccard."""
+    boiler = "all rights reserved by the publisher"
+    rows = [
+        (0, "unique alpha beta gamma delta words " + boiler),
+        (1, "different epsilon zeta eta theta words " + boiler),
+        (2, "unique alpha beta gamma delta words " + boiler),  # dup of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unpruned = {(r.doc_a, r.doc_b)
+                for r in dedup.ngram_jaccard_pairs(
+                    df, "doc_id", "text", threshold=0.2).collect()}
+    assert (0, 1) in unpruned  # boilerplate alone links them
+    pruned = {(r.doc_a, r.doc_b): r
+              for r in dedup.ngram_jaccard_pairs(
+                  df, "doc_id", "text", threshold=0.2, max_df=2).collect()}
+    assert (0, 1) not in pruned and (1, 2) not in pruned
+    assert pruned[(0, 2)].jaccard == 1.0  # real dup survives, exact on pruned sets
