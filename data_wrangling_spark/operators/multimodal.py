@@ -472,6 +472,32 @@ def decode_raster(payload: bytes, dim: int = 8) -> list[float]:
     )
 
 
+def decode_wav(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL audio decode (dependency-free, operators/audio.py): RIFF/WAV
+    PCM → dim-float energy envelope in [0, 1] — the audio modality's
+    entry in the shared FEATURE_SCHEMA pipeline."""
+    from data_wrangling_spark.operators.audio import decode_wav_envelope
+
+    if payload is None:
+        raise NotImplementedError(
+            "payload fetch by URI not implemented in this environment"
+        )
+    return decode_wav_envelope(payload, dim)
+
+
+def decode_media(payload: bytes, dim: int = 8) -> list[float]:
+    """Cross-modality magic-byte dispatch: 'RIFF' → WAV audio envelope,
+    anything else → decode_raster's image dispatch. One decoder name for
+    a mixed image/audio payload column."""
+    if payload is None:
+        raise NotImplementedError(
+            "payload fetch by URI not implemented in this environment"
+        )
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload, dim)
+    return decode_raster(payload, dim)
+
+
 #: decoder registry: name → (payload, dim) → list[float]
 _DECODERS = {
     "stub": decode_stub,
@@ -481,6 +507,8 @@ _DECODERS = {
     "png": decode_png,
     "jpeg": decode_jpeg,
     "raster": decode_raster,
+    "wav": decode_wav,
+    "media": decode_media,
 }
 
 

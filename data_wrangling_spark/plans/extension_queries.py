@@ -773,3 +773,54 @@ def x_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap(docs, "source", "text", n=3).orderBy(
         "source_a", "source_b"
     )
+
+
+@register(
+    "x_multimodal_audio",
+    # the audio features ARE engine-replayable: payloads are real 8-bit
+    # PCM WAVs whose sample bytes are the (pure-ASCII) document text, so
+    # 8-bit amplitude = (byte-128)/128 and DuckDB recovers the exact
+    # integer sample domain from ascii() codes. The Spark side computes
+    # rms over v = amplitude·2^23 (exact dyadic ints); the oracle scales
+    # the same way (s8·2^32) so the double sequence — CAST exact int,
+    # one division, one sqrt — is IEEE-identical in both engines, and
+    # every ROUND is half-away-from-zero on both sides.
+    oracle="""
+        WITH ch AS (
+            SELECT doc_id, ascii(substring(text, i, 1)) - 128 AS a
+            FROM (SELECT doc_id, text,
+                         unnest(range(1, length(text) + 1)) AS i
+                  FROM documents WHERE text IS NOT NULL)
+        ), agg AS (
+            SELECT doc_id, COUNT(*) AS n,
+                   SUM(CAST(a * a AS BIGINT)) AS s8,
+                   MAX(ABS(a)) AS peak8
+            FROM ch GROUP BY 1
+        )
+        SELECT doc_id AS media_id,
+               8000 AS sample_rate, 1 AS channels,
+               CAST(n AS BIGINT) AS n_frames,
+               CAST(ROUND(1000.0 * n / 8000) AS BIGINT) AS duration_ms,
+               CAST(ROUND(1000.0 * sqrt(CAST(s8 * 4294967296 AS DOUBLE) / n)
+                          / 8388608.0) AS BIGINT) AS rms_milli,
+               CAST(ROUND(1000.0 * (peak8 * 65536) / 8388608.0) AS BIGINT)
+                   AS peak_milli
+        FROM agg ORDER BY media_id
+    """,
+    doc="X-MULTIMODAL audio: REAL WAV encode → decode on executors "
+        "(operators/audio.py — dependency-free RIFF/PCM codec, the audio "
+        "counterpart of the PPM/BMP/PNG/JPEG raster seam). Documents "
+        "become genuine 8-bit PCM 8 kHz WAV payloads via wrap_wav_data; "
+        "wav_features parses the container and emits integer-milli "
+        "RMS/peak plus duration — exact int arithmetic inside, one IEEE "
+        "sqrt at the end, hash-exact vs the DuckDB byte-domain replay.",
+)
+def x_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.audio import (
+        synth_wav_from_documents,
+        wav_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_wav_from_documents(docs)
+    return wav_features(media).orderBy("media_id")

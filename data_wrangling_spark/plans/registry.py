@@ -82,7 +82,12 @@ DRIVER_WINDOW: list[str] = [
     # -- first-ever driver rows (round-4 rotation set) ---------------
     "x_vec_normalize",
     "x_sketch_hll_weekly_users",
-    "x_sim_topk_mllib_brp",
+    # round 7: x_multimodal_audio (the real WAV encode→decode path and
+    # the multimodal family's FIRST driver row — the other three
+    # multimodal queries are judge/pytest-verified) swaps in for
+    # x_sim_topk_mllib_brp (green r4-r6 driver rows; the ANN family
+    # keeps bruteforce + ivf in the window)
+    "x_multimodal_audio",
     # round 6: x_text_lm_score (new bigram-LM perplexity filter) swaps
     # in for ext_tpch_q5_local_supplier (green r4+r5 driver rows; the
     # TPC-H family keeps 15+ members in the window)

@@ -108,6 +108,7 @@ EXTRA_QUERIES = [
     "x_text_entropy",
     "x_dataset_split_leakage_safe",
     "x_corpus_source_overlap",
+    "x_multimodal_audio",
 ]
 
 # ---------------------------------------------------------------- skew --
