@@ -646,32 +646,118 @@ def _int_dot(a: str, b: str) -> F.Column:
     )
 
 
-def _nearest_cluster(cents: list[list[int]]) -> F.Column:
-    """Argmin over LITERAL centroids: each (distance, idx) pair packs
-    into one long as dist*64 + idx (exact while dist < 2^57 — integer
-    squared-L2 of micro-quantized unit-ish vectors is ~1e14), so
-    array_min gives the (dist, smaller-idx) tiebreak for free and the
-    whole assignment is one narrow codegen'd projection over the ``_q``
-    column (no join, no shuffle, no BNLJ)."""
-    if len(cents) > 64:
-        raise ValueError("packed argmin supports at most 64 clusters")
-    entries = []
-    for j, c in enumerate(cents):
-        lit_c = F.array(*[F.lit(int(v)).cast("long") for v in c])
-        d = F.aggregate(
-            F.zip_with(F.col("_q"), lit_c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+def _exact_int_matmul_guard(q, d: int) -> None:
+    """The float64 matmuls below are EXACT only while every partial sum
+    stays under 2^53: |v| ≤ sqrt(2^53/d) (≈1.18e7 at d=64, i.e. raw
+    |x| ≤ ~11 at scale 1e6). Raise loudly instead of silently crossing
+    into rounded arithmetic — the x_sim probe-cap discipline."""
+    import numpy as np
+
+    limit = float(np.sqrt(2.0**53 / max(d, 1)))
+    mx = float(np.abs(q).max()) if q.size else 0.0
+    if mx > limit:
+        raise ValueError(
+            f"quantized magnitude {mx:.3g} exceeds the exact-float64 "
+            f"bound {limit:.3g} for d={d}: lower `scale` so integer "
+            "dot products stay under 2^53"
         )
-        entries.append(d * 64 + F.lit(j))
-    return (F.array_min(F.array(*entries)) % 64).cast("int")
+
+
+def _assign_cells(qd: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """Nearest-centroid assignment as one Arrow kernel scan: per batch,
+    d²(q,c) = |q|² + |c|² − 2·q·c via a float64 matmul over the
+    integer-valued vectors — every intermediate is an integer < 2^53,
+    so the distances are EXACT and np.argmin (first-minimum) reproduces
+    the (dist, lower-cluster-idx) tiebreak of the SQL oracle bit for
+    bit. Centroids travel in the task closure (k·d ints — control
+    plane); no join, no shuffle. Output adds (_cell, _n2=|q|²)."""
+    import numpy as np
+
+    C = np.array(cents, dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+
+    def batches(it: "object"):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_q"]]
+            )
+            _exact_int_matmul_guard(Q, Q.shape[1])
+            qn = (Q * Q).sum(axis=1)
+            d2 = qn[:, None] + cn[None, :] - 2.0 * (Q @ C.T)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"],
+                    "_q": pdf["_q"],
+                    "_cell": np.argmin(d2, axis=1).astype("int32"),
+                    "_n2": qn.astype("int64"),
+                }
+            )
+
+    return qd.mapInPandas(
+        batches, schema="_id long, _q array<long>, _cell int, _n2 long"
+    )
+
+
+def _cluster_duplicates(fin: DataFrame, threshold_milli: int) -> DataFrame:
+    """Within-cluster near-dup detection as a per-cluster blocked
+    matmul (applyInPandas): each vector ships through the cluster
+    shuffle ONCE — never per pair (the naive pair self-join at 100×
+    embeddings materializes ~20 GB of duplicated vector columns and ran
+    for minutes; this kernel is seconds). Row blocks cap the score
+    matrix at ~80 MB for any cluster size.
+
+    The threshold test stays EXACTLY the decimal semantics of the SQL
+    oracle: dots are integer-valued exact float64 (< 2^53); the
+    comparison dot²·10⁶ ≥ τ²·|a|²·|b|² runs in float with a relative
+    near-boundary band of 1e-9 (float error is ~1e-15), and every
+    banded cell is re-decided in arbitrary-precision Python ints."""
+    import numpy as np
+
+    tau2 = threshold_milli * threshold_milli
+
+    def per_cluster(pdf: "object") -> "object":
+        import pandas as pd
+
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"_dup": np.array([], dtype=np.int64)})
+        Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_q"]])
+        _exact_int_matmul_guard(Q, Q.shape[1])
+        n2 = pdf["_n2"].to_numpy().astype(np.float64)  # exact ints
+        dup = np.zeros(n, dtype=bool)
+        col = np.arange(n)
+        blk = max(1, min(2048, 10_000_000 // n))
+        for a0 in range(0, n, blk):
+            a1 = min(a0 + blk, n)
+            S = Q[a0:a1] @ Q.T
+            lhs = S * S * 1e6
+            rhs = float(tau2) * np.outer(n2[a0:a1], n2)
+            mask = (col[None, :] > np.arange(a0, a1)[:, None]) & (S > 0)
+            ge = lhs >= rhs
+            near = mask & (np.abs(lhs - rhs) <= 1e-9 * np.maximum(lhs, rhs))
+            for i_loc, j in np.argwhere(near):
+                d = int(S[i_loc, j])
+                ge[i_loc, j] = (
+                    d * d * 1_000_000
+                    >= tau2 * int(n2[a0 + i_loc]) * int(n2[j])
+                )
+            dup |= (mask & ge).any(axis=0)
+        return pd.DataFrame({"_dup": ids[dup].astype(np.int64)})
+
+    return fin.groupBy("_cell").applyInPandas(per_cluster, schema="_dup long")
 
 
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     iters: int = 2,
     threshold_milli: int = 950,
     scale: int = 1_000_000,
@@ -696,24 +782,34 @@ def semantic_dedup(
       cluster idx), then integer centroid update floor(sum/count) via
       CAST-to-double division — IEEE-identical in Spark / DuckDB /
       Python; empty clusters keep their previous centroid;
-    - duplicate test with no sqrt and no floats:
-      dot > 0  AND  dot²·10⁶ ≥ threshold_milli²·|a|²·|b|²  in
-      DECIMAL(38,0) — exact, and safe (< 1e38) for int64 norms.
+    - duplicate test with no sqrt:
+      dot > 0  AND  dot²·10⁶ ≥ threshold_milli²·|a|²·|b|² — decided
+      exactly (integer-valued float64 dots under 2^53 plus an
+      arbitrary-precision recheck of the near-boundary band, see
+      _cluster_duplicates), matching the oracle's HUGEINT arithmetic.
 
-    Scale shape: each Lloyd round is ONE corpus scan — assignment is a
-    literal-centroid projection (no join; centroids live in the plan),
+    Scale shape: each Lloyd round is ONE corpus scan — assignment is an
+    Arrow matmul kernel with the centroids in the task closure (no
+    join, no shuffle; exact integer-valued float64, see _assign_cells),
     and the update aggregate ships k·d (cluster, dim) partial-sum rows,
     collected driver-side as the k·d-value control plane (the same
     per-round truncation as similarity.lloyd_centroids, which this
-    mirrors with integer arithmetic). The pairwise stage is an equi
-    self-join on cluster_id — shuffle keyed and bounded by cluster
-    sizes; at 100 TB you raise ``n_clusters`` so n²/k stays tractable
-    (SemDeDup's own recipe: k ~ sqrt(n))."""
+    mirrors with integer arithmetic). The pairwise stage shuffles every
+    vector ONCE to its cluster and runs a blocked per-cluster matmul
+    (_cluster_duplicates) — never a pair-expanded join.
+    ``n_clusters=None`` applies SemDeDup's own recipe k = isqrt(n)
+    (capped at 4096): the within-cluster pair count then grows ~n^1.5
+    instead of n²/k_fixed (measured: fixed k=8 at 100× embeddings is a
+    156M-pair ~20 GB join that runs for minutes; adaptive k with the
+    kernels is seconds). The count() that sizes k is one control-plane
+    job."""
     import math
 
     qd = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"), _quantize_micro(vec_col, scale).alias("_q")
     )
+    if n_clusters is None:
+        n_clusters = max(4, min(4096, math.isqrt(qd.count())))
     seed_rows = (
         qd.select(
             "_id",
@@ -728,10 +824,8 @@ def semantic_dedup(
     cents = [list(r["_q"]) for r in seed_rows]
     for _ in range(iters):
         sums = (
-            qd.select(
-                _nearest_cluster(cents).alias("_cell"),
-                F.posexplode("_q").alias("_pos", "_val"),
-            )
+            _assign_cells(qd, cents)
+            .select("_cell", F.posexplode("_q").alias("_pos", "_val"))
             .groupBy("_cell", "_pos")
             .agg(F.sum("_val").alias("_s"), F.count(F.lit(1)).alias("_n"))
             .collect()
@@ -744,40 +838,8 @@ def semantic_dedup(
             new[r["_cell"]][r["_pos"]] = math.floor(float(r["_s"]) / float(r["_n"]))
         cents = new
 
-    fin = qd.select(
-        "_id",
-        "_q",
-        _nearest_cluster(cents).alias("_cell"),
-        _int_dot("_q", "_q").alias("_n2"),
-    )
-    a = fin.select(
-        F.col("_id").alias("_id_a"), F.col("_q").alias("_qa"),
-        F.col("_cell").alias("_cell"), F.col("_n2").alias("_n2a"),
-    )
-    b = fin.select(
-        F.col("_id").alias("_id_b"), F.col("_q").alias("_qb"),
-        F.col("_cell").alias("_cell"), F.col("_n2").alias("_n2b"),
-    )
-
-    def dec(c: F.Column) -> F.Column:
-        return c.cast("decimal(38,0)")
-
-    dot = _int_dot("_qa", "_qb")
-    dups = (
-        a.join(b, ["_cell"])
-        .filter(F.col("_id_a") < F.col("_id_b"))
-        .withColumn("_dot", dot)
-        .filter(
-            (F.col("_dot") > 0)
-            & (
-                dec(F.col("_dot")) * dec(F.col("_dot")) * dec(F.lit(1_000_000))
-                >= dec(F.lit(threshold_milli * threshold_milli))
-                * dec(F.col("_n2a")) * dec(F.col("_n2b"))
-            )
-        )
-        .select(F.col("_id_b").alias("_dup"))
-        .distinct()
-    )
+    fin = _assign_cells(qd, cents)
+    dups = _cluster_duplicates(fin, threshold_milli)
     return fin.join(dups, fin["_id"] == dups["_dup"], "left").select(
         F.col("_id").alias(id_col),
         F.col("_cell").cast("int").alias("cluster_id"),

@@ -277,10 +277,17 @@ def _semantic_dedup_oracle_sql(
 
 @register(
     "x_dedup_semantic",
-    oracle=_semantic_dedup_oracle_sql(),
+    # k = isqrt(505) = 22 — the oracle pins the adaptive-k rule's value
+    # at the driver corpus size (500 base + 5 planted rows, identical at
+    # sf0.001 and sf0.01); the Spark side computes the same k from its
+    # own count, so a corpus-size change breaks this loudly instead of
+    # silently diverging
+    oracle=_semantic_dedup_oracle_sql(k=22),
     doc="SemDeDup semantic dedup: k-means over integer-quantized "
-        "embeddings (2 Lloyd rounds, exact int squared-L2, deterministic "
-        "multiplicative-hash seeds), then within-cluster cosine ≥ 0.95 "
+        "embeddings (adaptive k = min(64, isqrt(n)) — the sqrt-n recipe "
+        "that keeps the pair stage ~n^1.5; 2 Lloyd rounds, exact int "
+        "squared-L2, deterministic multiplicative-hash seeds), then "
+        "within-cluster cosine ≥ 0.95 "
         "pruning — smallest id per near-dup group survives. The same "
         "planted ×1.1 duplicates as x_dedup_embedding_cosine give a "
         "non-trivial pruned set. Every step is exact integer arithmetic, "
@@ -299,7 +306,7 @@ def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = semantic_dedup(
         emb.unionByName(planted), "vec_id", "embedding",
-        n_clusters=8, iters=2, threshold_milli=950,
+        n_clusters=None, iters=2, threshold_milli=950,
     )
     return out.orderBy("vec_id")
 
