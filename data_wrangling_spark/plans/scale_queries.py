@@ -3946,13 +3946,24 @@ def x_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_dataset_split_leakage_safe",
-    # same recursive-CTE transitive closure as x_dedup_clusters (full
-    # corpus, same shingle/threshold parameters), then the
-    # ext_dataset_split md5 bucket applied to the GROUP id
+    # same recursive-CTE transitive closure as x_dedup_clusters, then
+    # the ext_dataset_split md5 bucket applied to the GROUP id. The
+    # quadratic Jaccard stage runs over exact-text REPRESENTATIVES
+    # (min doc_id per distinct text) with copy→rep edges re-attaching
+    # the exact duplicates: a doc's shingle set is a function of its
+    # text, so Jaccard edges between same-text docs are Jaccard-1
+    # (present) and cross-text edges are identical for every copy —
+    # the components over this reduced graph are PROVABLY the same as
+    # over the full pair graph, while candidate pairs shrink by the
+    # duplication factor squared (a replicated corpus at 100× went from
+    # a 1.4e8-pair join to 1.4e4).
     oracle=r"""
-        WITH RECURSIVE docs AS (
+        WITH RECURSIVE reps AS MATERIALIZED (
+            SELECT MIN(doc_id) AS doc_id, text
+            FROM documents GROUP BY text
+        ), docs AS (
             SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-            FROM documents
+            FROM reps
         ), sh AS (
             SELECT doc_id, unnest(list_distinct(
                 list_transform(range(1, greatest(len(toks) - 1, 1)),
@@ -3970,10 +3981,18 @@ def x_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM cand p JOIN sizes sa ON p.doc_a = sa.doc_id
                         JOIN sizes sb ON p.doc_b = sb.doc_id
             WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= 0.3
+        ), copy_edges AS MATERIALIZED (
+            SELECT r.doc_id AS a, d.doc_id AS b
+            FROM documents d JOIN reps r ON d.text = r.text
+            WHERE d.doc_id <> r.doc_id
         ), edges AS (
             SELECT doc_a AS a, doc_b AS b FROM jac
             UNION ALL
             SELECT doc_b, doc_a FROM jac
+            UNION ALL
+            SELECT a, b FROM copy_edges
+            UNION ALL
+            SELECT b, a FROM copy_edges
         ), cc_nodes AS (
             SELECT DISTINCT a AS id FROM edges
         ), reach(id, r) AS (
@@ -4011,7 +4030,22 @@ def x_dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.splits import leakage_safe_split
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    # exact-duplicate collapse before the quadratic stage (see the
+    # oracle comment for the equivalence argument): Jaccard pairs run
+    # over one representative per distinct text; copy→rep edges carry
+    # the exact duplicates into the same components
+    reps = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    rep_pairs = ngram_jaccard_pairs(
+        reps, "doc_id", "text", n=3, threshold=0.3
+    ).select("doc_a", "doc_b")
+    copy_edges = (
+        docs.join(
+            reps.select(F.col("text"), F.col("doc_id").alias("_rep")), "text"
+        )
+        .filter(F.col("doc_id") != F.col("_rep"))
+        .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    pairs = rep_pairs.unionByName(copy_edges)
     out = leakage_safe_split(
         docs, "doc_id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
     )
