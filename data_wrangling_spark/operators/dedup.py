@@ -569,10 +569,13 @@ def source_overlap(
     broadcasts (#groups rows each)."""
     sh = (
         df.filter(F.col(text_col).isNotNull())
-        .select(
-            F.col(group_col).alias("_g"),
-            F.explode(shingles(text_col, n)).alias("_shingle"),
-        )
+        # (group, text) distinct BEFORE shingling: the output is the
+        # distinct (group, shingle) relation either way, so collapsing
+        # repeated texts first is an exact no-op that skips re-shingling
+        # every duplicate copy (a replicated corpus shingles 100× less)
+        .select(F.col(group_col).alias("_g"), F.col(text_col).alias("_t"))
+        .distinct()
+        .select("_g", F.explode(shingles("_t", n)).alias("_shingle"))
         .distinct()
     )
     sizes = sh.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))

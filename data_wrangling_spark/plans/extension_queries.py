@@ -739,7 +739,8 @@ def ext_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
         WITH docs AS (
             SELECT source, string_split_regex(trim(text), '\s+') AS toks
-            FROM documents WHERE text IS NOT NULL
+            FROM (SELECT DISTINCT source, text FROM documents
+                  WHERE text IS NOT NULL)
         ), sh AS (
             SELECT DISTINCT source, unnest(list_distinct(
                 list_transform(range(1, greatest(len(toks) - 1, 1)),
