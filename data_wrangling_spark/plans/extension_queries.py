@@ -832,3 +832,47 @@ def x_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = synth_wav_from_documents(docs)
     return wav_features(media).orderBy("media_id")
+
+
+@register(
+    "x_multimodal_video",
+    # the decoded luma IS engine-replayable: frames are solid gray
+    # g = (doc_id*31 + f*7) % 256, and the decoder's ITU-601 luma of a
+    # solid (g,g,g) frame is exactly 0.299·g + 0.587·g + 0.114·g (the
+    # 16-pixel mean of identical values is exact pairwise float
+    # arithmetic), evaluated in the same left-associated IEEE order by
+    # both engines; the half-away rounding is FLOOR(x + 0.5) on both.
+    oracle="""
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(unnest(range(0, 1 + doc_id % 4)) AS INT) AS frame_idx
+            FROM documents
+        ), g AS (
+            SELECT doc_id, frame_idx,
+                   CAST((doc_id * 31 + frame_idx * 7) % 256 AS DOUBLE) AS g
+            FROM f
+        )
+        SELECT doc_id AS media_id, frame_idx,
+               8 AS width, 2 AS height,
+               CAST(10000 AS BIGINT) AS fps_milli,
+               CAST(FLOOR(1000.0 * (0.299 * g + 0.587 * g + 0.114 * g)
+                          / 255.0 + 0.5) AS BIGINT) AS luma_milli
+        FROM g ORDER BY media_id, frame_idx
+    """,
+    doc="X-MULTIMODAL video: REAL AVI encode → decode on executors "
+        "(operators/video.py — dependency-free RIFF/AVI parser over "
+        "uncompressed 24-bit DIB frames, completing the image/audio/"
+        "video real-decode trifecta). Documents become genuine AVI "
+        "containers (header lists + bottom-up BGR frame chunks); "
+        "sample_avi_frames parses them and emits per-frame integer-"
+        "milli luma — hash-exact vs the DuckDB arithmetic replay.",
+)
+def x_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.video import (
+        sample_avi_frames,
+        synth_avi_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_avi_from_documents(docs)
+    return sample_avi_frames(media, every_n=1).orderBy("media_id", "frame_idx")

@@ -100,7 +100,12 @@ DRIVER_WINDOW: list[str] = [
     "x_corpus_source_overlap",
     "x_stream_sessionize",
     "x_dedup_clusters",
-    "x_graph_pagerank",
+    # round 7: x_multimodal_video (real AVI decode — completes the
+    # image/audio/video trifecta) swaps in for x_graph_pagerank (green
+    # r4-r6 driver rows; the iterative-computation family stays
+    # represented by x_dedup_clusters, and pagerank keeps its chained-
+    # CTE oracle row in the sf0.001 pytest suite)
+    "x_multimodal_video",
     # -- round-5 widening: nine new queries (six TPC-H-shaped joins +
     # three training-pipeline ops) take their first driver rows; their
     # slots come from nine entries each holding 1-4 green driver rows

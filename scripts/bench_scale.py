@@ -109,6 +109,7 @@ EXTRA_QUERIES = [
     "x_dataset_split_leakage_safe",
     "x_corpus_source_overlap",
     "x_multimodal_audio",
+    "x_multimodal_video",
 ]
 
 # ---------------------------------------------------------------- skew --
