@@ -4050,3 +4050,42 @@ def x_dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
     )
     return out.select("doc_id", "group_id", "bucket", "split").orderBy("doc_id")
+
+
+@register(
+    "x_text_novelty",
+    oracle=r"""
+        WITH docs AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            )) AS shingle
+            FROM docs WHERE len(toks) >= 3
+        ), first AS (
+            SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1
+        )
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(ROUND(1000000.0 *
+                          SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                          / COUNT(*)) AS BIGINT) AS novelty_ppm
+        FROM sh s JOIN first f ON s.shingle = f.shingle
+        GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+    doc="Per-document shingle novelty in integer ppm (operators/"
+        "text_analysis.py shingle_novelty): the fraction of a doc's "
+        "distinct trigram shingles first seen (min doc_id) in that doc "
+        "— the redundancy/curriculum signal; late near-copies score ~0. "
+        "Explode → distinct postings → shingle-keyed min(id) joined "
+        "back; shuffles bounded by the posting count.",
+)
+def x_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.text_analysis import shingle_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return shingle_novelty(docs).orderBy("doc_id")

@@ -110,6 +110,7 @@ EXTRA_QUERIES = [
     "x_corpus_source_overlap",
     "x_multimodal_audio",
     "x_multimodal_video",
+    "x_text_novelty",
 ]
 
 # ---------------------------------------------------------------- skew --
