@@ -439,3 +439,85 @@ def topk_mllib_brp(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "distance", "rank")
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 10**6,
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-group embedding outlier detection: the ``top_k`` vectors of
+    every label farthest (squared L2) from their label's centroid — the
+    mislabeled-example / junk-embedding audit a training pipeline runs
+    over its embedding table. Follows the x_dedup_semantic exact-integer
+    discipline end to end, so the result is hash-exact on any engine:
+
+    - vectors quantized to integer micro-units (dedup._quantize_micro);
+    - per-(label, dim) centroid = floor(CAST(sum AS DOUBLE)/count) —
+      integer sums are order-immune and the one division is
+      IEEE-identical everywhere;
+    - distance = Σ_d (q_d − c_d)², pure int64 (|diff| ≤ ~1.1e6 at unit
+      scale, d·diff² ≈ 8e13 « 2^63);
+    - top-k per label by (dist2 DESC, id ASC) — fully deterministic.
+
+    Returns (label_col, id_col, dist2, rnk) with rnk in [1, top_k].
+
+    Scale shape: the centroid pass is posexplode → (label, dim) hash
+    aggregate — shuffle bounded by labels·dims, with map-side partials
+    collapsing the per-row mass; centroids re-assemble to one array row
+    per label (labels·dims rows total, a control-plane-sized relation)
+    and BROADCAST back; the distance is then a narrow zip_with
+    projection and the per-label top-k is the WindowGroupLimit partial
+    rank (≤ top_k rows per label per partition reach the exchange)."""
+    from data_wrangling_spark.operators.dedup import _quantize_micro
+
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(label_col).alias("_lbl"),
+        F.col(id_col).alias("_id"),
+        _quantize_micro(vec_col, scale).alias("_q"),
+    )
+    sums = (
+        base.select("_lbl", F.posexplode("_q").alias("_d", "_v"))
+        .groupBy("_lbl", "_d")
+        .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+    )
+    cents = (
+        sums.select(
+            "_lbl",
+            "_d",
+            F.floor(F.col("_s").cast("double") / F.col("_n")).cast("long").alias("_c"),
+        )
+        .groupBy("_lbl")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_d").alias("d"), F.col("_c").alias("c")))
+                ),
+                lambda x: x["c"],
+            ).alias("_cent")
+        )
+    )
+    dist = base.join(F.broadcast(cents), "_lbl").select(
+        "_lbl",
+        "_id",
+        F.aggregate(
+            F.zip_with("_q", "_cent", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("_lbl").orderBy(F.col("dist2").desc(), F.col("_id"))
+    return (
+        dist.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            F.col("_lbl").alias(label_col),
+            F.col("_id").alias(id_col),
+            F.col("dist2").cast("long").alias("dist2"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy(label_col, "rnk")
+    )

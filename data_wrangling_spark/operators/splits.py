@@ -17,7 +17,7 @@ ext_dataset_split.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_BUCKETS = 65536  # 16 bits of md5
@@ -198,4 +198,121 @@ def temperature_mixture(
             ).cast("bigint"),
         )
         .drop("_w_fp", "_w_total")
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Deterministic training-shard assignment + per-shard manifest —
+    the last step of a curation pipeline before a training run reads
+    the corpus: every document lands in shard
+    ``hash_bucket(id, 'shard') % n_shards`` (content-keyed, so the
+    layout is stable under reprocessing and appends, and adding data
+    never moves existing docs between shards), and the manifest row per
+    shard carries the counts a dataloader needs up front: document
+    count, whitespace-token count, character count, id range, and an
+    order-insensitive integer content checksum (sum of each doc's
+    md5-prefix — verifiable after any copy without re-reading order).
+
+    Returns (shard, n_docs, n_tokens, n_chars, min_id, max_id,
+    checksum) ordered by shard.
+
+    Scale shape: one narrow projection + one n_shards-group hash
+    aggregate with map-side partials — the manifest is O(n_shards)
+    rows however big the corpus is. The checksum is an integer SUM, so
+    it is partitioning- and order-immune (the reason it is not a hash
+    of concatenated text)."""
+    from data_wrangling_spark.functions.text import token_count
+
+    shard = (hash_bucket(id_col, salt="shard").cast("long") % n_shards).alias(
+        "shard"
+    )
+    rows = df.select(
+        shard,
+        F.col(id_col).alias("_id"),
+        F.coalesce(token_count(text_col), F.lit(0)).cast("long").alias("_tok"),
+        F.coalesce(F.length(text_col), F.lit(0)).cast("long").alias("_chr"),
+        F.coalesce(
+            F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long"),
+            F.lit(0),
+        ).alias("_ck"),
+    )
+    return (
+        rows.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("n_tokens"),
+            F.sum("_chr").alias("n_chars"),
+            F.min("_id").alias("min_id"),
+            F.max("_id").alias("max_id"),
+            F.sum("_ck").alias("checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def source_cap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    quality_col: str = "n_chars",
+    cap: int = 10,
+    tail_keep_ppm: int = 250000,
+) -> DataFrame:
+    """Per-source corpus balancing: keep the top ``cap`` documents of
+    each source by quality (ties broken by id — deterministic), plus a
+    content-keyed hash sample of the remainder at ``tail_keep_ppm``
+    parts-per-million — the standard guard against one crawl domain
+    swamping the mixture while still representing its tail. The sample
+    is the splits.py md5 bucket (salted 'cap'), so membership is a pure
+    function of the row id: stable under reprocessing, appends, and
+    engine changes, unlike rand()-based sampling.
+
+    Returns one accounting row per source: (source, n_docs, n_top,
+    n_sampled, n_kept, kept_chars) ordered by source.
+
+    Scale shape: the top-``cap`` rank is a per-source window that
+    Spark's WindowGroupLimit rewrites into partial top-k before the
+    shuffle, so the exchange carries <= cap rows per source per input
+    partition — not the whole source (the ext_topn_per_group shape).
+    The sample predicate is a narrow projection; accounting is one
+    n_sources-group aggregate."""
+    # ppm → bucket threshold once, in Python integers: the engine-side
+    # predicate is a pure integer compare (no float op to diverge)
+    bucket_cut = (tail_keep_ppm * N_BUCKETS) // 1000000
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    ranked = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("_id"),
+        F.col(quality_col).alias("_q"),
+        F.row_number().over(w).alias("_rnk"),
+        hash_bucket(id_col, salt="cap").cast("long").alias("_b"),
+    )
+    flagged = ranked.select(
+        "source",
+        "_id",
+        "_q",
+        (F.col("_rnk") <= cap).alias("_top"),
+        ((F.col("_rnk") > cap) & (F.col("_b") < bucket_cut)).alias("_smp"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_top").cast("long")).alias("n_top"),
+            F.sum(F.col("_smp").cast("long")).alias("n_sampled"),
+            F.sum((F.col("_top") | F.col("_smp")).cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("_top") | F.col("_smp"), F.col("_q")).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
     )

@@ -623,3 +623,211 @@ def shingle_novelty(
             .alias("novelty_ppm"),
         )
     )
+
+
+def boilerplate_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet-style corpus-level segment deduplication WITH document
+    reassembly: split every document into consecutive ``seg_tokens``-token
+    segments, count each segment's document frequency across the corpus,
+    drop segments appearing in >= ``min_docs`` distinct documents
+    (shared boilerplate: headers, footers, license blocks, templated
+    spans), and rebuild each document from its surviving segments in
+    original order. This is the TRANSFORM counterpart of
+    :func:`boilerplate_spans` (which only reports the offending spans) —
+    the operator a real curation pipeline runs before training.
+
+    Returns (id_col, n_segments, n_kept, cleaned_text); a document whose
+    every segment is boilerplate keeps its row with n_kept = 0 and
+    cleaned_text = ''.
+
+    Scale shape: segmentation is a NARROW projection (sequence +
+    slice — no posting shuffle to build segments). Document frequency is
+    one distinct + hash agg bounded by distinct (segment, doc) pairs
+    with map-side partials; the segment→df attach is a shuffle equi-join
+    hash-partitioned on the segment (vocabulary-bounded right side);
+    reassembly is one per-doc agg whose state is bounded by the
+    document's own segment count (array_sort on (position, segment)
+    structs makes the rebuild order deterministic under any
+    partitioning)."""
+    toks = TX.tokens(text_col)
+    n_seg = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(toks, i * seg_tokens + 1, seg_tokens), " "),
+    )
+    rows = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.posexplode(segs).alias("_i", "_seg")
+    )
+    freq = (
+        rows.select(id_col, "_seg")
+        .distinct()
+        .groupBy("_seg")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    kept = rows.join(freq, "_seg").filter(F.col("_df") < min_docs)
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_i").alias("i"), F.col("_seg").alias("s"))
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+            " ",
+        ).alias("_cleaned"),
+    )
+    totals = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
+    return totals.join(kept_agg, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.coalesce(F.col("_n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("_cleaned"), F.lit("")).alias("cleaned_text"),
+    )
+
+
+#: feature-hashing constants for hashed_linear_score — the md5 bucket is
+#: the engine-portable splits.py trick; the synthetic weight is a Knuth
+#: multiplicative hash of the bucket (exact integer arithmetic, so a
+#: plain-SQL oracle replays the whole model)
+HASH_CLS_BUCKETS = 4096
+HASH_CLS_WEIGHT_MULT = 2654435761  # dedup.py _SEED_HASH_MULT (Knuth)
+HASH_CLS_WEIGHT_MOD = 2001  # weights in [-1000, 1000]
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = HASH_CLS_BUCKETS,
+    weights: DataFrame | None = None,
+    threshold_milli: int = 0,
+) -> DataFrame:
+    """fastText-shaped linear quality classifier via the hashing trick:
+    every token hashes into one of ``n_buckets`` feature buckets
+    (first 4 hex chars of md5 — the engine-portable splits.py bucket),
+    the document's score is the mean bucket weight in integer
+    milli-units, and the label thresholds that score. This is the
+    architecture of the standard LLM-data quality filter (a linear model
+    over hashed n-gram features, CCNet/fastText style); the weights are
+    pluggable.
+
+    ``weights``: optional (bucket: int, weight: bigint) DataFrame — a
+    trained model. When None, a deterministic synthetic model is used
+    (Knuth multiplicative hash of the bucket id → weight in
+    [-1000, 1000]), which keeps the plan NARROW (no join at all) and the
+    whole pipeline exactly replayable in plain SQL — the registered
+    oracle pins that parity.
+
+    Returns (id_col, n_tokens, score_milli, label) with
+    score_milli = round(1000 · Σw / n) — an integer sum divided once in
+    double, so the value is hash-exact across engines and partitionings.
+
+    Scale shape: explode → per-doc hash agg (map-side partials), one
+    row per document out. With a trained ``weights`` relation the
+    attach is a broadcast join (the model is n_buckets rows — tiny by
+    construction)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_tok")), 1, 4), 16, 10).cast("long")
+        % n_buckets
+    )
+    tok_rows = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(TX.tokens(text_col)).alias("_tok")
+    ).select(F.col(id_col), bucket.alias("_bucket"))
+    if weights is None:
+        weighted = tok_rows.select(
+            F.col(id_col),
+            (
+                F.col("_bucket") * HASH_CLS_WEIGHT_MULT % HASH_CLS_WEIGHT_MOD
+                - (HASH_CLS_WEIGHT_MOD - 1) // 2
+            ).alias("_w"),
+        )
+    else:
+        weighted = tok_rows.join(
+            F.broadcast(weights.withColumnRenamed("bucket", "_bucket")), "_bucket"
+        ).select(F.col(id_col), F.col("weight").alias("_w"))
+    agg = weighted.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("_w").alias("_s")
+    )
+    score = F.round(F.lit(1000.0) * F.col("_s") / F.col("n_tokens")).cast("long")
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        score.alias("score_milli"),
+    ).withColumn(
+        "label",
+        F.when(F.col("score_milli") > threshold_milli, F.lit("keep")).otherwise(
+            F.lit("drop")
+        ),
+    )
+
+
+def collocations_pmi(
+    df: DataFrame, text_col: str = "text", min_count: int = 5
+) -> DataFrame:
+    """Corpus bigram collocations by pointwise mutual information — the
+    tokenizer-building / multi-word-expression signal:
+
+        pmi = ln( (c_ab / N_pairs) / ((c_a / N) · (c_b / N)) )
+
+    over exact corpus counts (c_ab = bigram count, c_a/c_b = unigram
+    counts, N/N_pairs = corpus totals). Returns every bigram with
+    c_ab >= ``min_count`` as (w1, w2, c_ab, pmi_micro) — membership is
+    decided by exact integer counts alone (no top-k cut on the float),
+    and pmi_micro is the PMI rounded to integer micro-nats: the inputs
+    to the single ln() are IEEE doubles derived identically on any
+    engine, the entropy/lm_score discipline.
+
+    Scale shape: two hash aggregates (bigram counts: the shuffle is
+    bounded by the distinct-bigram vocabulary thanks to map-side
+    combine; unigram counts likewise), two vocabulary-bounded equi-joins
+    to attach c_a and c_b, and a 1-row totals broadcast. No posting-level
+    join anywhere."""
+    toks = TX.tokens(text_col)
+    docs = df.filter(F.col(text_col).isNotNull()).select(toks.alias("_toks"))
+    bigrams = docs.filter(F.size("_toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - 2),
+                lambda i: F.struct(
+                    F.col("_toks")[i].alias("w1"), F.col("_toks")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("_bg")
+    ).select(F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    uni = (
+        docs.select(F.explode("_toks").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    totals = uni.agg(
+        F.sum("_c").alias("_n"),
+    ).crossJoin(bg.agg(F.sum("c_ab").alias("_np")))
+    pmi = (
+        bg.filter(F.col("c_ab") >= min_count)
+        .join(uni.select(F.col("_tok").alias("w1"), F.col("_c").alias("_ca")), "w1")
+        .join(uni.select(F.col("_tok").alias("w2"), F.col("_c").alias("_cb")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    expr = F.log(
+        (F.col("c_ab").cast("double") / F.col("_np"))
+        / (
+            (F.col("_ca").cast("double") / F.col("_n"))
+            * (F.col("_cb").cast("double") / F.col("_n"))
+        )
+    )
+    return pmi.select(
+        "w1",
+        "w2",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.round(F.lit(1000000.0) * expr).cast("long").alias("pmi_micro"),
+    ).orderBy(F.col("pmi_micro").desc(), "w1", "w2")

@@ -4089,3 +4089,276 @@ def x_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return shingle_novelty(docs).orderBy("doc_id")
+
+
+@register(
+    "x_text_boilerplate_removal",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), seg AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                       i -> struct_pack(
+                           i := i,
+                           s := array_to_string(
+                               list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')))) AS u
+            FROM tok
+        ), srows AS (
+            SELECT doc_id, u.i AS seg_idx, u.s AS seg FROM seg
+        ), freq AS (
+            SELECT seg, COUNT(*) AS df
+            FROM (SELECT DISTINCT doc_id, seg FROM srows) GROUP BY seg
+        ), kept AS (
+            SELECT r.doc_id, r.seg_idx, r.seg
+            FROM srows r JOIN freq f ON r.seg = f.seg WHERE f.df < 2
+        ), kept_agg AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(seg, ' ' ORDER BY seg_idx) AS cleaned
+            FROM kept GROUP BY doc_id
+        ), totals AS (
+            SELECT doc_id, COUNT(*) AS n_segments FROM srows GROUP BY doc_id
+        )
+        SELECT t.doc_id, CAST(t.n_segments AS BIGINT) AS n_segments,
+               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(k.cleaned, '') AS cleaned_text
+        FROM totals t LEFT JOIN kept_agg k USING (doc_id)
+        ORDER BY t.doc_id
+    """,
+    doc="CCNet-style boilerplate REMOVAL with document reassembly "
+        "(operators/text_analysis.py boilerplate_removal): consecutive "
+        "8-token segments, corpus document frequency per segment, "
+        "segments in >= 2 docs dropped, documents rebuilt from the "
+        "survivors in original order (array_sort on (position, segment) "
+        "structs — deterministic under any partitioning). The transform "
+        "counterpart of x_text_boilerplate_spans: what a curation "
+        "pipeline actually runs before training. Segmentation is a "
+        "narrow projection; df is one distinct+agg; reassembly is one "
+        "per-doc agg with doc-bounded state.",
+)
+def x_text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.text_analysis import boilerplate_removal
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_removal(docs, seg_tokens=8, min_docs=2).orderBy("doc_id")
+
+
+@register(
+    "x_text_quality_classifier",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
+            FROM documents WHERE text IS NOT NULL
+        ), w AS (
+            SELECT doc_id,
+                   ((CAST(concat('0x', substring(md5(tk), 1, 4)) AS BIGINT)
+                     % 4096) * 2654435761) % 2001 - 1000 AS w
+            FROM tok
+        ), agg AS (
+            SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS s
+            FROM w GROUP BY doc_id
+        ), sc AS (
+            SELECT doc_id, n_tokens,
+                   CAST(ROUND(1000.0 * s / n_tokens) AS BIGINT) AS score_milli
+            FROM agg
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, score_milli,
+               CASE WHEN score_milli > 0 THEN 'keep' ELSE 'drop' END AS label
+        FROM sc ORDER BY doc_id
+    """,
+    doc="fastText-shaped hashed linear quality classifier (operators/"
+        "text_analysis.py hashed_linear_score): tokens hash into 4096 "
+        "feature buckets (engine-portable md5 bucket, splits.py), the "
+        "document score is the mean bucket weight in integer milli "
+        "(integer sum + one double division — hash-exact), label by "
+        "threshold. The registered model is the deterministic Knuth-hash "
+        "synthetic weight vector, keeping the plan narrow (explode + one "
+        "hash agg, no join); trained weights plug in as a broadcast "
+        "relation of n_buckets rows.",
+)
+def x_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.text_analysis import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_linear_score(docs).orderBy("doc_id")
+
+
+@register(
+    "x_text_collocations",
+    oracle=r"""
+        WITH tok AS (
+            SELECT string_split_regex(trim(text), '\s+') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), uni AS (
+            SELECT tk, COUNT(*) AS c
+            FROM (SELECT unnest(toks) AS tk FROM tok) GROUP BY tk
+        ), bgu AS (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS u
+            FROM tok WHERE len(toks) >= 2
+        ), bg AS (
+            SELECT u.w1 AS w1, u.w2 AS w2, COUNT(*) AS c_ab
+            FROM bgu GROUP BY 1, 2
+        ), tot AS (
+            SELECT (SELECT SUM(c) FROM uni) AS n,
+                   (SELECT SUM(c_ab) FROM bg) AS np
+        )
+        SELECT b.w1, b.w2, CAST(b.c_ab AS BIGINT) AS c_ab,
+               CAST(ROUND(1000000.0 * ln(
+                   (CAST(b.c_ab AS DOUBLE) / np) /
+                   ((CAST(ca.c AS DOUBLE) / n) * (CAST(cb.c AS DOUBLE) / n))
+               )) AS BIGINT) AS pmi_micro
+        FROM bg b JOIN uni ca ON b.w1 = ca.tk
+                  JOIN uni cb ON b.w2 = cb.tk, tot
+        WHERE b.c_ab >= 5
+        ORDER BY pmi_micro DESC, b.w1, b.w2
+    """,
+    doc="Corpus bigram collocations by PMI (operators/text_analysis.py "
+        "collocations_pmi) — the tokenizer-building / multi-word-"
+        "expression signal. Row membership is decided by exact integer "
+        "counts alone (c_ab >= 5, no top-k cut on the float); pmi_micro "
+        "follows the entropy/lm_score integer-micro-nats discipline "
+        "(identical IEEE double inputs to one ln per row). Two "
+        "vocabulary-bounded hash aggs + two vocabulary joins + a 1-row "
+        "totals broadcast — no posting-level join.",
+)
+def x_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.text_analysis import collocations_pmi
+
+    docs = _t(spark, sf_dir, "documents")
+    return collocations_pmi(docs, min_count=5)
+
+
+@register(
+    "x_corpus_shard_manifest",
+    oracle=r"""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substring(md5(concat(
+                       CAST(doc_id AS VARCHAR), 'shard')), 1, 4)) AS BIGINT)
+                       % 64 AS shard,
+                   COALESCE(len(string_split_regex(trim(text), '\s+')), 0)
+                       AS n_tok,
+                   COALESCE(length(text), 0) AS n_chr,
+                   COALESCE(CAST(concat('0x', substring(md5(text), 1, 8))
+                                 AS BIGINT), 0) AS ck
+            FROM documents
+        )
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+               MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+               CAST(SUM(ck) AS BIGINT) AS checksum
+        FROM b GROUP BY shard ORDER BY shard
+    """,
+    doc="Deterministic training-shard assignment + manifest (operators/"
+        "splits.py shard_manifest): content-keyed md5 shard (stable "
+        "under reprocessing/appends — appending never moves existing "
+        "docs), per-shard doc/token/char counts, id range, and an "
+        "order-insensitive integer checksum (sum of md5 prefixes — "
+        "verifiable after any copy without re-reading order). One "
+        "narrow projection + one 64-group hash agg with map-side "
+        "partials; the manifest is O(shards) rows at any corpus size.",
+)
+def x_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.splits import shard_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_manifest(docs, n_shards=64)
+
+
+@register(
+    "x_corpus_source_cap",
+    oracle=r"""
+        WITH r AS (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rnk,
+                   CAST(concat('0x', substring(md5(concat(
+                       CAST(doc_id AS VARCHAR), 'cap')), 1, 4)) AS BIGINT) AS b
+            FROM documents
+        ), f AS (
+            SELECT source, n_chars, (rnk <= 10) AS is_top,
+                   (rnk > 10 AND b < 16384) AS is_smp
+            FROM r
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN is_top THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+               CAST(SUM(CASE WHEN is_smp THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sampled,
+               CAST(SUM(CASE WHEN is_top OR is_smp THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN is_top OR is_smp THEN n_chars ELSE 0 END)
+                    AS BIGINT) AS kept_chars
+        FROM f GROUP BY source ORDER BY source
+    """,
+    doc="Per-source corpus balancing (operators/splits.py source_cap): "
+        "top-10 docs per source by quality (WindowGroupLimit partial "
+        "rank — <= cap rows per source per partition reach the "
+        "exchange) plus a 25% content-keyed md5 hash sample of the "
+        "tail (pure integer bucket compare, stable under reprocessing "
+        "unlike rand() sampling); one accounting row per source. The "
+        "guard against one crawl domain swamping the training mixture.",
+)
+def x_corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.splits import source_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_cap(docs, cap=10, tail_keep_ppm=250000)
+
+
+@register(
+    "x_vec_outliers",
+    oracle=r"""
+        WITH q AS (
+            SELECT label, vec_id,
+                   list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS qv
+            FROM embeddings WHERE embedding IS NOT NULL
+        ), pos AS (
+            SELECT label, vec_id, u.d AS d, u.v AS v
+            FROM (
+                SELECT label, vec_id,
+                       unnest(list_transform(range(1, len(qv) + 1),
+                           i -> struct_pack(d := i, v := qv[i]))) AS u
+                FROM q
+            )
+        ), sums AS (
+            SELECT label, d, SUM(v) AS s, COUNT(*) AS n
+            FROM pos GROUP BY 1, 2
+        ), cent AS (
+            SELECT label, d,
+                   CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS c
+            FROM sums
+        ), dist AS (
+            SELECT p.label, p.vec_id,
+                   CAST(SUM((p.v - c.c) * (p.v - c.c)) AS BIGINT) AS dist2
+            FROM pos p JOIN cent c ON p.label = c.label AND p.d = c.d
+            GROUP BY 1, 2
+        ), rk AS (
+            SELECT label, vec_id, dist2,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY dist2 DESC, vec_id) AS rnk
+            FROM dist
+        )
+        SELECT label, vec_id, dist2, CAST(rnk AS INT) AS rnk
+        FROM rk WHERE rnk <= 5 ORDER BY label, rnk
+    """,
+    doc="Per-label embedding outliers (operators/similarity.py "
+        "embedding_outliers): top-5 vectors farthest (squared L2) from "
+        "their label centroid — the mislabeled-example / junk-embedding "
+        "audit. x_dedup_semantic's exact-integer discipline end to end "
+        "(micro-quantization, floor(sum/count) centroids via one IEEE "
+        "division, pure-int64 distances), so the DuckDB oracle is an "
+        "independent re-derivation, not a pinned golden. Centroid pass "
+        "shuffles labels*dims rows; centroids broadcast back; distance "
+        "is a narrow zip_with; top-k is WindowGroupLimit partial rank.",
+)
+def x_vec_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.similarity import embedding_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, top_k=5)

@@ -160,3 +160,40 @@ def test_bruteforce_kernels_equivalent_rounded(spark):
         topk_bruteforce(emb, q, k=5, kernel="blas")
     with pytest.raises(ValueError, match="empty query set"):
         topk_bruteforce(emb, emb.filter(F.col("vec_id") < 0), k=5)
+
+
+def test_embedding_outliers_planted_outlier_wins(spark):
+    from data_wrangling_spark.operators.similarity import embedding_outliers
+
+    # 9 vectors near the origin + one far away, single label
+    rows = [(i, [0.001 * i, 0.0], 0) for i in range(9)] + [(99, [0.4, 0.4], 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = embedding_outliers(df, top_k=1).collect()
+    assert len(got) == 1
+    assert got[0].vec_id == 99 and got[0].rnk == 1
+
+
+def test_embedding_outliers_partition_invariant(spark):
+    from data_wrangling_spark.operators.similarity import embedding_outliers
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = [(r.label, r.vec_id, r.dist2, r.rnk)
+         for r in embedding_outliers(emb, top_k=3).collect()]
+    b = [(r.label, r.vec_id, r.dist2, r.rnk)
+         for r in embedding_outliers(emb.repartition(17), top_k=3).collect()]
+    assert a == b
+
+
+def test_embedding_outliers_rank_ties_break_by_id(spark):
+    from data_wrangling_spark.operators.similarity import embedding_outliers
+
+    # centroid is (0.2, 0.2): the origin vector is farthest (rank 1);
+    # the two identical vectors tie on dist2 -> lower id ranks first
+    rows = [(1, [0.3, 0.3], 0), (2, [0.3, 0.3], 0), (3, [0.0, 0.0], 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r.rnk: r.vec_id for r in embedding_outliers(df, top_k=3).collect()}
+    assert got == {1: 3, 2: 1, 3: 2}

@@ -183,3 +183,69 @@ def test_leakage_safe_split_singletons_match_plain_split(spark):
     assert singles
     for d in singles:
         assert safe[d][1] == plain[d]
+
+
+def test_shard_manifest_accounts_for_every_doc(spark):
+    from data_wrangling_spark.operators.splits import shard_manifest
+
+    docs = load_table(spark, SF_DIR, "documents")
+    m = shard_manifest(docs, n_shards=8).collect()
+    assert sum(r.n_docs for r in m) == docs.count()
+    assert sum(r.n_chars for r in m) == docs.selectExpr(
+        "sum(length(text))"
+    ).collect()[0][0]
+    assert all(0 <= r.shard < 8 for r in m)
+
+
+def test_shard_manifest_append_never_moves_existing_docs(spark):
+    from data_wrangling_spark.operators.splits import hash_bucket
+
+    # shard is a pure function of the id: compute on a subset, then on a
+    # superset — identical assignment for the shared rows
+    docs = load_table(spark, SF_DIR, "documents")
+    sub = docs.filter("doc_id < 100")
+    f = lambda d: {
+        r.doc_id: r.s
+        for r in d.select(
+            "doc_id",
+            (hash_bucket("doc_id", salt="shard").cast("long") % 64).alias("s"),
+        ).collect()
+    }
+    full, part = f(docs), f(sub)
+    assert all(full[k] == v for k, v in part.items())
+
+
+def test_shard_manifest_checksum_is_order_immune(spark):
+    from data_wrangling_spark.operators.splits import shard_manifest
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = {r.shard: r.checksum for r in shard_manifest(docs, n_shards=4).collect()}
+    b = {
+        r.shard: r.checksum
+        for r in shard_manifest(docs.repartition(13), n_shards=4).collect()
+    }
+    assert a == b
+
+
+def test_source_cap_accounting(spark):
+    from data_wrangling_spark.operators.splits import source_cap
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = source_cap(docs, cap=10, tail_keep_ppm=250000).collect()
+    per_source = {
+        r.source: r.n
+        for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    for r in rows:
+        assert r.n_docs == per_source[r.source]
+        assert r.n_top == min(10, r.n_docs)
+        assert r.n_kept == r.n_top + r.n_sampled
+        assert 0 <= r.n_sampled <= r.n_docs - r.n_top
+
+
+def test_source_cap_zero_tail_rate_keeps_only_top(spark):
+    from data_wrangling_spark.operators.splits import source_cap
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = source_cap(docs, cap=3, tail_keep_ppm=0).collect()
+    assert all(r.n_sampled == 0 and r.n_kept == min(3, r.n_docs) for r in rows)

@@ -341,3 +341,112 @@ def test_token_entropy_hand_computed(spark):
     assert rows[1].entropy_micro == micro(4, [1, 1, 1, 1]) == 1386294
     assert rows[2].entropy_micro == micro(4, [3, 1])
     assert rows[3].entropy_micro == 0 and rows[3].distinct_tokens == 1
+
+
+def test_boilerplate_removal_drops_shared_segment(spark):
+    from data_wrangling_spark.operators.text_analysis import boilerplate_removal
+
+    # 2-token segments: "x y" is shared by both docs (df=2, dropped);
+    # the rest are unique (kept, original order preserved)
+    docs = _docs(spark, ["x y a b c d", "x y p q"])
+    got = {r.doc_id: r for r in
+           boilerplate_removal(docs, seg_tokens=2, min_docs=2).collect()}
+    assert got[0].n_segments == 3 and got[0].n_kept == 2
+    assert got[0].cleaned_text == "a b c d"
+    assert got[1].n_segments == 2 and got[1].n_kept == 1
+    assert got[1].cleaned_text == "p q"
+
+
+def test_boilerplate_removal_all_boilerplate_keeps_row(spark):
+    from data_wrangling_spark.operators.text_analysis import boilerplate_removal
+
+    docs = _docs(spark, ["same text", "same text"])
+    got = {r.doc_id: r for r in
+           boilerplate_removal(docs, seg_tokens=2, min_docs=2).collect()}
+    assert set(got) == {0, 1}
+    for r in got.values():
+        assert r.n_kept == 0 and r.cleaned_text == ""
+
+
+def test_boilerplate_removal_within_doc_repeat_not_boilerplate(spark):
+    from data_wrangling_spark.operators.text_analysis import boilerplate_removal
+
+    # "r r" appears twice in ONE doc: df counts distinct docs, so both
+    # occurrences survive (corpus-level dedup, not intra-doc)
+    docs = _docs(spark, ["r r m m r r", "other words here x"])
+    got = {r.doc_id: r for r in
+           boilerplate_removal(docs, seg_tokens=2, min_docs=2).collect()}
+    assert got[0].cleaned_text == "r r m m r r"
+
+
+def test_boilerplate_removal_ragged_tail_segment(spark):
+    from data_wrangling_spark.operators.text_analysis import boilerplate_removal
+
+    docs = _docs(spark, ["a b c d e"])  # 2-token segments -> ragged "e"
+    row = boilerplate_removal(docs, seg_tokens=2, min_docs=2).collect()[0]
+    assert row.n_segments == 3
+    assert row.cleaned_text == "a b c d e"
+
+
+def test_hashed_linear_score_hand_computed(spark):
+    import hashlib
+
+    from data_wrangling_spark.operators.text_analysis import (
+        HASH_CLS_BUCKETS,
+        HASH_CLS_WEIGHT_MOD,
+        HASH_CLS_WEIGHT_MULT,
+        hashed_linear_score,
+    )
+
+    def w(tok):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % HASH_CLS_BUCKETS
+        return b * HASH_CLS_WEIGHT_MULT % HASH_CLS_WEIGHT_MOD - 1000
+
+    docs = _docs(spark, ["hello world hello"])
+    row = hashed_linear_score(docs).collect()[0]
+    s = w("hello") * 2 + w("world")
+    assert row.n_tokens == 3
+    assert row.score_milli == round(1000.0 * s / 3)
+    assert row.label == ("keep" if row.score_milli > 0 else "drop")
+
+
+def test_hashed_linear_score_trained_weights_join(spark):
+    from data_wrangling_spark.operators.text_analysis import (
+        HASH_CLS_BUCKETS,
+        hashed_linear_score,
+    )
+
+    # an explicit all-positive model: every token bucket weighs +5
+    weights = spark.createDataFrame(
+        [(b, 5) for b in range(HASH_CLS_BUCKETS)], "bucket long, weight long"
+    )
+    docs = _docs(spark, ["any tokens at all"])
+    row = hashed_linear_score(docs, weights=weights).collect()[0]
+    assert row.score_milli == 5000 and row.label == "keep"
+
+
+def test_collocations_pmi_hand_computed(spark):
+    import math
+
+    from data_wrangling_spark.operators.text_analysis import collocations_pmi
+
+    # one repeated bigram "a b" (5 times, separated so no other bigram
+    # reaches min_count): c_ab=5, c_a=5, c_b=5, N=17 tokens,
+    # Npairs = 2*4 + 4 = 12 bigram occurrences
+    docs = _docs(spark, ["a b x", "a b y", "a b z", "a b w", "a b v w x"])
+    rows = collocations_pmi(docs, min_count=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.w1, r.w2, r.c_ab) == ("a", "b", 5)
+    n = 17.0
+    npairs = 12.0
+    want = round(1e6 * math.log((5 / npairs) / ((5 / n) * (5 / n))))
+    assert r.pmi_micro == want
+
+
+def test_collocations_min_count_is_exact_cut(spark):
+    from data_wrangling_spark.operators.text_analysis import collocations_pmi
+
+    docs = _docs(spark, ["p q", "p q", "p q", "p q"])  # c_ab = 4 < 5
+    assert collocations_pmi(docs, min_count=5).count() == 0
+    assert collocations_pmi(docs, min_count=4).count() == 1
