@@ -638,3 +638,180 @@ def sample_frames(media: DataFrame, frame_bytes: int = 64,
             )
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------- aHash --
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("ahash_hi", T.LongType()),
+        T.StructField("ahash_lo", T.LongType()),
+    ]
+)
+
+
+def synth_pgm_from_documents(docs: DataFrame, width: int = 8) -> DataFrame:
+    """Wrap each (pure-ASCII) document as a REAL binary PGM (P5) image:
+    ``width`` pixels per row, height = len(text) // width (the trailing
+    partial row is dropped), pixel bytes = the text bytes themselves.
+    The payloads parse in any PGM reader; the executor-side decode in
+    :func:`image_ahash` is therefore a genuine image decode, and a SQL
+    oracle can replay the pixel domain from ascii() codes (the
+    x_multimodal_audio byte-replay technique applied to rasters).
+    Documents shorter than one row are dropped."""
+    h = (F.length("text") / width).cast("int")
+    header = F.concat(
+        F.lit(f"P5\n{width} "), F.col("_h").cast("string"), F.lit("\n255\n")
+    )
+    return (
+        docs.withColumn("_h", h)
+        .filter(F.col("_h") >= 1)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.concat(
+                F.encode(header, "UTF-8"),
+                F.encode(F.substring("text", 1, F.col("_h") * width), "UTF-8"),
+            ).alias("payload"),
+        )
+    )
+
+
+def ahash_64(payload: bytes) -> tuple[int, int, int, int]:
+    """Strict 8x8 average-hash of a binary P5 PGM payload, split into
+    two nonnegative 32-bit halves (engine-portable: no sign-bit games).
+
+    Grid: the image is width w (>= 8 not required — w IS the column
+    count; this module's synth uses w = 8), rows band into 8 equal
+    groups of hb = (h // 8) rows (remainder rows dropped; h < 8 raises —
+    too small to hash). Block (r, c) for an 8-wide image is column c of
+    row band r; its mean is the exact INTEGER floor of sum // (hb * (w
+    // 8) blocks per cell... for w == 8: hb pixels). Bit b = 8*r + c is
+    set iff block mean >= global mean (floor of the 64-block-mean sum //
+    64). All arithmetic is int — hash-exact on any engine.
+
+    Returns (width, height, hi, lo): hi holds bits 32..63, lo bits
+    0..31."""
+    import re as _re
+
+    m = _re.match(rb"P5\s+(?:#[^\n]*\s+)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        raise ValueError("not a binary PGM (P5) payload")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if not 0 < maxval <= 255:
+        raise ValueError(f"unsupported PGM maxval {maxval}")
+    px = payload[m.end():]
+    if len(px) < w * h:
+        raise ValueError("truncated PGM payload")
+    if h < 8 or w < 8:
+        raise ValueError(f"image {w}x{h} too small for an 8x8 aHash")
+    hb, wb = h // 8, w // 8
+    means = []
+    for r in range(8):
+        for c in range(8):
+            s = 0
+            for k in range(hb):
+                row0 = (r * hb + k) * w
+                s += sum(px[row0 + c * wb: row0 + (c + 1) * wb])
+            means.append(s // (hb * wb))
+    gm = sum(means) // 64
+    hi = lo = 0
+    for b, mval in enumerate(means):
+        if mval >= gm:
+            if b < 32:
+                lo |= 1 << b
+            else:
+                hi |= 1 << (b - 32)
+    return w, h, hi, lo
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Per-image perceptual average-hash via Arrow-batched mapInPandas —
+    REAL decode on executors (strict PGM parse, no stub), integer-exact
+    hash (:func:`ahash_64`). Returns (media_id, width, height, ahash_hi,
+    ahash_lo). The standard first stage of image near-dup detection.
+
+    Scale shape: one narrow Arrow pass over the payload column; output
+    is 5 scalars per image."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [ahash_64(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "ahash_hi": [r[2] for r in rows],
+                    "ahash_lo": [r[3] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+def ahash_near_dup(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Image near-duplicate pairs from aHash values: banded LSH
+    candidate join (four 16-bit bands — two near-dup hashes agree on
+    some band unless their >= 4 differing bits all land in distinct
+    bands) then the EXACT Hamming distance filter
+    bit_count(xor(hi)) + bit_count(xor(lo)) <= ``max_hamming``.
+
+    Returns (media_a, media_b, hamming), media_a < media_b, distinct.
+
+    Scale shape: the only shuffle is the (band_idx, band_val) equi
+    join — the MinHash-LSH posture: candidates only, never the n² cross
+    join; a band bucket of f identical hashes still costs f²/2 pairs
+    (the known banded-LSH hot-bucket shape — cap upstream by exact
+    dedup first if the corpus is copy-heavy)."""
+    bands = hashes.select(
+        F.col("media_id"),
+        "ahash_hi",
+        "ahash_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("bi"),
+                    (F.col("ahash_lo") % 65536).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(1).alias("bi"),
+                    (F.shiftright("ahash_lo", 16) % 65536).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(2).alias("bi"),
+                    (F.col("ahash_hi") % 65536).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(3).alias("bi"),
+                    (F.shiftright("ahash_hi", 16) % 65536).alias("bv"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("media_id", "ahash_hi", "ahash_lo", "_b.bi", "_b.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            (
+                F.bit_count(
+                    F.col("a.ahash_hi").bitwiseXOR(F.col("b.ahash_hi"))
+                )
+                + F.bit_count(
+                    F.col("a.ahash_lo").bitwiseXOR(F.col("b.ahash_lo"))
+                )
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand.orderBy("media_a", "media_b")

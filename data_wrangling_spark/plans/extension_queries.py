@@ -876,3 +876,142 @@ def x_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = synth_avi_from_documents(docs)
     return sample_avi_frames(media, every_n=1).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "x_multimodal_image_hash",
+    # the decoded pixel domain IS engine-replayable: payloads are real
+    # binary PGMs whose pixel bytes are the (pure-ASCII) document text,
+    # so DuckDB recovers every pixel from ascii() codes and replays the
+    # integer aHash (block means // hb, global mean // 64, bit set iff
+    # mean >= global) exactly — the x_multimodal_audio byte-replay
+    # technique applied to rasters.
+    oracle=r"""
+        WITH dims AS (
+            SELECT doc_id, text, length(text) // 8 AS h,
+                   (length(text) // 8) // 8 AS hb
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) >= 64
+        ), cells AS (
+            SELECT doc_id, text, hb, unnest(range(0, 64)) AS b FROM dims
+        ), px AS (
+            SELECT doc_id, b, hb, text, unnest(range(0, hb)) AS k FROM cells
+        ), blk AS (
+            SELECT doc_id, b,
+                   CAST(SUM(ascii(substring(
+                       text, (((b // 8) * hb + k) * 8 + (b % 8)) + 1, 1)))
+                        // hb AS BIGINT) AS m
+            FROM px GROUP BY doc_id, b, hb
+        ), gm AS (
+            SELECT doc_id, CAST(SUM(m) // 64 AS BIGINT) AS g
+            FROM blk GROUP BY doc_id
+        ), bits AS (
+            SELECT blk.doc_id,
+                   CAST(SUM(CASE WHEN m >= g AND b >= 32
+                                 THEN (CAST(1 AS BIGINT) << (b - 32))
+                                 ELSE 0 END) AS BIGINT) AS ahash_hi,
+                   CAST(SUM(CASE WHEN m >= g AND b < 32
+                                 THEN (CAST(1 AS BIGINT) << b)
+                                 ELSE 0 END) AS BIGINT) AS ahash_lo
+            FROM blk JOIN gm ON blk.doc_id = gm.doc_id
+            GROUP BY blk.doc_id
+        )
+        SELECT d.doc_id AS media_id, CAST(8 AS INT) AS width,
+               CAST(d.h AS INT) AS height, ahash_hi, ahash_lo
+        FROM bits JOIN dims d ON bits.doc_id = d.doc_id
+        ORDER BY media_id
+    """,
+    doc="X-MULTIMODAL perceptual average-hash: documents wrap as REAL "
+        "binary PGM images (synth_pgm_from_documents), executors decode "
+        "them for real (strict P5 parse in operators/multimodal.py "
+        "ahash_64 — the PPM/BMP/PNG/JPEG real-decode seam) and emit the "
+        "8x8 integer aHash as two nonnegative 32-bit halves. Every step "
+        "is integer floor arithmetic, so the DuckDB oracle re-derives "
+        "the hash from the byte domain independently. One Arrow pass, "
+        "5 scalars out per image.",
+)
+def x_multimodal_image_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.multimodal import (
+        image_ahash,
+        synth_pgm_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # ahash_64 needs >= 8 full pixel rows (h >= 8 at width 8)
+    media = synth_pgm_from_documents(docs.filter(F.length("text") >= 64))
+    return image_ahash(media).orderBy("media_id")
+
+
+@register(
+    "x_multimodal_image_dedup",
+    oracle=r"""
+        WITH dims AS (
+            SELECT doc_id, text, (length(text) // 8) // 8 AS hb
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) >= 64
+        ), cells AS (
+            SELECT doc_id, text, hb, unnest(range(0, 64)) AS b FROM dims
+        ), px AS (
+            SELECT doc_id, b, hb, text, unnest(range(0, hb)) AS k FROM cells
+        ), blk AS (
+            SELECT doc_id, b,
+                   CAST(SUM(ascii(substring(
+                       text, (((b // 8) * hb + k) * 8 + (b % 8)) + 1, 1)))
+                        // hb AS BIGINT) AS m
+            FROM px GROUP BY doc_id, b, hb
+        ), gm AS (
+            SELECT doc_id, CAST(SUM(m) // 64 AS BIGINT) AS g
+            FROM blk GROUP BY doc_id
+        ), bits AS (
+            SELECT blk.doc_id,
+                   CAST(SUM(CASE WHEN m >= g AND b >= 32
+                                 THEN (CAST(1 AS BIGINT) << (b - 32))
+                                 ELSE 0 END) AS BIGINT) AS ahash_hi,
+                   CAST(SUM(CASE WHEN m >= g AND b < 32
+                                 THEN (CAST(1 AS BIGINT) << b)
+                                 ELSE 0 END) AS BIGINT) AS ahash_lo
+            FROM blk JOIN gm ON blk.doc_id = gm.doc_id
+            GROUP BY blk.doc_id
+        ), bands AS (
+            SELECT doc_id, ahash_hi, ahash_lo,
+                   unnest(range(0, 4)) AS bi
+            FROM bits
+        ), bv AS (
+            SELECT doc_id, ahash_hi, ahash_lo, bi,
+                   CASE bi WHEN 0 THEN ahash_lo % 65536
+                           WHEN 1 THEN (ahash_lo >> 16) % 65536
+                           WHEN 2 THEN ahash_hi % 65536
+                           ELSE (ahash_hi >> 16) % 65536 END AS bv
+            FROM bands
+        )
+        SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+               CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+                    + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INT)
+                   AS hamming
+        FROM bv a JOIN bv b
+          ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+              + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 8
+        ORDER BY media_a, media_b
+    """,
+    doc="X-MULTIMODAL image near-duplicate pairs: real-decoded aHash "
+        "(x_multimodal_image_hash) -> four 16-bit LSH bands -> "
+        "candidate equi join on (band, value) -> EXACT Hamming "
+        "bit_count(xor) <= 8 filter (operators/multimodal.py "
+        "ahash_near_dup). The MinHash-LSH posture for rasters: "
+        "candidates only, never the n^2 cross join. Pair semantics "
+        "(planted near-dup images) are pinned in tests/"
+        "test_multimodal.py; at driver scales the natural corpus may "
+        "yield few or zero pairs — both engines derive the same set "
+        "either way.",
+)
+def x_multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.multimodal import (
+        ahash_near_dup,
+        image_ahash,
+        synth_pgm_from_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_pgm_from_documents(docs.filter(F.length("text") >= 64))
+    return ahash_near_dup(image_ahash(media), max_hamming=8)

@@ -111,6 +111,13 @@ EXTRA_QUERIES = [
     "x_multimodal_audio",
     "x_multimodal_video",
     "x_text_novelty",
+    # round-7 second batch: curation-operator widening
+    "x_text_boilerplate_removal",
+    "x_text_quality_classifier",
+    "x_text_collocations",
+    "x_corpus_shard_manifest",
+    "x_corpus_source_cap",
+    "x_vec_outliers",
 ]
 
 # ---------------------------------------------------------------- skew --

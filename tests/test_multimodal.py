@@ -676,3 +676,83 @@ def test_jpeg_roundtrip_property():
             encode_jpeg(w, h, pixels, grayscale=True, restart_interval=3)
         )
         assert np.array_equal(a, b), seed
+
+
+def _pgm(w, h, px):
+    return b"P5\n%d %d\n255\n" % (w, h) + bytes(px)
+
+
+def test_ahash64_hand_computed():
+    from data_wrangling_spark.operators.multimodal import ahash_64
+
+    # 8x8 image: top 4 rows bright (200), bottom 4 dark (10)
+    px = [200] * (8 * 4) + [10] * (8 * 4)
+    w, h, hi, lo = ahash_64(_pgm(8, 8, px))
+    assert (w, h) == (8, 8)
+    # block means: rows 0-3 -> 200, rows 4-7 -> 10; global mean 105
+    # bits 0..31 set (bright half), 32..63 clear
+    assert lo == 0xFFFFFFFF and hi == 0
+
+
+def test_ahash64_too_small_raises():
+    import pytest as _pytest
+
+    from data_wrangling_spark.operators.multimodal import ahash_64
+
+    with _pytest.raises(ValueError, match="too small"):
+        ahash_64(_pgm(8, 7, [0] * 56))
+
+
+def test_ahash64_remainder_rows_dropped():
+    from data_wrangling_spark.operators.multimodal import ahash_64
+
+    # h=9: the 9th row (all 255) falls outside the 8-band grid
+    base = [100] * 64
+    a = ahash_64(_pgm(8, 8, base))
+    b = ahash_64(_pgm(8, 9, base + [255] * 8))
+    assert (a[2], a[3]) == (b[2], b[3])
+
+
+def test_ahash_near_dup_plants_pair_and_respects_threshold(spark):
+    from data_wrangling_spark.operators.multimodal import (
+        ahash_near_dup,
+        image_ahash,
+    )
+
+    # two images differing in ONE block (<= 1 hamming bit) + one
+    # unrelated image (alternating stripes -> far hash)
+    base = [200] * 32 + [10] * 32
+    near = list(base)
+    near[0:8] = [10] * 8  # flip one block row
+    stripes = ([255] * 8 + [0] * 8) * 4
+    media = spark.createDataFrame(
+        [(1, bytearray(_pgm(8, 8, base))),
+         (2, bytearray(_pgm(8, 8, near))),
+         (3, bytearray(_pgm(8, 8, stripes)))],
+        "media_id long, payload binary",
+    )
+    pairs = ahash_near_dup(image_ahash(media), max_hamming=8).collect()
+    got = {(r.media_a, r.media_b): r.hamming for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] <= 8
+    assert (1, 3) not in got and (2, 3) not in got
+    # threshold 0 keeps only identical hashes
+    assert ahash_near_dup(image_ahash(media), max_hamming=0).count() == 0
+
+
+def test_image_ahash_matches_python_model(spark):
+    from data_wrangling_spark.operators.multimodal import (
+        ahash_64,
+        image_ahash,
+        synth_pgm_from_documents,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.length("text") >= 64
+    ).limit(20)
+    media = synth_pgm_from_documents(docs)
+    got = {r.media_id: (r.ahash_hi, r.ahash_lo)
+           for r in image_ahash(media).collect()}
+    for r in media.collect():
+        w, h, hi, lo = ahash_64(bytes(r.payload))
+        assert got[r.media_id] == (hi, lo)
