@@ -646,15 +646,18 @@ def boilerplate_removal(
     every segment is boilerplate keeps its row with n_kept = 0 and
     cleaned_text = ''.
 
-    Scale shape: segmentation is a NARROW projection (sequence +
-    slice — no posting shuffle to build segments). Document frequency is
-    one distinct + hash agg bounded by distinct (segment, doc) pairs
-    with map-side partials; the segment→df attach is a shuffle equi-join
-    hash-partitioned on the segment (vocabulary-bounded right side);
-    reassembly is one per-doc agg whose state is bounded by the
-    document's own segment count (array_sort on (position, segment)
-    structs makes the rebuild order deterministic under any
-    partitioning)."""
+    Scale shape (fused — the first form paid three separate aggregation
+    branches over recomputed segmentations, 3x the stages for the same
+    answer): segmentation is a NARROW projection (sequence + slice);
+    per-(doc, segment) occurrence lists collapse within-doc repeats
+    BEFORE any corpus-level work (one posting shuffle); document
+    frequency is then a plain count over that already-distinct relation
+    (no count-distinct state, the x_text_boilerplate_spans trick); the
+    df attach is one shuffle equi-join on the segment; and ONE per-doc
+    aggregate produces totals, kept counts, and the rebuilt text
+    together (flatten positions, array_sort on (position, segment)
+    structs — deterministic under any partitioning; state bounded by
+    the document's own segment count)."""
     toks = TX.tokens(text_col)
     n_seg = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
     segs = F.transform(
@@ -664,33 +667,45 @@ def boilerplate_removal(
     rows = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.posexplode(segs).alias("_i", "_seg")
     )
-    freq = (
-        rows.select(id_col, "_seg")
-        .distinct()
-        .groupBy("_seg")
-        .agg(F.count(F.lit(1)).alias("_df"))
+    # (doc, segment) -> ordered position list + occurrence count: the
+    # relation is distinct by construction, so df below needs no
+    # count-distinct; within-doc repeats ride along as array entries
+    occ = rows.groupBy(id_col, "_seg").agg(
+        F.sort_array(F.collect_list("_i")).alias("_is"),
+        F.count(F.lit(1)).alias("_c"),
     )
-    kept = rows.join(freq, "_seg").filter(F.col("_df") < min_docs)
-    kept_agg = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("_i").alias("i"), F.col("_seg").alias("s"))
-                    )
-                ),
-                lambda x: x["s"],
+    freq = occ.groupBy("_seg").agg(F.count(F.lit(1)).alias("_df"))
+    joined = occ.join(freq, "_seg").withColumn(
+        "_keep", F.col("_df") < min_docs
+    )
+    pairs = F.when(
+        F.col("_keep"),
+        F.transform(
+            "_is",
+            lambda i: F.struct(i.alias("i"), F.col("_seg").alias("s")),
+        ),
+    ).otherwise(F.array().cast("array<struct<i:int,s:string>>"))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_segments"),
+            F.sum(F.when(F.col("_keep"), F.col("_c")).otherwise(0)).alias(
+                "_n_kept"
             ),
-            " ",
-        ).alias("_cleaned"),
-    )
-    totals = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
-    return totals.join(kept_agg, id_col, "left").select(
-        F.col(id_col),
-        F.col("n_segments").cast("long").alias("n_segments"),
-        F.coalesce(F.col("_n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce(F.col("_cleaned"), F.lit("")).alias("cleaned_text"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.flatten(F.collect_list(pairs))),
+                    lambda x: x["s"],
+                ),
+                " ",
+            ).alias("_cleaned"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_segments").cast("long").alias("n_segments"),
+            F.col("_n_kept").cast("long").alias("n_kept"),
+            F.col("_cleaned").alias("cleaned_text"),
+        )
     )
 
 

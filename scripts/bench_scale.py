@@ -118,6 +118,8 @@ EXTRA_QUERIES = [
     "x_corpus_shard_manifest",
     "x_corpus_source_cap",
     "x_vec_outliers",
+    "x_multimodal_image_hash",
+    "x_multimodal_image_dedup",
 ]
 
 # ---------------------------------------------------------------- skew --
