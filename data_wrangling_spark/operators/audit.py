@@ -109,3 +109,62 @@ def audit(
         .withColumn("n_values", F.size("values").cast("long"))
         .orderBy("field", "bucket")
     )
+
+
+def profile_table(df: DataFrame, columns: list[tuple[str, Column]]) -> DataFrame:
+    """Data-profiling summary — the schema-quality audit a pipeline runs
+    before trusting a new landing table: per column, row count, null
+    count, EXACT distinct count, and min/max rendered to engine-portable
+    strings. ``columns`` maps output name → a Column expression already
+    projected to a string-safe domain (ints, strings, dates, integer
+    cents — the caller owns cross-engine-stable rendering; this operator
+    never stringifies doubles or fractional timestamps, the two types
+    whose text forms diverge between engines).
+
+    Returns (column, n_rows, n_null, n_distinct, min_value, max_value)
+    ordered by column name.
+
+    Scale shape: ONE aggregate pass computes every per-column statistic
+    together (count/sum-of-nulls/min/max are all map-side-partial
+    friendly; the exact distincts expand the aggregate per column but
+    stay two-phase); the per-column rows come from unpivoting the single
+    1-row result — O(columns) output, no per-column scan."""
+    aggs = []
+    for name, col in columns:
+        c = col.cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{name}__rows"),
+            F.sum(c.isNull().cast("long")).alias(f"{name}__nulls"),
+            F.countDistinct(c).alias(f"{name}__distinct"),
+            F.min(c).alias(f"{name}__min"),
+            F.max(c).alias(f"{name}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = []
+    for name, _ in columns:
+        stack_args += [
+            F.lit(name),
+            F.col(f"{name}__rows"),
+            F.col(f"{name}__nulls"),
+            F.col(f"{name}__distinct"),
+            F.col(f"{name}__min"),
+            F.col(f"{name}__max"),
+        ]
+    n = len(columns)
+    return (
+        one.select(
+            F.stack(
+                F.lit(n),
+                *stack_args,
+            ).alias("column", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
+        )
+        .select(
+            "column",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_null").cast("long").alias("n_null"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("column")
+    )

@@ -818,3 +818,129 @@ def sessionize(
             F.max(ts).alias("session_end"),
         )
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users completed step 1, then
+    step 2 strictly AFTER their first step-1 event, then step 3 strictly
+    after that, ... — the product-analytics staple. Order matters: a
+    purchase BEFORE the user's first click does not count as conversion
+    (the distinguishing semantics vs a naive per-type count).
+
+    Returns one row per step: (step_idx, step, n_users, conv_ppm) where
+    conv_ppm is the conversion from the PREVIOUS step in integer ppm
+    (1e6 for step 1).
+
+    Scale shape: per step, one filtered hash aggregate min(ts) keyed by
+    user (map-side partials) joined to the previous stage's survivors —
+    the stage relation only SHRINKS down the funnel, and each join is
+    user-keyed equi (no window over the whole event stream, no
+    event-order sort). The whole funnel is ONE lazy plan (len(steps)
+    branches unioned into an O(steps)-row result; the conv_ppm lag
+    window runs over those O(steps) rows, not the data)."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    stage = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    parts = []
+    for i, step in enumerate(steps):
+        if i:
+            stage = (
+                events.filter(F.col(type_col) == step)
+                .join(stage.withColumnRenamed("_t", "_prev"), user_col)
+                .filter(F.col(ts_col) > F.col("_prev"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("_t"))
+            )
+        parts.append(
+            stage.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.col("n_users").cast("long").alias("n_users"),
+            )
+        )
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionAll(p)
+    w = Window.orderBy("step_idx")
+    return allc.select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.when(F.lag("n_users").over(w).isNull() | (F.lag("n_users").over(w) == 0),
+               F.when(F.col("step_idx") == 1, F.lit(1000000)).otherwise(F.lit(0)))
+        .otherwise(
+            F.round(
+                F.lit(1000000.0) * F.col("n_users") / F.lag("n_users").over(w)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("conv_ppm"),
+    ).orderBy("step_idx")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix: users cohort by the Monday week
+    of their FIRST event; each later week of activity increments that
+    cohort's retention cell. The growth-analytics staple beside
+    funnel_steps.
+
+    Returns (cohort_week date, week_offset int, n_active, n_cohort,
+    retention_ppm) — retention_ppm = round(1e6 · n_active / n_cohort),
+    week_offset 0 rows are the cohort sizes themselves (ppm 1e6).
+
+    Scale shape: first-event table is one user-keyed hash aggregate;
+    activity is distinct (user, week) — both with map-side partials;
+    the attach is a user-keyed equi join (the first-event side is
+    users-sized, broadcastable when dims allow); the matrix aggregate
+    is O(weeks²) rows. No window over the event stream anywhere."""
+    first = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).cast("date").alias("_cohort")
+    )
+    active = (
+        events.select(
+            F.col(user_col),
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("_week"),
+        )
+        .distinct()
+    )
+    cohort_sizes = first.groupBy("_cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    cells = (
+        active.join(first, user_col)
+        .select(
+            "_cohort",
+            (F.datediff("_week", "_cohort") / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("_cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(cohort_sizes), "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort_week"),
+            F.col("week_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("n_cohort").cast("long").alias("n_cohort"),
+            F.round(
+                F.lit(1000000.0) * F.col("n_active") / F.col("n_cohort")
+            )
+            .cast("long")
+            .alias("retention_ppm"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -4362,3 +4362,162 @@ def x_vec_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_outliers(emb, top_k=5)
+
+
+@register(
+    "ext_funnel_steps",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t
+            GROUP BY e.user_id
+        ), c AS (
+            SELECT 1 AS step_idx, 'view' AS step,
+                   (SELECT COUNT(*) FROM s1) AS n_users
+            UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+            UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+        )
+        SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
+               CAST(CASE
+                   WHEN step_idx = 1 THEN 1000000
+                   WHEN lag(n_users) OVER (ORDER BY step_idx) = 0 THEN 0
+                   ELSE ROUND(1000000.0 * n_users
+                              / lag(n_users) OVER (ORDER BY step_idx))
+               END AS BIGINT) AS conv_ppm
+        FROM c ORDER BY step_idx
+    """,
+    doc="Ordered funnel analysis (operators/temporal.py funnel_steps): "
+        "users completing view -> click -> purchase where each step "
+        "must occur strictly AFTER the user's first completion of the "
+        "previous step (a purchase before the first click does not "
+        "convert — the semantics a naive per-type count gets wrong). "
+        "One lazy plan: per step a filtered user-keyed min(ts) hash "
+        "aggregate joined to the shrinking survivor set; the lag window "
+        "runs over O(steps) rows, never the event stream.",
+)
+def ext_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.temporal import funnel_steps
+
+    events = _t(spark, sf_dir, "events")
+    return funnel_steps(events, ["view", "click", "purchase"])
+
+
+@register(
+    "ext_cohort_retention",
+    oracle="""
+        WITH first AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+            FROM events GROUP BY user_id
+        ), active AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events
+        ), sizes AS (
+            SELECT cohort, COUNT(*) AS n_cohort FROM first GROUP BY cohort
+        ), cells AS (
+            SELECT f.cohort,
+                   CAST(date_diff('day', f.cohort, a.week) // 7 AS INT)
+                       AS week_offset,
+                   COUNT(*) AS n_active
+            FROM active a JOIN first f ON a.user_id = f.user_id
+            GROUP BY 1, 2
+        )
+        SELECT c.cohort AS cohort_week, c.week_offset,
+               CAST(c.n_active AS BIGINT) AS n_active,
+               CAST(s.n_cohort AS BIGINT) AS n_cohort,
+               CAST(ROUND(1000000.0 * c.n_active / s.n_cohort) AS BIGINT)
+                   AS retention_ppm
+        FROM cells c JOIN sizes s ON c.cohort = s.cohort
+        ORDER BY cohort_week, week_offset
+    """,
+    doc="Weekly cohort retention matrix (operators/temporal.py "
+        "cohort_retention): users cohort by the Monday week of their "
+        "first event; later active weeks fill the retention cells in "
+        "integer ppm. First-event table and distinct (user, week) "
+        "activity are both map-side-partial hash aggregates; the attach "
+        "is one user-keyed equi join; the matrix is O(weeks^2) rows. "
+        "No window over the event stream.",
+)
+def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.temporal import cohort_retention
+
+    events = _t(spark, sf_dir, "events")
+    return cohort_retention(events)
+
+
+@register(
+    "ext_table_profile",
+    oracle="""
+        WITH one AS (
+            SELECT COUNT(*) AS n_rows,
+                   SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k_n,
+                   COUNT(DISTINCT CAST(o_orderkey AS VARCHAR)) AS k_d,
+                   MIN(CAST(o_orderkey AS VARCHAR)) AS k_mn,
+                   MAX(CAST(o_orderkey AS VARCHAR)) AS k_mx,
+                   SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS s_n,
+                   COUNT(DISTINCT o_orderstatus) AS s_d,
+                   MIN(o_orderstatus) AS s_mn, MAX(o_orderstatus) AS s_mx,
+                   SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS p_n,
+                   COUNT(DISTINCT CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                       AS VARCHAR)) AS p_d,
+                   MIN(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR)) AS p_mn,
+                   MAX(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR)) AS p_mx,
+                   SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS d_n,
+                   COUNT(DISTINCT CAST(CAST(o_orderdate AS DATE) AS VARCHAR))
+                       AS d_d,
+                   MIN(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS d_mn,
+                   MAX(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS d_mx
+            FROM orders
+        )
+        SELECT 'o_orderdate_day' AS "column", CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(d_n AS BIGINT) AS n_null, CAST(d_d AS BIGINT) AS n_distinct,
+               d_mn AS min_value, d_mx AS max_value FROM one
+        UNION ALL
+        SELECT 'o_orderkey', CAST(n_rows AS BIGINT), CAST(k_n AS BIGINT),
+               CAST(k_d AS BIGINT), k_mn, k_mx FROM one
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(n_rows AS BIGINT), CAST(s_n AS BIGINT),
+               CAST(s_d AS BIGINT), s_mn, s_mx FROM one
+        UNION ALL
+        SELECT 'o_totalprice_cents', CAST(n_rows AS BIGINT), CAST(p_n AS BIGINT),
+               CAST(p_d AS BIGINT), p_mn, p_mx FROM one
+        ORDER BY "column"
+    """,
+    doc="One-pass data-profiling audit (operators/audit.py "
+        "profile_table): per column, row/null/EXACT-distinct counts and "
+        "min/max rendered through engine-portable domains (ints, "
+        "strings, dates, integer cents — never stringified doubles or "
+        "fractional timestamps, the two text forms that diverge across "
+        "engines; note min/max compare in the STRING domain — '999' > "
+        "'1000' — by design, so both engines agree on every cell). One "
+        "aggregate computes every statistic together; the per-column "
+        "rows come from unpivoting the single 1-row result.",
+)
+def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.audit import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        [
+            ("o_orderkey", F.col("o_orderkey")),
+            ("o_orderstatus", F.col("o_orderstatus")),
+            (
+                "o_totalprice_cents",
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint"),
+            ),
+            ("o_orderdate_day", F.col("o_orderdate").cast("date")),
+        ],
+    )
