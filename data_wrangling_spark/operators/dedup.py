@@ -848,3 +848,96 @@ def semantic_dedup(
         F.col("_cell").cast("int").alias("cluster_id"),
         F.col("_dup").isNull().alias("kept"),
     )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Incremental deduplication: annotate a NEW batch of documents
+    against an EXISTING corpus index — the shape a daily ingestion
+    pipeline actually runs (the batch is checked against the corpus;
+    the corpus is never re-paired with itself). Statuses, in precedence
+    order:
+
+    - ``exact_dup``: the normalized fingerprint (functions/text.py)
+      matches an index document;
+    - ``near_dup``: n-gram-shingle Jaccard >= ``threshold`` with some
+      index document (ngram_jaccard_pairs semantics, cross-relation);
+    - ``fresh``: neither.
+
+    Returns (id_col, status, match_id) — match_id is the SMALLEST
+    matching index id (deterministic), NULL for fresh rows.
+
+    Scale shape: the exact stage is one equi join on the fingerprint
+    (the index side collapses to one row per distinct fingerprint —
+    corpus-bounded but narrow). The near stage is a shingle
+    inverted-index join of BATCH postings against INDEX postings: cost
+    is batch-postings x per-shingle index fan-out, never corpus x
+    corpus; ``max_df`` prunes stop-shingles on BOTH sides before the
+    join (the f^2-pair valve, applied as f_batch x f_index here). Pair
+    aggregation keys are candidate (batch, index) pairs only."""
+    from data_wrangling_spark.functions.text import fingerprint
+
+    new_base = new_df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_nid"),
+        fingerprint(text_col).alias("_nfp"),
+        shingles(text_col, n).alias("_nsh"),
+    )
+    idx_base = index_df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_iid"),
+        fingerprint(text_col).alias("_ifp"),
+        shingles(text_col, n).alias("_ish"),
+    )
+    # exact: smallest index id per fingerprint, one equi join
+    fp_idx = idx_base.groupBy("_ifp").agg(F.min("_iid").alias("_exact_match"))
+    exact = new_base.join(
+        fp_idx, new_base["_nfp"] == fp_idx["_ifp"], "left"
+    ).select("_nid", "_nsh", "_exact_match")
+
+    # near: cross-relation shingle inverted index
+    sh_new = new_base.select(
+        "_nid", F.size("_nsh").alias("_na"), F.explode("_nsh").alias("_sh")
+    )
+    sh_idx = idx_base.select(
+        "_iid", F.size("_ish").alias("_nb"), F.explode("_ish").alias("_sh")
+    )
+    if max_df is not None:
+        heavy = (
+            sh_new.select("_sh", F.col("_nid").alias("_d"))
+            .unionAll(sh_idx.select("_sh", F.col("_iid").alias("_d")))
+            .groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") > max_df)
+            .select("_sh")
+        )
+        sh_new = sh_new.join(heavy, "_sh", "left_anti")
+        sh_idx = sh_idx.join(heavy, "_sh", "left_anti")
+    cand = (
+        sh_new.join(sh_idx, "_sh")
+        .groupBy("_nid", "_iid", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_common"))
+        .filter(
+            # same division form as ngram_jaccard_pairs (and its oracle):
+            # one IEEE double division of exact integer counts
+            F.col("_common").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_common"))
+            >= F.lit(threshold)
+        )
+        .groupBy("_nid")
+        .agg(F.min("_iid").alias("_near_match"))
+    )
+    out = exact.join(cand, "_nid", "left").select(
+        F.col("_nid").alias(id_col),
+        F.when(F.col("_exact_match").isNotNull(), F.lit("exact_dup"))
+        .when(F.col("_near_match").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("fresh"))
+        .alias("status"),
+        F.coalesce("_exact_match", "_near_match").alias("match_id"),
+    )
+    return out

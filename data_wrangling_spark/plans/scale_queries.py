@@ -4521,3 +4521,83 @@ def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("o_orderdate_day", F.col("o_orderdate").cast("date")),
         ],
     )
+
+
+@register(
+    "x_dedup_incremental",
+    oracle=r"""
+        WITH newb AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % 5 = 0 AND text IS NOT NULL
+        ), idx AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % 5 <> 0 AND text IS NOT NULL
+        ), nfp AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'))) AS fp
+            FROM newb
+        ), ifp AS (
+            SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'))) AS fp,
+                   MIN(doc_id) AS exact_match
+            FROM idx GROUP BY 1
+        ), tok_n AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM newb
+        ), tok_i AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM idx
+        ), sh_n AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(toks) - 1, 1)),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                AS sh
+            FROM tok_n WHERE len(toks) >= 3
+        ), sh_i AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(toks) - 1, 1)),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                AS sh
+            FROM tok_i WHERE len(toks) >= 3
+        ), sz_n AS (
+            SELECT doc_id, COUNT(*) AS na FROM sh_n GROUP BY doc_id
+        ), sz_i AS (
+            SELECT doc_id, COUNT(*) AS nb FROM sh_i GROUP BY doc_id
+        ), cand AS (
+            SELECT a.doc_id AS nid, b.doc_id AS iid, COUNT(*) AS common
+            FROM sh_n a JOIN sh_i b ON a.sh = b.sh GROUP BY 1, 2
+        ), near AS (
+            SELECT c.nid, MIN(c.iid) AS near_match
+            FROM cand c JOIN sz_n ON c.nid = sz_n.doc_id
+                        JOIN sz_i ON c.iid = sz_i.doc_id
+            WHERE CAST(c.common AS DOUBLE) / (sz_n.na + sz_i.nb - c.common)
+                  >= 0.3
+            GROUP BY c.nid
+        )
+        SELECT n.doc_id,
+               CASE WHEN i.exact_match IS NOT NULL THEN 'exact_dup'
+                    WHEN r.near_match IS NOT NULL THEN 'near_dup'
+                    ELSE 'fresh' END AS status,
+               COALESCE(i.exact_match, r.near_match) AS match_id
+        FROM nfp n
+        LEFT JOIN ifp i ON n.fp = i.fp
+        LEFT JOIN near r ON n.doc_id = r.nid
+        ORDER BY n.doc_id
+    """,
+    doc="Incremental deduplication (operators/dedup.py "
+        "dedup_incremental): a NEW batch (doc_id % 5 = 0 stands in for "
+        "the daily arrival) annotated against the EXISTING corpus index "
+        "— exact_dup by normalized fingerprint equi join, near_dup by "
+        "cross-relation shingle-Jaccard (batch postings x index "
+        "fan-out, never corpus x corpus — the shape that keeps daily "
+        "ingestion linear in the batch), else fresh; match_id is the "
+        "smallest matching index id. Fully re-derived by the oracle.",
+)
+def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.dedup import dedup_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    new_b = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup_incremental(new_b, idx, threshold=0.3).orderBy("doc_id")

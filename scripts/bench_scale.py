@@ -120,6 +120,10 @@ EXTRA_QUERIES = [
     "x_vec_outliers",
     "x_multimodal_image_hash",
     "x_multimodal_image_dedup",
+    "ext_funnel_steps",
+    "ext_cohort_retention",
+    "ext_table_profile",
+    "x_dedup_incremental",
 ]
 
 # ---------------------------------------------------------------- skew --

@@ -546,3 +546,56 @@ def test_ngram_jaccard_max_df_prunes_stop_shingles(spark):
                   df, "doc_id", "text", threshold=0.2, max_df=2).collect()}
     assert (0, 1) not in pruned and (1, 2) not in pruned
     assert pruned[(0, 2)].jaccard == 1.0  # real dup survives, exact on pruned sets
+
+
+def test_dedup_incremental_statuses(spark):
+    from data_wrangling_spark.operators.dedup import dedup_incremental
+
+    idx = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over dogs"),
+         (2, "completely different index content here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # exact (normalized: case + punctuation differences collapse)
+            (10, "The QUICK brown fox, jumps over dogs!"),
+            # near: shares most trigrams with doc 1 but one word changed
+            (11, "the quick brown fox jumps over cats"),
+            # fresh
+            (12, "entirely novel text with no overlap whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.status, r.match_id)
+           for r in dedup_incremental(new, idx, threshold=0.3).collect()}
+    assert got[10] == ("exact_dup", 1)
+    assert got[11] == ("near_dup", 1)
+    assert got[12] == ("fresh", None)
+
+
+def test_dedup_incremental_exact_beats_near(spark):
+    from data_wrangling_spark.operators.dedup import dedup_incremental
+
+    idx = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id long, text string"
+    )
+    # identical to doc 2 AND near doc 1: exact wins, match is doc 2
+    new = spark.createDataFrame(
+        [(10, "a b c d e g")], "doc_id long, text string"
+    )
+    r = dedup_incremental(new, idx).collect()[0]
+    assert (r.status, r.match_id) == ("exact_dup", 2)
+
+
+def test_dedup_incremental_match_is_smallest_index_id(spark):
+    from data_wrangling_spark.operators.dedup import dedup_incremental
+
+    idx = spark.createDataFrame(
+        [(7, "x y z w v u"), (3, "x y z w v u")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "x y z w v u")], "doc_id long, text string"
+    )
+    r = dedup_incremental(new, idx).collect()[0]
+    assert r.match_id == 3
