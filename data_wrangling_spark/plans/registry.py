@@ -59,18 +59,27 @@ QUERIES: dict[str, QuerySpec] = {}
 #: _ordered_names().
 DRIVER_WINDOW: list[str] = [
     # -- representatives kept from the r1-r3 proven set --------------
-    "audit_fields",
+    # round 8: audit_fields (5 green rows r1-r5) hands the audit-family
+    # slot to the new one-pass ext_table_profile; op_tag_split (5 rows;
+    # cleaning family keeps clean_tag_dispatch), osm_pipeline_node_tags
+    # and x_stream_osm_ingest (2 rows each; the OSM reference surface
+    # stays via q1/q3/q4 and clean_tag_dispatch, streaming via
+    # x_stream_sessionize) also demote. All demoted entries keep their
+    # sf0.001 pytest oracle rows every CI run.
+    "ext_table_profile",
     "clean_tag_dispatch",
     "q1_type_counts_union",
     "q3_join_filter",
     "q4_top_users",
-    "op_tag_split",
-    "osm_pipeline_node_tags",   # newly oracled this round
-    "x_stream_osm_ingest",      # newly oracled this round
     "ext_pricing_summary",
     "ext_tpch_q3_shipping_priority",
     "ext_asof_latest_order",    # implementation changed this round
-    "ext_percentiles_scalable",  # new this round: grouped exact quantiles
+    # round 8: ext_percentiles_scalable (2 green rows; quantile family
+    # keeps ext_ntile_deciles, which drives the same exact_quantiles
+    # machinery) hands its slot to the new ordered-funnel operator;
+    # the cohort-retention matrix joins it (the freed audit slots)
+    "ext_funnel_steps",
+    "ext_cohort_retention",
     # round 5: ext_asof_latest_order_bucketed (new skew-safe as-of form)
     # swaps in for op_csv_roundtrip (4 green driver rows r1-r4; sink
     # family still represented by op_jsonl_roundtrip below)
@@ -80,7 +89,9 @@ DRIVER_WINDOW: list[str] = [
     "x_text_stats",
     "x_text_curation_pipeline",
     # -- first-ever driver rows (round-4 rotation set) ---------------
-    "x_vec_normalize",
+    # round 8: x_vec_normalize (2 green rows) hands the vector-family
+    # slot to the new exact-integer embedding-outlier audit
+    "x_vec_outliers",
     "x_sketch_hll_weekly_users",
     # round 7: x_multimodal_audio (the real WAV encode→decode path and
     # the multimodal family's FIRST driver row — the other three
@@ -99,7 +110,10 @@ DRIVER_WINDOW: list[str] = [
     # ext_tpch_q21/q22 and the TPC-H block)
     "x_corpus_source_overlap",
     "x_stream_sessionize",
-    "x_dedup_clusters",
+    # round 8: x_dedup_clusters (2 green rows) hands its slot to the
+    # new incremental batch-vs-index dedup; the iterative-components
+    # machinery stays driver-covered inside x_dataset_split_leakage_safe
+    "x_dedup_incremental",
     # round 7: x_multimodal_video (real AVI decode — completes the
     # image/audio/video trifecta) swaps in for x_graph_pagerank (green
     # r4-r6 driver rows; the iterative-computation family stays
@@ -143,9 +157,15 @@ DRIVER_WINDOW: list[str] = [
     "ext_rolling_event_features",
     "ext_tpch_q22_dormant_customers",
     "x_text_boilerplate_spans",
-    "ext_correlated_subquery",
+    # round 8: ext_correlated_subquery (2 green rows; the decorrelated-
+    # subquery family keeps Q17's scalar-compare and Q21's EXISTS pair)
+    # and ext_fuzzy_join_snm (2 green rows; approximate-matching family
+    # stays represented by the new cross-relation-Jaccard
+    # x_dedup_incremental) hand their slots to the new hashed linear
+    # quality classifier and the CCNet-style boilerplate removal
+    "x_text_quality_classifier",
     "ext_ntile_deciles",
-    "ext_fuzzy_join_snm",
+    "x_text_boilerplate_removal",
     # round 6: x_text_bm25_search (new BM25 retrieval primitive) swaps
     # in for x_text_lexical_diversity (green r5 driver row; the text
     # family keeps stats/curation/chunking/boilerplate in the window)
@@ -165,7 +185,15 @@ DRIVER_WINDOW: list[str] = [
     # same-family representative still in the window) so every one of
     # the 7 formerly rows-only queries has a hash-checked driver row --
     "x_dedup_minhash_lsh",
-    "x_dedup_simhash",
+    # round 8: x_dedup_simhash (1 green r5 row + judge replicas; the
+    # signature-sketch family keeps minhash_lsh) hands its slot to the
+    # real-decode perceptual image hash; the banded-Hamming image
+    # near-dup join and the shard manifest take the slots of
+    # ext_percentiles_scalable's pair (see above) and simhash's
+    # neighbor
+    "x_multimodal_image_hash",
+    "x_multimodal_image_dedup",
+    "x_corpus_shard_manifest",
     # round 7: x_dedup_semantic (new SemDeDup operator — k-means +
     # within-cluster cosine prune, independent chained-CTE SQL oracle)
     # swaps in for x_dedup_embedding_cosine (green r5+r6 driver rows;
