@@ -944,3 +944,51 @@ def cohort_retention(
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Time-bar downsampling (OHLC candlesticks): per (key, time bucket)
+    the opening/highest/lowest/closing value plus volume and turnover —
+    the classic time-series resample every metrics/market pipeline runs.
+
+    Exactness discipline: values are integer cents end to end; open and
+    close use ``min_by``/``max_by`` ordered by a FIXED-WIDTH
+    zero-padded ``(epoch_micros, id)`` string — lexicographic equals
+    numeric order, the id breaks same-microsecond ties, so the result
+    is deterministic under any partitioning and identical on any
+    engine (DuckDB's ``arg_min`` rejects struct order keys, hence the
+    string domain).
+
+    Scale shape: ONE hash aggregate with map-side partials — min_by /
+    max_by / min / max / count / sum buffers are all constant-size.
+    The bucket column composes with write-side partitioning so
+    downstream range scans prune to the bars they read."""
+    cents = F.round(F.col(value_col) * 100, 0).cast("bigint")
+    ord_key = F.concat(
+        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
+    )
+    return (
+        events.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_format(F.date_trunc(bucket, F.col(ts_col)), "yyyy-MM-dd HH:00")
+            .alias("bar"),
+        )
+        .agg(
+            F.min_by(cents, ord_key).alias("open_cents"),
+            F.max(cents).alias("high_cents"),
+            F.min(cents).alias("low_cents"),
+            F.max_by(cents, ord_key).alias("close_cents"),
+            F.count(F.lit(1)).alias("volume"),
+            F.sum(cents).cast("bigint").alias("turnover_cents"),
+        )
+        .orderBy("key", "bar")
+    )

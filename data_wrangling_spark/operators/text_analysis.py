@@ -846,3 +846,95 @@ def collocations_pmi(
         F.col("c_ab").cast("long").alias("c_ab"),
         F.round(F.lit(1000000.0) * expr).cast("long").alias("pmi_micro"),
     ).orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): estimate how
+    target-like each document is under hashed bag-of-words language
+    models of a TARGET slice vs the SOURCE (the rest), as
+
+        log w(doc) = Σ_tokens ln( p_target(bucket) / p_source(bucket) )
+
+    with add-one smoothing over ``n_buckets`` hashed token features.
+    DSIR's published recipe then resamples by these weights; here the
+    deterministic core — the per-document log importance weight — is
+    the output, with ``selected`` = positive per-token average (more
+    target-like than source-like).
+
+    Exactness discipline (the lm_score/entropy pattern): each bucket's
+    log-ratio is rounded ONCE to integer micro-nats (identical IEEE
+    double inputs to one ln per bucket on any engine), and per-document
+    weights are INTEGER sums of those — immune to float summation
+    order, so the result is hash-exact across engines and partitionings.
+
+    Scale shape: one token explode feeding (a) a bucket-keyed hash
+    aggregate (≤ n_buckets rows — the two corpus models in one pass via
+    conditional sums), and (b) the scoring aggregate per document
+    (map-side partials). The model attaches by broadcast join (the
+    model is n_buckets rows by construction) plus a 1-row totals
+    broadcast. No posting-level join, no per-doc state."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_tok")), 1, 4), 16, 10).cast("long")
+        % n_buckets
+    )
+    base = df.select(
+        F.col(id_col), target.alias("_is_t"), F.col(text_col).alias("_text")
+    )
+    toks = base.filter(F.col("_text").isNotNull()).select(
+        F.col(id_col),
+        "_is_t",
+        F.explode(TX.tokens("_text")).alias("_tok"),
+    ).select(F.col(id_col), "_is_t", bucket.alias("_bucket"))
+    counts = toks.groupBy("_bucket").agg(
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_ct"),
+        F.sum(F.when(F.col("_is_t"), 0).otherwise(1)).alias("_cs"),
+    )
+    totals = counts.agg(
+        F.sum("_ct").alias("_nt"), F.sum("_cs").alias("_ns")
+    )
+    b = F.lit(float(n_buckets))
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "_bucket",
+        F.round(
+            F.lit(1000000.0)
+            * F.log(
+                ((F.col("_ct") + 1).cast("double") / (F.col("_nt") + b))
+                / ((F.col("_cs") + 1).cast("double") / (F.col("_ns") + b))
+            )
+        )
+        .cast("long")
+        .alias("_lr_micro"),
+    )
+    scored = (
+        toks.join(F.broadcast(lr), "_bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_lr_micro").alias("weight_micro"),
+        )
+    )
+    avg = F.round(
+        F.col("weight_micro").cast("double") / F.col("n_tokens")
+    ).cast("long")
+    return (
+        base.select(id_col, "_is_t")
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_is_t").alias("is_target"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("weight_micro", F.lit(0)).cast("long").alias("weight_micro"),
+            F.when(F.col("n_tokens") > 0, avg).alias("avg_micro"),
+            F.when(F.col("n_tokens") > 0, avg > 0)
+            .otherwise(F.lit(False))
+            .alias("selected"),
+        )
+        .orderBy(id_col)
+    )

@@ -4601,3 +4601,38 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_b = docs.filter(F.col("doc_id") % 5 == 0)
     idx = docs.filter(F.col("doc_id") % 5 != 0)
     return dedup_incremental(new_b, idx, threshold=0.3).orderBy("doc_id")
+
+
+@register(
+    "ext_ohlc_bars",
+    oracle="""
+        SELECT event_type AS key,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bar,
+               arg_min(CAST(ROUND(value*100) AS BIGINT),
+                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
+                       lpad(CAST(event_id AS VARCHAR), 20, '0')) AS open_cents,
+               max(CAST(ROUND(value*100) AS BIGINT)) AS high_cents,
+               min(CAST(ROUND(value*100) AS BIGINT)) AS low_cents,
+               arg_max(CAST(ROUND(value*100) AS BIGINT),
+                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '-' ||
+                       lpad(CAST(event_id AS VARCHAR), 20, '0')) AS close_cents,
+               CAST(COUNT(*) AS BIGINT) AS volume,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+                   AS turnover_cents
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY key, bar
+    """,
+    doc="Time-bar downsampling (operators/temporal.py ohlc_bars): "
+        "hourly OHLC candlesticks per event type — open/close via "
+        "min_by/max_by over a fixed-width zero-padded (epoch_micros, "
+        "event_id) string order key (lexicographic == numeric, "
+        "deterministic under ties and partitioning; DuckDB arg_min "
+        "rejects struct keys, so the string domain is the portable "
+        "composite order). Integer cents end to end. ONE map-side-"
+        "partial hash aggregate, constant-size buffers.",
+)
+def ext_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.temporal import ohlc_bars
+
+    return ohlc_bars(_t(spark, sf_dir, "events"))

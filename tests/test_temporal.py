@@ -587,3 +587,39 @@ def test_asof_adaptive_mixed_key_dtypes_heavy_key_carries(spark):
         )
     )
     assert got == want
+
+
+def test_ohlc_bars_ties_and_partition_invariance(spark):
+    """Open/close are ordered by (ts, id): two events at the SAME
+    microsecond resolve to the lower event_id for open and the higher
+    for close, under any input partitioning."""
+    import datetime as dt
+
+    from data_wrangling_spark.operators.temporal import ohlc_bars
+
+    t0 = dt.datetime(2024, 3, 1, 10, 15, 0)
+    rows = [
+        # same-microsecond tie: ids 2 (7.00) and 1 (3.00) at t0
+        (2, t0, "u", "click", 7.00),
+        (1, t0, "u", "click", 3.00),
+        (3, t0 + dt.timedelta(minutes=5), "u", "click", 5.50),
+        # close tie at the last microsecond: ids 4 (1.00) and 5 (9.00)
+        (4, t0 + dt.timedelta(minutes=9), "u", "click", 1.00),
+        (5, t0 + dt.timedelta(minutes=9), "u", "click", 9.00),
+        (6, t0 + dt.timedelta(hours=2), "u", "click", 2.25),
+    ]
+    schema = "event_id long, ts timestamp, user_id string, event_type string, value double"
+    for nparts in (1, 5):
+        df = spark.createDataFrame(rows, schema).repartition(nparts)
+        got = {
+            (r["key"], r["bar"]): r
+            for r in ohlc_bars(df).collect()
+        }
+        bar = got[("click", "2024-03-01 10:00")]
+        assert bar["open_cents"] == 300    # id 1 wins the open tie
+        assert bar["close_cents"] == 900   # id 5 wins the close tie
+        assert bar["high_cents"] == 900
+        assert bar["low_cents"] == 100
+        assert bar["volume"] == 5
+        assert bar["turnover_cents"] == 300 + 700 + 550 + 100 + 900
+        assert got[("click", "2024-03-01 12:00")]["open_cents"] == 225
