@@ -259,8 +259,13 @@ def synth_wav_from_documents(docs: DataFrame) -> DataFrame:
     8 kHz mono WAV (full RIFF container via wrap_wav_data), so the
     registered audio query exercises the genuine encode → decode path
     on executors while staying DuckDB-replayable: 8-bit PCM amplitude
-    is (byte - 128)/128 and the corpus is pure ASCII, so the oracle
-    recovers the exact integer sample domain from ascii() codes."""
+    is (byte - 128)/128 and the oracle recovers the exact integer
+    sample domain from ascii() codes. Pure-ASCII is ENFORCED (not
+    assumed): the encode side consumes UTF-8 BYTES while the oracle
+    indexes CHARACTERS, so non-ASCII rows are filtered out here via
+    octet_length == length and in the oracle via strlen = length —
+    identically on both engines (same guard as
+    multimodal.synth_pgm_from_documents)."""
     from data_wrangling_spark.operators.multimodal import MEDIA_SCHEMA
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -288,8 +293,15 @@ def synth_wav_from_documents(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
-        batches, schema=MEDIA_SCHEMA
+    from pyspark.sql import functions as F
+
+    return (
+        docs.filter(
+            F.col("text").isNotNull()
+            & (F.octet_length("text") == F.length("text"))
+        )
+        .select("doc_id", "text")
+        .mapInPandas(batches, schema=MEDIA_SCHEMA)
     )
 
 

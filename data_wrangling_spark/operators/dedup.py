@@ -901,16 +901,31 @@ def dedup_incremental(
     ).select("_nid", "_nsh", "_exact_match")
 
     # near: cross-relation shingle inverted index
-    sh_new = new_base.select(
-        "_nid", F.size("_nsh").alias("_na"), F.explode("_nsh").alias("_sh")
-    )
-    sh_idx = idx_base.select(
-        "_iid", F.size("_ish").alias("_nb"), F.explode("_ish").alias("_sh")
-    )
-    if max_df is not None:
+    if max_df is None:
+        # sizes ride along in the postings (arrays are distinct, so
+        # F.size == posting count) — no extra shuffle
+        sh_new = new_base.select(
+            "_nid", F.size("_nsh").alias("_na"), F.explode("_nsh").alias("_sh")
+        )
+        sh_idx = idx_base.select(
+            "_iid", F.size("_ish").alias("_nb"), F.explode("_ish").alias("_sh")
+        )
+        pairs = (
+            sh_new.join(sh_idx, "_sh")
+            .groupBy("_nid", "_iid", "_na", "_nb")
+            .agg(F.count(F.lit(1)).alias("_common"))
+        )
+    else:
+        # with stop-shingle pruning, sizes MUST be recomputed on the
+        # pruned postings (ngram_jaccard_pairs semantics: the value is
+        # the exact Jaccard of the PRUNED sets) — pre-prune F.size
+        # would systematically understate Jaccard and misclassify
+        # near-dups as fresh
+        sh_new = new_base.select("_nid", F.explode("_nsh").alias("_sh"))
+        sh_idx = idx_base.select("_iid", F.explode("_ish").alias("_sh"))
         heavy = (
-            sh_new.select("_sh", F.col("_nid").alias("_d"))
-            .unionAll(sh_idx.select("_sh", F.col("_iid").alias("_d")))
+            sh_new.select("_sh")
+            .unionAll(sh_idx.select("_sh"))
             .groupBy("_sh")
             .agg(F.count(F.lit(1)).alias("_f"))
             .filter(F.col("_f") > max_df)
@@ -918,11 +933,17 @@ def dedup_incremental(
         )
         sh_new = sh_new.join(heavy, "_sh", "left_anti")
         sh_idx = sh_idx.join(heavy, "_sh", "left_anti")
+        sz_new = sh_new.groupBy("_nid").agg(F.count(F.lit(1)).alias("_na"))
+        sz_idx = sh_idx.groupBy("_iid").agg(F.count(F.lit(1)).alias("_nb"))
+        pairs = (
+            sh_new.join(sh_idx, "_sh")
+            .groupBy("_nid", "_iid")
+            .agg(F.count(F.lit(1)).alias("_common"))
+            .join(sz_new, "_nid")
+            .join(sz_idx, "_iid")
+        )
     cand = (
-        sh_new.join(sh_idx, "_sh")
-        .groupBy("_nid", "_iid", "_na", "_nb")
-        .agg(F.count(F.lit(1)).alias("_common"))
-        .filter(
+        pairs.filter(
             # same division form as ngram_jaccard_pairs (and its oracle):
             # one IEEE double division of exact integer counts
             F.col("_common").cast("double")

@@ -661,13 +661,24 @@ def synth_pgm_from_documents(docs: DataFrame, width: int = 8) -> DataFrame:
     :func:`image_ahash` is therefore a genuine image decode, and a SQL
     oracle can replay the pixel domain from ascii() codes (the
     x_multimodal_audio byte-replay technique applied to rasters).
-    Documents shorter than one row are dropped."""
+    Documents shorter than one row are dropped.
+
+    Pure-ASCII is ENFORCED, not assumed: the hash side indexes bytes
+    (UTF-8 encode) while the SQL oracle indexes characters (ascii() +
+    substring), so one multi-byte character would shift every later
+    pixel and silently break cross-engine parity. octet_length ==
+    length is the exact single-byte-UTF-8 (i.e. ASCII) test; the
+    oracles apply the same predicate as strlen(text) = length(text)."""
     h = (F.length("text") / width).cast("int")
     header = F.concat(
         F.lit(f"P5\n{width} "), F.col("_h").cast("string"), F.lit("\n255\n")
     )
     return (
-        docs.withColumn("_h", h)
+        docs.filter(
+            F.col("text").isNotNull()
+            & (F.octet_length("text") == F.length("text"))
+        )
+        .withColumn("_h", h)
         .filter(F.col("_h") >= 1)
         .select(
             F.col("doc_id").alias("media_id"),

@@ -969,7 +969,26 @@ def ohlc_bars(
     Scale shape: ONE hash aggregate with map-side partials — min_by /
     max_by / min / max / count / sum buffers are all constant-size.
     The bucket column composes with write-side partitioning so
-    downstream range scans prune to the bars they read."""
+    downstream range scans prune to the bars they read.
+
+    The group key is the TRUNCATED TIMESTAMP itself — the label format
+    only renders it, so a fine bucket is never collapsed by a coarse
+    label (a hardcoded ``HH:00`` pattern once silently merged
+    ``minute`` bars back into hours because the formatted string WAS
+    the key). Labels drop exactly the fields truncation zeroed."""
+    fmts = {
+        "minute": "yyyy-MM-dd HH:mm",
+        "hour": "yyyy-MM-dd HH:00",
+        "day": "yyyy-MM-dd",
+        "week": "yyyy-MM-dd",
+        "month": "yyyy-MM",
+        "quarter": "yyyy-MM",
+        "year": "yyyy",
+    }
+    if bucket not in fmts:
+        raise ValueError(
+            f"ohlc_bars: unsupported bucket {bucket!r}; one of {sorted(fmts)}"
+        )
     cents = F.round(F.col(value_col) * 100, 0).cast("bigint")
     ord_key = F.concat(
         F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
@@ -979,8 +998,7 @@ def ohlc_bars(
     return (
         events.groupBy(
             F.col(key_col).alias("key"),
-            F.date_format(F.date_trunc(bucket, F.col(ts_col)), "yyyy-MM-dd HH:00")
-            .alias("bar"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("_bar_ts"),
         )
         .agg(
             F.min_by(cents, ord_key).alias("open_cents"),
@@ -989,6 +1007,16 @@ def ohlc_bars(
             F.max_by(cents, ord_key).alias("close_cents"),
             F.count(F.lit(1)).alias("volume"),
             F.sum(cents).cast("bigint").alias("turnover_cents"),
+        )
+        .select(
+            "key",
+            F.date_format("_bar_ts", fmts[bucket]).alias("bar"),
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "volume",
+            "turnover_cents",
         )
         .orderBy("key", "bar")
     )

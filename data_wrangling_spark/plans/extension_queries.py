@@ -798,7 +798,9 @@ def x_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, ascii(substring(text, i, 1)) - 128 AS a
             FROM (SELECT doc_id, text,
                          unnest(range(1, length(text) + 1)) AS i
-                  FROM documents WHERE text IS NOT NULL)
+                  FROM documents
+                  WHERE text IS NOT NULL
+                    AND strlen(text) = length(text))
         ), agg AS (
             SELECT doc_id, COUNT(*) AS n,
                    SUM(CAST(a * a AS BIGINT)) AS s8,
@@ -891,7 +893,8 @@ def x_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, text, length(text) // 8 AS h,
                    (length(text) // 8) // 8 AS hb
             FROM documents
-            WHERE text IS NOT NULL AND length(text) >= 64
+            WHERE text IS NOT NULL AND strlen(text) = length(text)
+              AND length(text) >= 64
         ), cells AS (
             SELECT doc_id, text, hb, unnest(range(0, 64)) AS b FROM dims
         ), px AS (
@@ -948,7 +951,8 @@ def x_multimodal_image_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH dims AS (
             SELECT doc_id, text, (length(text) // 8) // 8 AS hb
             FROM documents
-            WHERE text IS NOT NULL AND length(text) >= 64
+            WHERE text IS NOT NULL AND strlen(text) = length(text)
+              AND length(text) >= 64
         ), cells AS (
             SELECT doc_id, text, hb, unnest(range(0, 64)) AS b FROM dims
         ), px AS (

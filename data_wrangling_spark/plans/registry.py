@@ -68,6 +68,15 @@ DRIVER_WINDOW: list[str] = [
     # sf0.001 pytest oracle rows every CI run.
     "ext_table_profile",
     "clean_tag_dispatch",
+    # round 9 (r7 verdict item 3): the REFERENCE-SURFACE pipeline
+    # queries osm_pipeline_audit (OP-AGG-AUDIT) and
+    # osm_pipeline_quarantine (OP-VALIDATE permissive path) enter the
+    # window PERMANENTLY — reference operators hold window slots ahead
+    # of extension queries from now on (audit_fields' demotion in
+    # round 8 left OP-AGG-AUDIT with no current driver row; these two
+    # had NEVER earned one despite judge-green sf0.01 replicas)
+    "osm_pipeline_audit",
+    "osm_pipeline_quarantine",
     "q1_type_counts_union",
     "q3_join_filter",
     "q4_top_users",
@@ -80,11 +89,15 @@ DRIVER_WINDOW: list[str] = [
     # the cohort-retention matrix joins it (the freed audit slots)
     "ext_funnel_steps",
     "ext_cohort_retention",
-    # round 5: ext_asof_latest_order_bucketed (new skew-safe as-of form)
-    # swaps in for op_csv_roundtrip (4 green driver rows r1-r4; sink
-    # family still represented by op_jsonl_roundtrip below)
-    "ext_asof_latest_order_bucketed",
-    "x_dedup_exact",
+    # round 9: ext_asof_latest_order_bucketed (green r5+r6 rows) and
+    # x_dedup_exact (green r1-r6, six rows) hand their slots to the
+    # never-driver-checked x_multimodal_features + x_multimodal_frames
+    # (first registered in round 1; judge-green at sf0.01 since their
+    # oracles landed in round 4). The as-of family keeps plain +
+    # adaptive in the window; the dedup family keeps minhash/semantic/
+    # incremental/leakage-safe.
+    "x_multimodal_features",
+    "x_multimodal_frames",
     "x_sim_topk_bruteforce",
     "x_text_stats",
     "x_text_curation_pipeline",
@@ -143,11 +156,19 @@ DRIVER_WINDOW: list[str] = [
     # chunk_overlap / temperature_mixture -> the text family keeps
     # stats/curation/boilerplate/bm25)
     "ext_tpch_q2_min_cost_supplier",
-    "ext_tpch_q9_product_type_profit",
+    # round 9: four of the round-6 TPC-H completions (q9, q12, q15,
+    # q16 — each holding a green r6 driver row, with the TPC-H family
+    # keeping q2/q3/q11/q17/q20/q21/q22 in the window and q2+q11
+    # covering the derived-partsupp and scalar-compare shapes) hand
+    # their slots to the never-driver-checked x_text_novelty,
+    # x_text_collocations, x_corpus_source_cap, and ext_ohlc_bars
+    # (whose group-key implementation also changed this round — the
+    # truncated-timestamp fix deserves a fresh driver row)
+    "x_text_novelty",
+    "x_text_collocations",
+    "x_corpus_source_cap",
+    "ext_ohlc_bars",
     "ext_tpch_q11_important_parts",
-    "ext_tpch_q12_late_priority_lines",
-    "ext_tpch_q15_top_supplier",
-    "ext_tpch_q16_supplier_part_counts",
     "ext_tpch_q20_excess_stock_suppliers",
     "ext_tpch_q21_waiting_suppliers",
     # round 6: ext_rolling_event_features (trailing time-RANGE window
@@ -155,7 +176,9 @@ DRIVER_WINDOW: list[str] = [
     # ext_tpch_q14_promo_revenue (green r5 driver row; the TPC-H family
     # keeps ten other members in the window)
     "ext_rolling_event_features",
-    "ext_tpch_q22_dormant_customers",
+    # round 9: ext_tpch_q22_dormant_customers (green r6 row; the TPC-H
+    # family keeps seven members in the window) demotes to make room
+    # for the permanent reference-surface slots above
     "x_text_boilerplate_spans",
     # round 8: ext_correlated_subquery (2 green rows; the decorrelated-
     # subquery family keeps Q17's scalar-compare and Q21's EXISTS pair)
@@ -170,7 +193,10 @@ DRIVER_WINDOW: list[str] = [
     # in for x_text_lexical_diversity (green r5 driver row; the text
     # family keeps stats/curation/chunking/boilerplate in the window)
     "x_text_bm25_search",
-    "ext_range_join_bucketed",
+    # round 9: ext_range_join_bucketed (green r5+r6 rows) demotes for
+    # the permanent reference-surface slots above; interval/temporal
+    # machinery stays driver-covered by the three as-of forms and
+    # ext_rolling_event_features
     # round 7: x_text_entropy (new token-distribution entropy signal)
     # swaps in for x_text_repetition (green r5+r6 driver rows; the
     # repetition/diversity signal family keeps boilerplate_spans +

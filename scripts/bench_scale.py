@@ -124,6 +124,7 @@ EXTRA_QUERIES = [
     "ext_cohort_retention",
     "ext_table_profile",
     "x_dedup_incremental",
+    "ext_ohlc_bars",
 ]
 
 # ---------------------------------------------------------------- skew --

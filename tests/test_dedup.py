@@ -599,3 +599,36 @@ def test_dedup_incremental_match_is_smallest_index_id(spark):
     )
     r = dedup_incremental(new, idx).collect()[0]
     assert r.match_id == 3
+
+
+def test_dedup_incremental_max_df_prunes_stop_shingles(spark):
+    """max_df semantics mirror ngram_jaccard_pairs: sizes are
+    recomputed on the PRUNED postings, so the value is the exact
+    Jaccard of the pruned shingle sets. Doc 10's pruned Jaccard vs
+    index doc 1 is 2/7 (>= 0.25); the pre-fix pre-prune sizes gave
+    2/15 and silently classified it fresh. Doc 11 is related to the
+    index ONLY through the boilerplate phrase and must become fresh."""
+    from data_wrangling_spark.operators.dedup import dedup_incremental
+
+    boiler = "c1 c2 c3 c4 c5 c6"
+    idx = spark.createDataFrame(
+        [(1, "p q r s " + boiler), (2, "z1 z2 z3 " + boiler)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "p q r s t " + boiler), (11, "m1 m2 m3 " + boiler)],
+        "doc_id long, text string",
+    )
+    unpruned = {
+        r.doc_id: r.status
+        for r in dedup_incremental(new, idx, threshold=0.25).collect()
+    }
+    assert unpruned[11] == "near_dup"  # boilerplate alone links it
+    got = {
+        r.doc_id: (r.status, r.match_id)
+        for r in dedup_incremental(
+            new, idx, threshold=0.25, max_df=2
+        ).collect()
+    }
+    assert got[10] == ("near_dup", 1)  # exact pruned Jaccard 2/7
+    assert got[11] == ("fresh", None)  # boilerplate-only pair stops

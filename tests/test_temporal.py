@@ -623,3 +623,44 @@ def test_ohlc_bars_ties_and_partition_invariance(spark):
         assert bar["volume"] == 5
         assert bar["turnover_cents"] == 300 + 700 + 550 + 100 + 900
         assert got[("click", "2024-03-01 12:00")]["open_cents"] == 225
+
+
+def test_ohlc_bars_minute_bucket_and_labels(spark):
+    """The group key is the truncated TIMESTAMP, not the formatted
+    label: bucket='minute' must produce per-minute bars (a hardcoded
+    HH:00 label pattern once collapsed them back into hours), and
+    coarse buckets get labels that match their grain."""
+    import datetime as dt
+
+    import pytest
+
+    from data_wrangling_spark.operators.temporal import ohlc_bars
+
+    t0 = dt.datetime(2024, 3, 1, 10, 15, 10)
+    rows = [
+        (1, t0, "u", "click", 1.00),
+        (2, t0 + dt.timedelta(seconds=40), "u", "click", 2.00),
+        (3, t0 + dt.timedelta(minutes=2), "u", "click", 3.00),
+    ]
+    schema = "event_id long, ts timestamp, user_id string, event_type string, value double"
+    df = spark.createDataFrame(rows, schema)
+
+    minute = {r["bar"]: r for r in ohlc_bars(df, bucket="minute").collect()}
+    assert set(minute) == {"2024-03-01 10:15", "2024-03-01 10:17"}
+    assert minute["2024-03-01 10:15"]["volume"] == 2
+    assert minute["2024-03-01 10:15"]["open_cents"] == 100
+    assert minute["2024-03-01 10:15"]["close_cents"] == 200
+    assert minute["2024-03-01 10:17"]["volume"] == 1
+
+    hour = {r["bar"]: r for r in ohlc_bars(df, bucket="hour").collect()}
+    assert set(hour) == {"2024-03-01 10:00"}
+    assert hour["2024-03-01 10:00"]["volume"] == 3
+
+    day = {r["bar"]: r for r in ohlc_bars(df, bucket="day").collect()}
+    assert set(day) == {"2024-03-01"}
+
+    month = {r["bar"]: r for r in ohlc_bars(df, bucket="month").collect()}
+    assert set(month) == {"2024-03"}
+
+    with pytest.raises(ValueError, match="unsupported bucket"):
+        ohlc_bars(df, bucket="fortnight")
