@@ -399,16 +399,17 @@ def asof_join_adaptive(
     pipeline: measured at 20x bench scale, splitting the inputs via
     semi/anti broadcast joins scanned each table twice and ran two full
     window pipelines — ~2.5x plain even when the bucketed share was
-    small. Here the wide data flows ONCE: scan -> heavy-flag broadcast
-    join (one tiny build side; a heavy NULL key routes with its
-    partition because detection hashes the key) -> one exchange on
-    (key, effective-bucket) -> window -> project. The only extra input-sized work over plain is
-    the detection pass and the boundary pre-pass, and the boundary
-    pre-pass is semi-filtered to HEAVY rows only — the regime where a
-    hot key's (key, bucket) summary genuinely compacts (a uniform key
-    has ~as many touched buckets as rows, which is why bucketing
-    everything is structurally wasteful — measured: 3.1M summary rows
-    from 5M inputs at weekly buckets on uniform bench data).
+    small. Here the wide data flows ONCE: scan -> route by a LITERAL
+    heavy-bucket predicate (a heavy NULL key routes with its partition
+    because detection hashes the key) -> one exchange on (key,
+    effective-bucket) -> window -> project. The only extra input-sized
+    work over plain is the detection pass and the boundary pre-pass,
+    and the boundary pre-pass is filtered to HEAVY rows only — the
+    regime where a hot key's (key, bucket) summary genuinely compacts
+    (a uniform key has ~as many touched buckets as rows, which is why
+    bucketing everything is structurally wasteful — measured: 3.1M
+    summary rows from 5M inputs at weekly buckets on uniform bench
+    data).
 
     Ordering is plain ``asof_join``'s within every partition: light
     partitions hold a whole key (time asc, NULLs first going backward /
@@ -421,25 +422,35 @@ def asof_join_adaptive(
     by construction (pinned by equivalence tests, including NULL keys,
     NULL times, and both directions).
 
-    Detection is LAZY — part of the returned plan, no collect — and
-    counts HASH BUCKETS of the key, not keys: per-key counting over a
-    high-cardinality keyspace defeats map-side partial aggregation (the
-    partials emit ~one row per distinct key per task — measured ~1s of
-    a 3.1s query at 100x bench scale, sampled or not), while counting
-    ``xxhash64(key) % detection_buckets`` caps every task's partial
-    output at ``detection_buckets`` rows, so the detection shuffle is
-    O(buckets) regardless of data size. A bucket whose total mass
-    exceeds ``heavy_threshold`` flags ALL its keys heavy. False
-    positives (light keys sharing a flagged bucket, or several light
-    keys summing past the threshold) only route extra keys through the
-    bucketed-window path — result-identical, marginal cost; false
-    negatives are impossible (a heavy key's bucket mass >= its own
-    count). NULL keys hash like any value, so no null-safe join
-    machinery is needed anywhere. With no heavy buckets the broadcast
-    is EMPTY at runtime and AQE's empty-relation propagation erases the
-    flag join and the whole boundary subtree — the executed plan
-    degenerates to plain plus the bucket-counting aggregate (pinned by
-    the adaptive plan test).
+    Detection runs EAGERLY at call time: one O(buckets) aggregate whose
+    result — the set of heavy bucket ids, usually empty — is collected
+    as control-plane rows (<= ``detection_buckets``, the same O(k)/
+    O(strata) pattern as the quantile cut-points and IVF centroids).
+    With NO heavy bucket the function returns plain ``asof_join``'s
+    PLAN VERBATIM — zero machinery, not even an erased join — and with
+    heavy buckets the routing is a literal ``isin`` predicate, so the
+    wide pass needs no broadcast join at all. An earlier design kept
+    detection lazy (empty-broadcast + AQE empty-relation propagation
+    erasing the machinery); measured at 20x bench scale the inert
+    machinery still cost ~0.6s on top of the 0.3s detection job — AQE
+    stage sequencing and the flag-join residue don't amortize below
+    ~100x — while the eager form's uniform overhead is exactly the
+    detection job.
+
+    Detection counts HASH BUCKETS of the key, not keys: per-key
+    counting over a high-cardinality keyspace defeats map-side partial
+    aggregation (the partials emit ~one row per distinct key per task —
+    measured ~1s of a 3.1s query at 100x bench scale, sampled or not),
+    while counting ``xxhash64(key) % detection_buckets`` caps every
+    task's partial output at ``detection_buckets`` rows, so the
+    detection shuffle is O(buckets) regardless of data size. A bucket
+    whose total mass exceeds ``heavy_threshold`` flags ALL its keys
+    heavy. False positives (light keys sharing a flagged bucket, or
+    several light keys summing past the threshold) only route extra
+    keys through the bucketed-window path — result-identical, marginal
+    cost; false negatives are impossible (a heavy key's bucket mass >=
+    its own count). NULL keys hash like any value, so no null-safe
+    machinery is needed anywhere.
 
     ``heavy_threshold`` is the max rows a single carry-window task
     should absorb: the 1M default sorts ~tens of MB per task. Size it
@@ -486,14 +497,9 @@ def asof_join_adaptive(
         ).cast("long")
     )
 
-    # ---- detection: heavy hash-buckets as a lazy broadcast set ---------
+    # ---- detection: heavy hash-buckets, one eager O(buckets) job -------
     # xxhash64(NULL) is the (non-null) seed hash, so NULL keys land in a
-    # bucket like any value — no null-safe join machinery needed. All
-    # consumers (thin semi-filter + wide flag join) join against THIS
-    # one frame with the same condition, so the broadcast exchange is
-    # built — and the counting aggregate run — exactly ONCE
-    # (non-identical build frames made it run per-consumer, measured
-    # +~1s/run at 100x bench scale).
+    # bucket like any value — no null-safe machinery needed anywhere.
     # EVERY hash site must see the key at ONE type: xxhash64 hashes
     # IntegerType and LongType differently (4- vs 8-byte primitive
     # paths), so hashing each side's native dtype would bucket the SAME
@@ -512,14 +518,31 @@ def asof_join_adaptive(
     hb_of = lambda c: F.pmod(  # noqa: E731
         F.xxhash64(c.cast(key_type), F.lit(41)), F.lit(detection_buckets)
     )
-    heavy = (
-        left.select(hb_of(F.col(on)).alias("_hb"))
-        .unionByName(right.select(hb_of(F.col(on)).alias("_hb")))
-        .groupBy("_hb")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > F.lit(heavy_threshold))
-        .select("_hb")
-    )
+    # control-plane collect: <= detection_buckets ids, usually zero (the
+    # exact-quantiles / IVF-centroid pattern — never data-sized)
+    heavy_ids = [
+        r["_hb"]
+        for r in (
+            left.select(hb_of(F.col(on)).alias("_hb"))
+            .unionByName(right.select(hb_of(F.col(on)).alias("_hb")))
+            .groupBy("_hb")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > F.lit(heavy_threshold))
+            .select("_hb")
+            .collect()
+        )
+    ]
+    if not heavy_ids:
+        # uniform keyspace: hand back plain asof_join's plan VERBATIM —
+        # the one-exchange pipeline with zero routing residue
+        return asof_join(
+            left, right, on=on, left_time=left_time,
+            right_time=right_time, payload=payload, direction=direction,
+            right_tiebreak=right_tiebreak,
+        )
+    # literal predicate (Catalyst converts long isin lists to an O(1)
+    # InSet above the conversion threshold); no broadcast join anywhere
+    is_heavy = lambda c: hb_of(c).isin(heavy_ids)  # noqa: E731
 
     l_s = (_seconds(left, left_time) * sign).alias("_s")
     r_s = (_seconds(right, right_time) * sign).alias("_s")
@@ -534,27 +557,24 @@ def asof_join_adaptive(
 
     # ---- thin boundary pre-pass over HEAVY rows only -------------------
     # same summary/boundary machinery as asof_join_bucketed, but the
-    # semi-filter to heavy buckets makes the aggregate genuinely compact
-    def _semi(df: DataFrame) -> DataFrame:
-        return df.join(
-            F.broadcast(heavy),
-            hb_of(df["_k"]) == heavy["_hb"],
-            "left_semi",
-        )
-
-    r_thin = _semi(
+    # heavy-bucket filter makes the aggregate genuinely compact
+    r_thin = (
         right.select(
             F.col(on).alias("_k"), r_s, F.lit(0).alias("_m"),
             p_expr.alias("_p"), *tb_r,
         )
-    ).withColumn("_bk", bucket_of(F.col("_s")))
+        .filter(is_heavy(F.col("_k")))
+        .withColumn("_bk", bucket_of(F.col("_s")))
+    )
     p_type = r_thin.schema["_p"].dataType
-    l_thin = _semi(
+    l_thin = (
         left.select(
             F.col(on).alias("_k"), l_s, F.lit(1).alias("_m"),
             F.lit(None).cast(p_type).alias("_p"), *tb_null,
         )
-    ).withColumn("_bk", bucket_of(F.col("_s")))
+        .filter(is_heavy(F.col("_k")))
+        .withColumn("_bk", bucket_of(F.col("_s")))
+    )
     ord_fields = [(F.lit(1) - F.col("_m")).alias("r"), F.col("_s").alias("s")]
     if right_tiebreak:
         ord_fields.append(F.col("_tb").alias("t"))
@@ -594,18 +614,13 @@ def asof_join_adaptive(
         *[F.col(c).alias(f"_lc_{c}") for c in carry_cols],
         F.lit(None).cast(p_type).alias("_p"), *tb_null,
     )
-    # the flag join's matched test is _hb IS NOT NULL — safe because the
-    # build side's _hb is pmod output, never NULL
+    # routing is a map-side literal predicate — no join, no broadcast
     wide = l_rows.unionByName(r_rows)
-    flagged = (
-        wide.join(F.broadcast(heavy), hb_of(wide["_k"]) == heavy["_hb"], "left")
-        .withColumn(
-            "_bk",
-            F.when(F.col("_hb").isNotNull(), bucket_of(F.col("_s")))
-            .otherwise(F.lit(0).cast("long")),
-        )
-        .unionByName(b_rows.withColumn("_hb", hb_of(F.col("_k"))))
-    )
+    flagged = wide.withColumn(
+        "_bk",
+        F.when(is_heavy(F.col("_k")), bucket_of(F.col("_s")))
+        .otherwise(F.lit(0).cast("long")),
+    ).unionByName(b_rows)
     # light partitions mix NULL and real times, so the NULL placement
     # must match plain's traversal: first going backward (asc), last
     # going forward (desc on unnegated time); heavy partitions hold no

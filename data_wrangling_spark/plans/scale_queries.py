@@ -214,17 +214,20 @@ def ext_asof_latest_order_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     doc="ext_asof_latest_order through the ADAPTIVE form — the "
         "recommended default at scale: one hash-bucket counting job "
         "(bucket cardinality caps the partial-agg output per task, so "
-        "the detection shuffle is O(buckets) at any data size) flags "
-        "heavy keys, and ONE carry window runs on (key, weekly bucket) "
-        "for those keys and (key, 0) for everything else — plain "
-        "asof_join's single-shuffle pipeline plus a tiny broadcast. "
-        "Same oracle as the plain/bucketed forms (result-identical by "
-        "construction). heavy_threshold (50k) and detection_buckets "
-        "(4096) are bench-sized the same way SCALING.md's skew section "
-        "shrinks the AQE thresholds to GB scale; on uniform data no "
-        "bucket comes close, so the executed plan IS the plain one "
-        "plus the counting job (AQE empty-relation propagation, "
-        "plan-pinned). operators/temporal.py asof_join_adaptive.",
+        "the detection shuffle is O(buckets) at any data size) collects "
+        "the heavy-bucket ids as control-plane rows, and ONE carry "
+        "window runs on (key, weekly bucket) for keys in those buckets "
+        "— routed by a literal isin predicate, no broadcast join — and "
+        "(key, 0) for everything else. With no heavy bucket the "
+        "returned plan IS plain asof_join's verbatim (plan-pinned), so "
+        "the uniform-key cost over plain is exactly the detection job "
+        "(r7: 1.21x at 20x, ~1.0x at 100x; the earlier lazy/AQE-"
+        "erasure form left ~0.6s of inert machinery). Same oracle as "
+        "the plain/bucketed forms (result-identical by construction). "
+        "heavy_threshold (50k) and detection_buckets (4096) are "
+        "bench-sized the same way SCALING.md's skew section shrinks "
+        "the AQE thresholds to GB scale. "
+        "operators/temporal.py asof_join_adaptive.",
 )
 def ext_asof_latest_order_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.temporal import asof_join_adaptive

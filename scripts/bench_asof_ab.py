@@ -1,0 +1,92 @@
+"""A/B decomposition of the adaptive as-of join's uniform-key overhead
+vs plain asof_join, at pre-materialized scale dirs (see bench_scale.py).
+
+Times, per scale dir:
+  - plain:      asof_join (one exchange + window)
+  - adaptive:   asof_join_adaptive (detection + flag join + exchange)
+  - detection:  the hash-bucket counting aggregate ALONE (the only
+                input-sized work adaptive adds on uniform keys)
+
+Usage: python scripts/bench_asof_ab.py /tmp/dws-scale/mult20 [more dirs]
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_wrangling_spark.session import get_spark  # noqa: E402
+from data_wrangling_spark.sources.tables import load_table  # noqa: E402
+
+REPS = 5
+
+
+def timeit(fn) -> float:
+    fn()  # warm
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return round(statistics.median(ts), 3)
+
+
+def main() -> None:
+    from data_wrangling_spark.operators.temporal import (
+        asof_join,
+        asof_join_adaptive,
+    )
+
+    dirs = sys.argv[1:] or ["/tmp/dws-scale/mult20"]
+    spark = get_spark(app_name="asof-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    for d in dirs:
+        events = load_table(spark, d, "events").select(
+            "event_id", "user_id", "ts"
+        )
+        orders = load_table(spark, d, "orders").select(
+            F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+        )
+        kw = dict(
+            on="user_id", left_time="ts", right_time="o_orderdate",
+            payload={"o_orderkey": "last_orderkey"},
+            right_tiebreak="o_orderkey",
+        )
+        plain = timeit(
+            lambda: asof_join(events, orders, **kw)
+            .write.format("noop").mode("overwrite").save()
+        )
+        adaptive = timeit(
+            lambda: asof_join_adaptive(
+                events, orders, bucket_seconds=7 * 86400,
+                heavy_threshold=50_000, detection_buckets=4096, **kw
+            ).write.format("noop").mode("overwrite").save()
+        )
+
+        def detection_only():
+            hb = lambda c: F.pmod(F.xxhash64(c, F.lit(41)), F.lit(4096))  # noqa: E731
+            (
+                events.select(hb(F.col("user_id")).alias("_hb"))
+                .unionByName(orders.select(hb(F.col("user_id")).alias("_hb")))
+                .groupBy("_hb")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 50_000)
+                .write.format("noop").mode("overwrite").save()
+            )
+
+        det = timeit(detection_only)
+        print(
+            f"{d}: plain={plain}s adaptive={adaptive}s "
+            f"detection_alone={det}s overhead={round(adaptive-plain,3)}s "
+            f"ratio={round(adaptive/plain,2)}x"
+        )
+
+
+if __name__ == "__main__":
+    main()
