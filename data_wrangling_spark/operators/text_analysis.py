@@ -296,32 +296,66 @@ def boilerplate_spans(
     many DISTINCT documents (headers, footers, license blurbs — the
     spans a curation pipeline strips before training).
 
-    Scale shape: per-doc distinct shingles (narrow) → explode → one hash
-    aggregate counting rows (each doc contributes a span at most once,
-    so ``count(*)`` IS the document frequency — no count-distinct
-    state) → top-k. The shuffle is vocabulary-of-spans-sized with
-    map-side partial aggregation; no pairwise comparison anywhere.
-    The dominant cost is span CONSTRUCTION, not the shuffle (measured
-    at 100x: 21.5s of a 27.6s query building 26M 3-gram strings that
-    compact to 27k distinct spans), so tokenization is staged into a
-    projected ``_toks`` column (evaluated once — the same CollapseProject
-    economics as quality_features) and shingling runs the single-pass
-    ``shingles_from_tokens`` index transform.
+    Scale shape — count in the HASH domain, reconstruct strings for
+    candidates only: per-doc distinct 64-bit gram hashes (``dedup.
+    gram_hashes_from_tokens``, no string allocation) → explode → one
+    hash aggregate counting rows (each doc contributes a gram at most
+    once, so ``count(*)`` IS the document frequency) with
+    ``min(doc_id)`` carried as a representative → filter to candidates
+    (df >= min_docs) → rebuild span STRINGS only from the
+    representative documents (a left_semi on doc ids, ~|candidates|
+    docs, never the corpus) → exact top-k on (n_docs desc, span).
+    Round-7 A/B at 100x (scripts/bench_boilerplate_ab.py): the earlier
+    string-domain aggregate built 26M 3-gram strings that compact to
+    27k distinct spans and the aggregate keyed on those strings —
+    23.8s vs 16.7s hashed, identical top-20. No pairwise comparison
+    anywhere; tokenization is staged into a projected ``_toks`` column
+    (evaluated once) in both passes.
+
+    Hash-collision caveat: two distinct spans colliding in xxhash64
+    would merge their counts (P ~ vocab^2 / 2^65, negligible); the
+    output stays in the STRING domain and the registered query's
+    DuckDB oracle counts strings independently, so a collision would
+    surface as a driver hash mismatch rather than pass silently.
     """
-    from data_wrangling_spark.operators.dedup import shingles_from_tokens
+    from data_wrangling_spark.operators.dedup import (
+        gram_hashes_from_tokens,
+        shingles_from_tokens,
+    )
     from data_wrangling_spark.functions import text as TX
 
     toked = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), TX.tokens(text_col).alias("_toks")
+        F.col(id_col).alias("_doc"), TX.tokens(text_col).alias("_toks")
     )
-    spans = toked.select(
-        F.col(id_col),
-        F.explode(shingles_from_tokens(F.col("_toks"), n=n)).alias("span"),
+    counts = (
+        toked.select(
+            "_doc",
+            F.explode(gram_hashes_from_tokens(F.col("_toks"), n)).alias("_gh"),
+        )
+        .groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("_doc").alias("_rep"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    # candidate-only string reconstruction: one pass over the
+    # representative docs (<= one per candidate span); the semi join is
+    # NOT broadcast-hinted — rep ids are naturally small, let AQE pick
+    rep_docs = counts.select(F.col("_rep").alias("_doc")).distinct()
+    rebuilt = (
+        toked.join(rep_docs, "_doc", "left_semi")
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    gram_hashes_from_tokens(F.col("_toks"), n).alias("_gh"),
+                    shingles_from_tokens(F.col("_toks"), n).alias("span"),
+                )
+            ).alias("_z")
+        )
+        .select(F.col("_z._gh").alias("_gh"), F.col("_z.span").alias("span"))
+        .groupBy("_gh")
+        .agg(F.min("span").alias("span"))
     )
     return (
-        spans.groupBy("span")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
+        counts.join(rebuilt, "_gh")
         .orderBy(F.desc("n_docs"), "span")
         .limit(top)
         .select("span", F.col("n_docs").cast("bigint").alias("n_docs"))

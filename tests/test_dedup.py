@@ -632,3 +632,44 @@ def test_dedup_incremental_max_df_prunes_stop_shingles(spark):
     }
     assert got[10] == ("near_dup", 1)  # exact pruned Jaccard 2/7
     assert got[11] == ("fresh", None)  # boilerplate-only pair stops
+
+
+def test_gram_hashes_align_with_shingles(spark):
+    """gram_hashes_from_tokens must dedup in the SAME positions as
+    shingles_from_tokens (equal grams -> equal hashes, so array_distinct
+    keeps both arrays position-aligned) — boilerplate_spans zips them.
+    Also: [] for short texts, NULL for NULL, and no aliasing across
+    shifted token boundaries ('ab c' vs 'a bc')."""
+    from data_wrangling_spark.functions.text import tokens
+    from data_wrangling_spark.operators.dedup import (
+        gram_hashes_from_tokens,
+        shingles_from_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b d"),   # repeated grams dedup
+            (2, "x y"),                  # shorter than n -> []
+            (3, None),                   # NULL -> NULL
+            (4, "ab c d"),               # boundary-shift probe
+            (5, "a bc d"),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        shingles_from_tokens(tokens("text"), 3).alias("s"),
+        gram_hashes_from_tokens(tokens("text"), 3).alias("h"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    r1 = by_id[1]
+    assert len(r1.s) == len(r1.h) == len(set(r1.s)) == len(set(r1.h))
+    assert by_id[2].s == [] and by_id[2].h == []
+    assert by_id[3].s is None and by_id[3].h is None
+    # same-position grams hash identically across rows
+    assert by_id[1].s[0] == "a b c"
+    h_abc = by_id[1].h[0]
+    re_hash = {s: h for s, h in zip(r1.s, r1.h)}
+    assert re_hash["a b c"] == h_abc
+    # shifted boundaries must not alias
+    assert by_id[4].h != by_id[5].h
