@@ -183,3 +183,165 @@ def countmin_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — engine-portable register tables
+# ---------------------------------------------------------------------------
+# Spark ships hll_sketch_agg (Apache DataSketches), but its binary sketch
+# is engine-internal: no SQL oracle can re-derive the estimate, so the
+# rollup query spent rounds 5-6 behind a pinned-snapshot golden. This
+# implementation keeps the SAME distributed posture (tiny mergeable
+# per-group sketches, union without revisiting raw data) while making
+# every step exact integer/portable arithmetic, so DuckDB replays the
+# registers AND the estimate independently:
+#
+# - hash: a 32-bit avalanche (xor-shift + two odd-constant multiplies,
+#   every product < 2^61 so ANSI-safe) built only from *, %, xor, >>
+#   — identical text in both engines. Two decorrelated draws: h1 picks
+#   the bucket (low p bits), h2 supplies the rank source.
+# - register: M_j = max over keys of rho(h2), rho = leading zeros of
+#   the 32-bit field + 1 (= 33 - length(bin(h2)), 33 for h2 = 0) — an
+#   integer derived via the bin() string both engines share.
+# - estimate: T = sum over all m buckets of 2^(33 - M_j) (absent bucket
+#   => M_j = 0 => 2^33) is an EXACT BIGINT (<= m * 2^33 = 2^45 at
+#   p = 12); E_raw = C / double(T) with C = alpha_m * m^2 * 2^33
+#   embedded as ONE double literal in both engines; linear counting
+#   m * ln(m / V) below 2.5m with V empty buckets (ln portability is
+#   the lm_score/entropy precedent — identical on both engines for
+#   identical double inputs).
+#
+# Keys must be non-negative integers (same precondition as the
+# count-min family: % and >> on negatives differ across engines).
+# Rank source is 32 bits, so registers saturate near m * 2^32 distinct
+# (~10^13 at p = 12) — size p up for bigger domains.
+
+_HLL_C1 = 0x45D9F3B       # first avalanche multiplier (< 2^27)
+_HLL_C2 = 0x119DE1F3      # second avalanche multiplier (< 2^29)
+_HLL_SEED2 = 0x9E3779B9   # xor seed decorrelating the rank hash
+_M32 = 1 << 32
+
+
+def _hll_avalanche(x: Column) -> Column:
+    x = (x.bitwiseXOR(F.shiftright(x, 16)) * F.lit(_HLL_C1)) % F.lit(_M32)
+    x = (x.bitwiseXOR(F.shiftright(x, 16)) * F.lit(_HLL_C2)) % F.lit(_M32)
+    return x.bitwiseXOR(F.shiftright(x, 16))
+
+
+def _hll_avalanche_sql(x: str) -> str:
+    a = f"(xor({x} >> 16, {x}) * {_HLL_C1}) % {_M32}"
+    b = f"(xor(({a}) >> 16, {a}) * {_HLL_C2}) % {_M32}"
+    return f"xor(({b}) >> 16, {b})"
+
+
+def hll_bucket(key: Column, p: int = 12) -> Column:
+    """Bucket index in [0, 2^p): low p bits of the first hash draw."""
+    x = _hll_fold32(key)
+    return _hll_avalanche(x) % F.lit(1 << p)
+
+
+def hll_rho(key: Column) -> Column:
+    """Rank: leading zeros of the 32-bit second draw, plus one."""
+    h2 = _hll_avalanche(_hll_fold32(key).bitwiseXOR(F.lit(_HLL_SEED2)))
+    return F.when(h2 == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(h2))
+    )
+
+
+def _hll_fold32(key: Column) -> Column:
+    k = key.cast("long")
+    return F.shiftright(k, 32).bitwiseXOR(k.bitwiseAND(F.lit(_M32 - 1)))
+
+
+def hll_sql(key_expr: str, p: int = 12) -> tuple[str, str]:
+    """(bucket_sql, rho_sql) — the same hash as ANSI SQL text for
+    oracle queries (DuckDB xor()/>>/%/bin are bit-identical here)."""
+    x = f"xor(({key_expr}) >> 32, ({key_expr}) & {_M32 - 1})"
+    h1 = _hll_avalanche_sql(x)
+    h2 = _hll_avalanche_sql(f"xor({x}, {_HLL_SEED2})")
+    bucket = f"({h1}) % {1 << p}"
+    rho = (
+        f"CASE WHEN ({h2}) = 0 THEN 33 "
+        f"ELSE 33 - length(bin({h2})) END"
+    )
+    return bucket, rho
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str], p: int = 12
+) -> DataFrame:
+    """Per-group HLL register table: (group_cols..., bucket, rho_max),
+    <= 2^p rows per group. ONE hash aggregate with constant-size
+    max buffers; NULL keys are excluded (COUNT DISTINCT semantics).
+    Register tables for the same p MERGE by max — ``hll_registers`` of
+    a union == ``hll_merge`` of per-part tables, no raw-data revisit."""
+    key = F.col(key_col)
+    return (
+        df.filter(key.isNotNull())
+        .groupBy(*group_cols, hll_bucket(key, p).alias("bucket"))
+        .agg(F.max(hll_rho(key)).alias("rho_max"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union register tables built at the same p: max per (group,
+    bucket). Exact and order-free (max is associative/commutative), so
+    per-day/per-partition/per-cluster sketches roll up to any coarser
+    grouping without a second pass over raw data."""
+    return registers.groupBy(*group_cols, "bucket").agg(
+        F.max("rho_max").alias("rho_max")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    p: int = 12,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Distinct-count estimate per group from a register table. All
+    inputs to the two float steps (one division, optional ln) are exact
+    integers, so the estimate is engine-portable (see module notes)."""
+    m = 1 << p
+    # alpha_m * m^2 * 2^33 as ONE python-computed double literal,
+    # embedded identically in the SQL oracle via hll_estimate_sql
+    c = (0.7213 / (1.0 + 1.079 / m)) * m * m * 8589934592.0
+    agg = registers.groupBy(*group_cols).agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - rho_max)"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(8589934592)
+        ).alias("_t"),
+        (F.lit(m) - F.count(F.lit(1))).alias("_v"),
+    )
+    raw = F.lit(c) / F.col("_t").cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_v").cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (F.col("_v") > 0), lc).otherwise(raw)
+    return agg.select(
+        *group_cols, F.round(est, 0).cast("bigint").alias(out_col)
+    )
+
+
+def hll_estimate_sql(
+    registers_sql: str, group_expr: str, p: int = 12
+) -> str:
+    """SQL text computing the same estimate from a register relation
+    ``(group, bucket, rho_max)`` named by ``registers_sql`` — the
+    oracle twin of :func:`hll_estimate` (identical literals, identical
+    op order)."""
+    m = 1 << p
+    c = (0.7213 / (1.0 + 1.079 / m)) * m * m * 8589934592.0
+    return f"""
+        SELECT {group_expr},
+               CAST(ROUND(CASE WHEN ({c!r} / CAST(_t AS DOUBLE)) <= {2.5 * m!r}
+                                AND _v > 0
+                               THEN {float(m)!r} * ln({float(m)!r} / CAST(_v AS DOUBLE))
+                               ELSE {c!r} / CAST(_t AS DOUBLE) END)
+                    AS BIGINT) AS approx_distinct
+        FROM (
+            SELECT {group_expr},
+                   SUM(CAST(1 AS BIGINT) << (33 - rho_max))
+                     + ({m} - COUNT(*)) * 8589934592 AS _t,
+                   {m} - COUNT(*) AS _v
+            FROM {registers_sql} GROUP BY {group_expr}
+        )
+    """

@@ -960,33 +960,72 @@ def ext_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_weekly_oracle() -> str:
+    from data_wrangling_spark.operators.sketches import (
+        hll_estimate_sql,
+        hll_sql,
+    )
+
+    bucket, rho = hll_sql("user_id")
+    regs = f"""(
+        SELECT CAST(weekofyear(ts) AS INT) AS week,
+               {bucket} AS bucket, MAX({rho}) AS rho_max
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+    )"""
+    est = hll_estimate_sql(regs, "week")
+    return f"""
+        WITH est AS ({est}), exact AS (
+            SELECT CAST(weekofyear(ts) AS INT) AS week,
+                   COUNT(DISTINCT user_id) AS exact_users
+            FROM events GROUP BY 1
+        )
+        SELECT est.week, est.approx_distinct AS approx_users,
+               exact.exact_users
+        FROM est JOIN exact ON est.week = exact.week
+        ORDER BY est.week
+    """
+
+
 @register(
     "x_sketch_hll_weekly_users",
-    oracle=golden_oracle("x_sketch_hll_weekly_users"),  # pinned-snapshot
-        # golden (HLL register-max merge is order-independent, so the
-        # estimate is exactly reproducible); the error bound vs the exact
-        # count is pinned in tests/test_sketches.py
-    doc="Mergeable-sketch distinct counting: per-DAY HLL sketches of "
-        "user_id (one pass over events), then weekly uniques by UNIONING "
-        "the daily sketches — no second pass over raw data. THE pattern "
-        "for distinct-count rollups at 100 TB: sketches are tiny, "
-        "mergeable across partitions/days/clusters, and reusable for any "
-        "coarser rollup. Returns (week, approx_users, exact_users) so "
-        "the estimate quality is visible.",
+    # FULL independent SQL re-derivation (round-7: replaces the pinned-
+    # snapshot golden — the sketch family now carries zero engine-
+    # snapshot oracles): the engine-portable HLL's hash, registers, and
+    # estimate are all *, %, xor, >>, bin-string, one division, and one
+    # ln over exact integers, so DuckDB replays every register AND the
+    # estimate bit-exactly (operators/sketches.py module notes). The
+    # oracle derives WEEKLY registers directly — exactly equal to the
+    # query's daily-then-merge because register merge is max.
+    oracle=_hll_weekly_oracle(),
+    doc="Mergeable-sketch distinct counting: per-DAY HLL register "
+        "tables of user_id (one pass over events, <= 4096 rows per "
+        "day), then weekly uniques by MERGING the daily registers "
+        "(max) — no second pass over raw data. THE pattern for "
+        "distinct-count rollups at 100 TB: sketches are tiny, "
+        "mergeable across partitions/days/clusters, and reusable for "
+        "any coarser rollup. The engine-portable implementation "
+        "(operators/sketches.py hll_registers/hll_merge/hll_estimate) "
+        "keeps ~1.6% RSE at p=12 (bounded at 5% by pytest + the "
+        "x_sketch_hll_bound oracle) while every step replays in ANSI "
+        "SQL. Returns (week, approx_users, exact_users) so the "
+        "estimate quality is visible.",
 )
 def x_sketch_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
     events = _t(spark, sf_dir, "events")
     ev = events.select(
         F.to_date("ts").alias("day"),
         F.weekofyear(F.col("ts")).alias("week"),
         "user_id",
     )
-    daily = ev.groupBy("week", "day").agg(
-        F.hll_sketch_agg("user_id").alias("sketch")
-    )
-    weekly_approx = daily.groupBy("week").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users")
-    )
+    daily = hll_registers(ev, "user_id", ["week", "day"])
+    weekly = hll_merge(daily, ["week"])
+    weekly_approx = hll_estimate(weekly, ["week"], out_col="approx_users")
     weekly_exact = ev.groupBy("week").agg(
         F.countDistinct("user_id").alias("exact_users")
     )

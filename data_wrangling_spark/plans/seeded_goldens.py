@@ -1,11 +1,14 @@
 """Golden-hash oracles for the seeded (non-SQL-expressible) queries.
 
 The xxhash-seeded MinHash/SimHash/hyperplane-LSH families, Lloyd-IVF,
-MLlib BRP, and the HLL rollup cannot be re-expressed as ANSI SQL DuckDB
-could run independently (their values depend on Spark-internal seeded
-hashing). Round 4 left them as rows-only driver checks; per the round-4
-brief they are upgraded to hash-checked via content-addressed goldens —
-the same committed-expected-output technique as ``plans/osm_oracle.py``.
+and MLlib BRP cannot be re-expressed as ANSI SQL DuckDB could run
+independently (their values depend on Spark-internal seeded hashing).
+Round 4 left them as rows-only driver checks; per the round-4 brief
+they are upgraded to hash-checked via content-addressed goldens — the
+same committed-expected-output technique as ``plans/osm_oracle.py``.
+(The HLL rollup left this file in round 7: the engine-portable HLL in
+``operators/sketches.py`` made its oracle a full independent SQL
+re-derivation — hash, registers, and estimate all replayed by DuckDB.)
 
 PROVENANCE POLICY (be honest about what this checks): two tiers.
 
@@ -18,20 +21,18 @@ PROVENANCE POLICY (be honest about what this checks): two tiers.
   ``operators/dedup.py``) must produce the identical rows before the
   capture script will pin a golden, and the comparisons also run as
   standing pytests at sf0.001 (test_dedup.py).
-- The remaining three (Lloyd-IVF, MLlib BRP, HLL) are
+- The remaining two (Lloyd-IVF, MLlib BRP) are
   pinned snapshots of the engine's own output, captured at
   a moment when the SEMANTIC pins were green — the recall/equivalence
-  pytest suites (test_dedup.py, test_similarity.py, test_sketches.py)
+  pytest suites (test_dedup.py, test_similarity.py)
   remain the ground truth for meaning, and a cross-partitioning
-  determinism probe (7/7 stable at shuffle.partitions ∈ {7, 32, 64})
+  determinism probe (stable at shuffle.partitions ∈ {7, 32, 64})
   backs the snapshot's stability: a regression oracle, not an
   independent derivation. (Lloyd-IVF iterates DISTRIBUTED partial-sum
   means whose float64 accumulation order is partition-dependent, and
-  the MLlib BRP form lives behind MLlib's own hashing and Spark's HLL
-  rollup behind its internal HLL++ sketch — re-deriving those
-  independently would mean re-implementing engine internals whose
-  accumulation order or sketch layout the engine deliberately does not
-  promise.)
+  the MLlib BRP form lives behind MLlib's own hashing — re-deriving
+  those independently would mean re-implementing engine internals
+  whose accumulation order the engine deliberately does not promise.)
 
 Changing a seeded implementation deliberately requires re-running the
 capture script and the full suite.

@@ -41,7 +41,9 @@ QUERY_TABLES = {
     "x_sim_topk_lsh": "embeddings",
     "x_sim_topk_ivf": "embeddings",
     "x_sim_topk_mllib_brp": "embeddings",
-    "x_sketch_hll_weekly_users": "events",
+    # x_sketch_hll_weekly_users left this list in round 7: the
+    # engine-portable HLL (operators/sketches.py) made its oracle a
+    # full independent SQL re-derivation, no snapshot needed
 }
 
 

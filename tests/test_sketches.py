@@ -196,3 +196,89 @@ def test_bloom_reserved_output_column_refused(spark):
     probes = members.withColumn("might_contain", F.lit(1))
     with pytest.raises(ValueError, match="reserved"):
         bloom_might_contain(probes, bloom, "g", m=4096)
+
+
+def test_hll_hash_matches_pure_python_replay(spark):
+    """The portable HLL hash (fold -> xor-shift avalanche, two odd
+    multiplies mod 2^32) re-derived in pure Python must match the
+    Spark expressions bit-exactly on probe keys — the independent-
+    derivation standard the MinHash family uses."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.operators import sketches as SK
+
+    def fold32(k):
+        return (k >> 32) ^ (k & 0xFFFFFFFF)
+
+    def avalanche(x):
+        x = ((x ^ (x >> 16)) * 0x45D9F3B) % (1 << 32)
+        x = ((x ^ (x >> 16)) * 0x119DE1F3) % (1 << 32)
+        return x ^ (x >> 16)
+
+    def py_bucket(k, p=12):
+        return avalanche(fold32(k)) % (1 << p)
+
+    def py_rho(k):
+        h2 = avalanche(fold32(k) ^ 0x9E3779B9)
+        return 33 if h2 == 0 else 33 - len(bin(h2)[2:])
+
+    probes = [0, 1, 2, 4095, 4096, 65535, 10**9, 2**31, 2**40 + 17, 2**62]
+    df = spark.createDataFrame([(k,) for k in probes], "k long")
+    got = {
+        r.k: (r.b, r.r)
+        for r in df.select(
+            "k",
+            SK.hll_bucket(F.col("k")).alias("b"),
+            SK.hll_rho(F.col("k")).alias("r"),
+        ).collect()
+    }
+    for k in probes:
+        assert got[k] == (py_bucket(k), py_rho(k)), k
+
+
+def test_hll_merge_equals_direct_build(spark):
+    """Register tables merge by max: per-half sketches merged ==
+    one-pass sketch over the union — the property that lets per-day /
+    per-partition sketches roll up without revisiting raw data."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+    from data_wrangling_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = hll_merge(
+        hll_registers(half_a, "user_id", []).unionByName(
+            hll_registers(half_b, "user_id", [])
+        ),
+        [],
+    )
+    direct = hll_registers(ev, "user_id", [])
+    assert sorted((r.bucket, r.rho_max) for r in merged.collect()) == sorted(
+        (r.bucket, r.rho_max) for r in direct.collect()
+    )
+    est = lambda regs: hll_estimate(  # noqa: E731
+        regs.withColumn("_g", F.lit(1)), ["_g"]
+    ).collect()[0].approx_distinct
+    assert est(merged) == est(direct)
+
+
+def test_hll_null_keys_excluded_like_count_distinct(spark):
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,), (None,)], "k long"
+    )
+    regs = hll_registers(df, "k", [])
+    est = hll_estimate(regs.withColumn("_g", F.lit(1)), ["_g"]).collect()[0]
+    assert est.approx_distinct == 3  # linear counting is exact here
