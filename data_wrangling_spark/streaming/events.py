@@ -566,3 +566,56 @@ def sessionize_stream(
     q.awaitTermination()
     _record_state_rows(q, progress_out)
     return None if sink == "noop" else spark.table(table_name)
+
+
+def sessionize_stream_native(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "30 minutes",
+    table_name: str = "stream_sessions_native",
+    sink: str = "memory",
+    progress_out: dict | None = None,
+) -> DataFrame | None:
+    """Gap sessionization via Spark's NATIVE ``session_window``
+    aggregation — the A/B twin of :func:`sessionize_stream` (round-7
+    verdict item: measure which form wins at which state size, like
+    the advisory-size analysis; numbers in SCALING.md's streaming
+    section).
+
+    Row-identical output by construction: ``session_window``'s window
+    end is last-event + gap, so ``session_end`` aggregates ``max(ts)``
+    directly instead of reading the window bound; append mode emits a
+    session when the watermark passes window end = last_event + gap —
+    the same close rule as the custom operator's event-time timeout,
+    so sessions still open when the bounded source drains stay
+    unemitted in both forms (equivalence pinned in
+    tests/test_streaming_sessionize.py).
+
+    Trade-off being measured: the native form keeps per-EVENT window
+    state until merge/close (JVM-side, no Arrow transfer, no Python
+    workers); the custom form keeps one (start, end, n) triple per
+    ACTIVE USER (Arrow-batched Python). State bound favors the custom
+    op; per-row cost favors the native aggregate.
+    """
+    from pyspark.sql import functions as F
+
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    out = (
+        events.select("user_id", "ts")
+        .groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    writer = out.writeStream.outputMode("append").trigger(availableNow=True)
+    if sink == "noop":
+        q = writer.format("noop").start()
+    else:
+        q = writer.format("memory").queryName(table_name).start()
+    q.awaitTermination()
+    _record_state_rows(q, progress_out)
+    return None if sink == "noop" else spark.table(table_name)

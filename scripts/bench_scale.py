@@ -517,6 +517,7 @@ def main() -> None:
         from data_wrangling_spark.streaming.events import (
             dedup_stream,
             sessionize_stream,
+            sessionize_stream_native,
         )
 
         stream_data = {}
@@ -525,6 +526,10 @@ def main() -> None:
             for fn, qname in (
                 (dedup_stream, "x_stream_dedup"),
                 (sessionize_stream, "x_stream_sessionize"),
+                # round-7 A/B: the native session_window aggregation vs
+                # the custom stateful op (row-identical, pinned) — which
+                # form wins at which state size, recorded per scale
+                (sessionize_stream_native, "x_stream_sessionize_native"),
             ):
                 prog: dict = {}
                 t0 = time.perf_counter()

@@ -63,3 +63,28 @@ def test_stream_equals_batch_minus_open_trailing_sessions(spark):
     # the withheld tail must be small relative to the corpus
     n_batch = len({(r.user_id, r.session_no) for r in batch})
     assert len(got) >= 0.9 * n_batch
+
+
+def test_native_session_window_equals_custom_stateful(spark):
+    """The session_window aggregation (sessionize_stream_native) must
+    emit EXACTLY the custom applyInPandasWithState operator's sessions
+    on the same bounded drain — same close rule (watermark past
+    last_event + gap), same values (session_end = max(ts), not the
+    window bound, which is last event + gap)."""
+    from data_wrangling_spark.streaming.events import (
+        sessionize_stream,
+        sessionize_stream_native,
+    )
+
+    custom = sessionize_stream(
+        spark, SF_DIR, gap_minutes=GAP_MIN,
+        watermark=f"{WATERMARK_MIN} minutes",
+        table_name="t_ab_custom",
+    ).collect()
+    native = sessionize_stream_native(
+        spark, SF_DIR, gap_minutes=GAP_MIN,
+        watermark=f"{WATERMARK_MIN} minutes",
+        table_name="t_ab_native",
+    ).collect()
+    key = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events)  # noqa: E731
+    assert sorted(map(key, custom)) == sorted(map(key, native))
