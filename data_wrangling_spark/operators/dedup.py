@@ -180,44 +180,41 @@ def shingles_from_tokens(toks: "F.Column", n: int = 3):
 
 def gram_hashes_from_tokens(toks: "F.Column", n: int = 3):
     """Distinct 64-bit hashes of each n consecutive tokens — the
-    allocation-free twin of :func:`shingles_from_tokens` for pipelines
-    that only need n-gram IDENTITY, not the string (cross-doc frequency
-    counting, candidate generation). ``xxhash64(t_i, ..., t_{i+n-1})``
-    chains per-field hashing with the running value as seed, so
-    shifted-boundary token splits cannot alias; no intermediate string
-    is ever built (measured on boilerplate_spans at 100x: the string
-    aggregate's 26M concat_ws allocations + string hash-agg keys were
-    ~30% of query wall vs hashing into longs, scripts/
+    allocation-free twin of :func:`shingles` for pipelines that only
+    need n-gram IDENTITY, not the string (cross-doc frequency counting,
+    candidate generation): no intermediate gram string is ever built,
+    and downstream joins/aggregates key on longs instead of strings
+    (measured on boilerplate_spans at 100x: 23.8s -> 16.7s, scripts/
     bench_boilerplate_ab.py).
 
-    Same contract as ``shingles_from_tokens``: distinct hashes, [] for
-    texts shorter than n tokens, NULL for NULL input. Collisions merge
-    two distinct n-grams with probability ~(distinct grams)^2 / 2^65 —
-    negligible at any realistic vocabulary, and consumers that
-    reconstruct strings (boilerplate_spans) stay oracle-checked in the
-    string domain, so a collision would surface as a driver mismatch.
+    Built like ``shingles`` — a chain of zip_with over n SHIFTED SLICES
+    — hashing pairwise per level: ``h_1[i] = xxhash64(t_i)``, ``h_j[i]
+    = xxhash64(h_{j-1}[i], t_{i+j-1})``. Every lambda touches only its
+    BOUND zip variables, never the token array: an earlier form read
+    ``try_element_at(toks, i+j)`` inside a per-element lambda, and even
+    with ``toks`` staged as a projected column, filter pushdown +
+    InferFiltersFromGenerate re-inlined the tokenization expression
+    into the lambda — O(tokens^2) re-tokenization per row (4.5x query
+    wall at a 10x bench scale; the exact trap ``shingles``' docstring
+    describes). Per-field length framing is preserved by the chain
+    (each level hashes one whole token against the running hash), so
+    shifted-boundary splits ('ab c' vs 'a bc') cannot alias.
 
-    The trailing n-1 positions hash PARTIAL grams (try_element_at past
-    the end is NULL and xxhash64 skips NULL fields), so slice to the
-    first m — same guard as shingles_from_tokens."""
-    m = F.size(toks) - F.lit(n - 1)
-    grams = F.slice(
-        F.transform(
-            toks,
-            lambda x, i: F.xxhash64(
-                x,
-                *[
-                    F.try_element_at(toks, i + F.lit(j + 1))
-                    for j in range(1, n)
-                ],
-            ),
-        ),
-        1,
-        F.greatest(m, F.lit(0)),
-    )
-    return F.when(toks.isNull(), F.lit(None).cast("array<long>")).otherwise(
-        F.array_distinct(grams)
-    )
+    Same contract as ``shingles``: distinct hashes, [] for texts
+    shorter than n tokens, NULL for NULL input (accepting an expression
+    is safe here for the same reason it is in ``shingles``). Collisions
+    merge two distinct n-grams with probability ~(distinct grams)^2 /
+    2^65 — negligible at any realistic vocabulary, and consumers that
+    reconstruct strings (boilerplate_spans) or emit statuses
+    (dedup_incremental) stay oracle-checked in the string domain, so a
+    collision would surface as a driver mismatch."""
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    acc = F.transform(F.slice(toks, 1, m), lambda x: F.xxhash64(x))
+    for j in range(2, n + 1):
+        acc = F.zip_with(
+            acc, F.slice(toks, j, m), lambda h, x: F.xxhash64(h, x)
+        )
+    return F.array_distinct(acc)
 
 
 def ngram_jaccard_pairs(
@@ -923,18 +920,28 @@ def dedup_incremental(
     is batch-postings x per-shingle index fan-out, never corpus x
     corpus; ``max_df`` prunes stop-shingles on BOTH sides before the
     join (the f^2-pair valve, applied as f_batch x f_index here). Pair
-    aggregation keys are candidate (batch, index) pairs only."""
-    from data_wrangling_spark.functions.text import fingerprint
+    aggregation keys are candidate (batch, index) pairs only.
+
+    Postings are 64-bit GRAM HASHES, not strings (round-7 scale find):
+    shingle identity is internal to this operator — only statuses leave
+    — and the valve path consumes each side's postings three times
+    (df aggregate, pruned sizes, pair join), so string construction ran
+    ~3x per side and dominated wall time (41s at a 10x bench scale;
+    hashed: the same pipeline on longs). Same collision caveat as
+    :func:`gram_hashes_from_tokens` — ~(vocab^2)/2^65, and the
+    registered query's oracle derives statuses from string shingles
+    independently, so a collision would surface as a driver mismatch."""
+    from data_wrangling_spark.functions.text import fingerprint, tokens
 
     new_base = new_df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_nid"),
         fingerprint(text_col).alias("_nfp"),
-        shingles(text_col, n).alias("_nsh"),
+        gram_hashes_from_tokens(tokens(text_col), n).alias("_nsh"),
     )
     idx_base = index_df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_iid"),
         fingerprint(text_col).alias("_ifp"),
-        shingles(text_col, n).alias("_ish"),
+        gram_hashes_from_tokens(tokens(text_col), n).alias("_ish"),
     )
     # exact: smallest index id per fingerprint, one equi join
     fp_idx = idx_base.groupBy("_ifp").agg(F.min("_iid").alias("_exact_match"))
@@ -962,7 +969,15 @@ def dedup_incremental(
         # pruned postings (ngram_jaccard_pairs semantics: the value is
         # the exact Jaccard of the PRUNED sets) — pre-prune F.size
         # would systematically understate Jaccard and misclassify
-        # near-dups as fresh
+        # near-dups as fresh.
+        # Cost note (measured at a 10x bench scale): each side's
+        # postings feed three consumers (df aggregate, pruned sizes,
+        # pair join) and Spark shares no subplan without a materialized
+        # exchange, so hash construction runs per consumer — but the
+        # gram-hash form is cheap enough (longs, no string allocs)
+        # that the candidate-pair aggregate dominates end to end
+        # (28s of a 29s query); an explicit repartition-for-reuse
+        # staging was measured a wash and removed.
         sh_new = new_base.select("_nid", F.explode("_nsh").alias("_sh"))
         sh_idx = idx_base.select("_iid", F.explode("_ish").alias("_sh"))
         heavy = (

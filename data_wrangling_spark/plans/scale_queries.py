@@ -4652,18 +4652,28 @@ def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), tok_i AS (
             SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
             FROM idx
-        ), sh_n AS (
+        ), sh_n0 AS (
             SELECT doc_id, unnest(list_distinct(
                 list_transform(range(1, greatest(len(toks) - 1, 1)),
                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
                 AS sh
             FROM tok_n WHERE len(toks) >= 3
-        ), sh_i AS (
+        ), sh_i0 AS (
             SELECT doc_id, unnest(list_distinct(
                 list_transform(range(1, greatest(len(toks) - 1, 1)),
                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
                 AS sh
             FROM tok_i WHERE len(toks) >= 3
+        ), heavy AS (
+            SELECT sh FROM (
+                SELECT sh FROM sh_n0 UNION ALL SELECT sh FROM sh_i0
+            ) GROUP BY sh HAVING COUNT(*) > 100
+        ), sh_n AS (
+            SELECT * FROM sh_n0 s
+            WHERE NOT EXISTS (SELECT 1 FROM heavy h WHERE h.sh = s.sh)
+        ), sh_i AS (
+            SELECT * FROM sh_i0 s
+            WHERE NOT EXISTS (SELECT 1 FROM heavy h WHERE h.sh = s.sh)
         ), sz_n AS (
             SELECT doc_id, COUNT(*) AS na FROM sh_n GROUP BY doc_id
         ), sz_i AS (
@@ -4695,8 +4705,14 @@ def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "— exact_dup by normalized fingerprint equi join, near_dup by "
         "cross-relation shingle-Jaccard (batch postings x index "
         "fan-out, never corpus x corpus — the shape that keeps daily "
-        "ingestion linear in the batch), else fresh; match_id is the "
-        "smallest matching index id. Fully re-derived by the oracle.",
+        "ingestion linear in the batch) WITH the max_df=100 stop-shingle "
+        "valve engaged (round-7 scale find: the driver corpus is "
+        "replication-dense, so every shingle's df multiplies with scale "
+        "and the unvalved pair join went 2.9s at sf0.1 -> 297s at 20x; "
+        "valved, sizes are recomputed on the pruned postings so the "
+        "value is the exact Jaccard of the pruned sets), else fresh; "
+        "match_id is the smallest matching index id. Fully re-derived "
+        "by the oracle, pruning included.",
 )
 def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.dedup import dedup_incremental
@@ -4704,7 +4720,9 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     new_b = docs.filter(F.col("doc_id") % 5 == 0)
     idx = docs.filter(F.col("doc_id") % 5 != 0)
-    return dedup_incremental(new_b, idx, threshold=0.3).orderBy("doc_id")
+    return dedup_incremental(
+        new_b, idx, threshold=0.3, max_df=100
+    ).orderBy("doc_id")
 
 
 @register(

@@ -337,6 +337,12 @@ def duckdb_time_suite(
 
     con = duckdb.connect()
     con.execute(f"SET threads={threads}")
+    # cap + spill: DuckDB's default memory_limit (~80% of RAM) plus the
+    # 24g Spark JVM invited the kernel OOM killer on the heaviest scaled
+    # oracles (the round-7 regeneration died mid 20x extras); capped,
+    # they spill to disk instead
+    con.execute("SET memory_limit='40GB'")
+    con.execute("SET temp_directory='/tmp/dws-duck-spill'")
     for t in list(SHIFT_COLS) + DIM_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         src = p if os.path.isfile(p) else os.path.join(p, "*.parquet")
@@ -359,7 +365,18 @@ def duckdb_time_suite(
     for name, spec in specs.items():
         if not spec.oracle:
             continue
+        t0 = time.perf_counter()
         _consume(spec.oracle)
+        warm = time.perf_counter() - t0
+        if warm > 60.0:
+            # slow-oracle fallback: a >60s oracle would cost 4+ minutes
+            # for a median-of-3 (the SemDeDup chained-CTE re-derivation
+            # runs ~173s at 10x); record the single measured run — a
+            # COLD one, so if anything it flatters DuckDB's ratio less
+            timings[name] = round(warm, 3)
+            print(f"duckdb {name}: single-run {warm:.1f}s (slow oracle)",
+                  file=sys.stderr)
+            continue
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
