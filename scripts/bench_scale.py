@@ -324,8 +324,19 @@ def time_suite(
     return timings, round(statistics.median(runs_c), 3)
 
 
+#: oracles whose DuckDB re-derivation is PATHOLOGICAL at scale, skipped
+#: at multiplier >= the value (recorded as missing, footnoted in
+#: SCALING.md): x_dedup_semantic's oracle is an independent chained-CTE
+#: Lloyd + within-cluster pair join — quadratic intermediates that
+#: spilled >70 GB at 20x under a 40 GB memory cap (267s single-run at
+#: 10x). The SPARK side is the scale path (Arrow matmul assignment);
+#: the oracle exists for correctness at driver scales, not speed.
+DUCK_ORACLE_SKIP: dict[str, int] = {"x_dedup_semantic": 20}
+
+
 def duckdb_time_suite(
-    specs, sf_dir: str, threads: int, sink: str = "fetch"
+    specs, sf_dir: str, threads: int, sink: str = "fetch",
+    skip: set[str] | None = None,
 ) -> dict[str, float]:
     """Time each bench query's ANSI oracle in DuckDB over the SAME
     parquet files (views over the per-table file or directory), same
@@ -364,6 +375,10 @@ def duckdb_time_suite(
 
     for name, spec in specs.items():
         if not spec.oracle:
+            continue
+        if skip and name in skip:
+            print(f"duckdb {name}: skipped (DUCK_ORACLE_SKIP)",
+                  file=sys.stderr)
             continue
         t0 = time.perf_counter()
         _consume(spec.oracle)
@@ -470,8 +485,10 @@ def main() -> None:
             print(f"extras {label}: {json.dumps(ex_results[label])}",
                   file=sys.stderr)
             if duck_on:
+                mult = int(label.split("x")[0]) if label.endswith("x sf0.1") else 1
+                skip = {n for n, m in DUCK_ORACLE_SKIP.items() if mult >= m}
                 ex_duck[label] = duckdb_time_suite(
-                    extra_specs, d, threads=cpus, sink="table"
+                    extra_specs, d, threads=cpus, sink="table", skip=skip
                 )
                 print(f"extras {label} duckdb: {json.dumps(ex_duck[label])}",
                       file=sys.stderr)
@@ -737,7 +754,11 @@ def _extras_section(a, scales, extras_data) -> None:
     a("DuckDB column uses a temp-table sink (full materialization, no client")
     a("transfer) because the chunking query emits millions of text rows at")
     a(f"{top_label} — the closer twin of Spark's noop sink; the headline")
-    a("section's fetch-based numbers are unchanged.")
+    a("section's fetch-based numbers are unchanged. A `—` DuckDB cell means")
+    a("the oracle re-derivation is skipped at that scale (DUCK_ORACLE_SKIP:")
+    a("x_dedup_semantic's chained-CTE Lloyd spilled >70 GB at 20x under a")
+    a("40 GB memory cap — the oracle exists for correctness at driver")
+    a("scales; the Spark operator is the scale path).")
     a("")
     hdr = "| query | " + " | ".join(s for s, _, _ in scales)
     has_duck = bool(ex_duck)
