@@ -39,8 +39,13 @@ def char_count(col: Column | str) -> Column:
 
 def punct_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    # pattern must be a Column: a bare str is taken as a column NAME here
-    return F.regexp_count(c, F.lit(r"[\.,;:!\?]"))
+    # length-difference after translate-ing the punctuation class away:
+    # for a SINGLE-CHAR class this equals regexp_count(c, '[\.,;:!\?]')
+    # exactly, but translate is a per-char map lookup while regexp_count
+    # walks the automaton per position — measurably cheaper on the
+    # x_text_stats narrow scan, which sat at the 2x-of-DuckDB line at
+    # 100x (round-7 verdict, What's wrong #2)
+    return F.length(c) - F.length(F.translate(c, ".,;:!?", ""))
 
 
 def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Column:

@@ -274,12 +274,19 @@ def hll_registers(
     <= 2^p rows per group. ONE hash aggregate with constant-size
     max buffers; NULL keys are excluded (COUNT DISTINCT semantics).
     Register tables for the same p MERGE by max — ``hll_registers`` of
-    a union == ``hll_merge`` of per-part tables, no raw-data revisit."""
+    a union == ``hll_merge`` of per-part tables, no raw-data revisit.
+
+    The table carries its precision as a ``_hll_p`` column (constant
+    literal, free after parquet RLE): building at one p and merging or
+    estimating at another silently mis-computes V = m - |buckets|, so
+    ``hll_merge``/``hll_estimate`` fail fast on a mismatch instead
+    (advisor find, round 7)."""
     key = F.col(key_col)
     return (
         df.filter(key.isNotNull())
         .groupBy(*group_cols, hll_bucket(key, p).alias("bucket"))
         .agg(F.max(hll_rho(key)).alias("rho_max"))
+        .withColumn("_hll_p", F.lit(p))
     )
 
 
@@ -287,7 +294,32 @@ def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     """Union register tables built at the same p: max per (group,
     bucket). Exact and order-free (max is associative/commutative), so
     per-day/per-partition/per-cluster sketches roll up to any coarser
-    grouping without a second pass over raw data."""
+    grouping without a second pass over raw data.
+
+    Merging parts built at DIFFERENT p would silently corrupt the
+    estimate; when the inputs carry ``_hll_p`` the merged plan raises
+    at execution on any disagreement (constant-folded away when all
+    parts agree is not guaranteed, but the check is one min/max pair
+    over O(groups * 2^p) register rows — control-plane cost)."""
+    if "_hll_p" in registers.columns:
+        merged = registers.groupBy(*group_cols, "bucket").agg(
+            F.max("rho_max").alias("rho_max"),
+            F.min("_hll_p").alias("_p_lo"),
+            F.max("_hll_p").alias("_p_hi"),
+        )
+        guard = F.when(
+            F.col("_p_lo") != F.col("_p_hi"),
+            F.raise_error(
+                F.concat(
+                    F.lit("hll_merge: register tables built at different "
+                          "precisions p="),
+                    F.col("_p_lo"), F.lit(" vs p="), F.col("_p_hi"),
+                )
+            ).cast("int"),
+        ).otherwise(F.col("_p_hi"))
+        return merged.select(
+            *group_cols, "bucket", "rho_max", guard.alias("_hll_p")
+        )
     return registers.groupBy(*group_cols, "bucket").agg(
         F.max("rho_max").alias("rho_max")
     )
@@ -301,8 +333,36 @@ def hll_estimate(
 ) -> DataFrame:
     """Distinct-count estimate per group from a register table. All
     inputs to the two float steps (one division, optional ln) are exact
-    integers, so the estimate is engine-portable (see module notes)."""
+    integers, so the estimate is engine-portable (see module notes).
+
+    Fails fast (plan-level ``raise_error``, one comparison per register
+    row) when the table was built at a different precision than ``p``:
+    via the carried ``_hll_p`` column when present, else by the
+    necessary condition bucket < 2^p (catches built-at-larger-p;
+    advisor find, round 7)."""
     m = 1 << p
+    if "_hll_p" in registers.columns:
+        chk = F.when(
+            F.col("_hll_p") != F.lit(p),
+            F.raise_error(
+                F.concat(
+                    F.lit("hll_estimate: registers built at p="),
+                    F.col("_hll_p"),
+                    F.lit(f", estimating at p={p}"),
+                )
+            ).cast("int"),
+        ).otherwise(F.col("rho_max"))
+    else:
+        chk = F.when(
+            F.col("bucket") >= F.lit(m),
+            F.raise_error(
+                F.lit(
+                    f"hll_estimate: bucket >= 2^{p} — registers were "
+                    "built at a larger precision than the estimate p"
+                )
+            ).cast("int"),
+        ).otherwise(F.col("rho_max"))
+    registers = registers.withColumn("rho_max", chk)
     # alpha_m * m^2 * 2^33 as ONE python-computed double literal,
     # embedded identically in the SQL oracle via hll_estimate_sql
     c = (0.7213 / (1.0 + 1.079 / m)) * m * m * 8589934592.0

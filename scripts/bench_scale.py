@@ -125,6 +125,10 @@ EXTRA_QUERIES = [
     "ext_table_profile",
     "x_dedup_incremental",
     "ext_ohlc_bars",
+    # round-8 additions: the de-globalized sequence packer (two-pass
+    # distributed prefix sum — the round-7 verdict's last scale-killer,
+    # now needing its committed multi-scale row)
+    "x_text_sequence_pack",
 ]
 
 # ---------------------------------------------------------------- skew --

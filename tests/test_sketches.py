@@ -282,3 +282,35 @@ def test_hll_null_keys_excluded_like_count_distinct(spark):
     regs = hll_registers(df, "k", [])
     est = hll_estimate(regs.withColumn("_g", F.lit(1)), ["_g"]).collect()[0]
     assert est.approx_distinct == 3  # linear counting is exact here
+
+
+def test_hll_precision_mismatch_fails_fast(spark):
+    """Round-7 advisor find: registers built at one p, estimated or
+    merged at another, silently mis-computed V = m - |buckets|. The
+    carried _hll_p column now raises at execution instead."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from data_wrangling_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    regs12 = hll_registers(df, "k", [], p=12).withColumn("_g", F.lit(1))
+    with pytest.raises(Exception, match="hll_estimate: registers built at p="):
+        hll_estimate(regs12, ["_g"], p=10).collect()
+    # merge of mismatched-precision parts raises too
+    regs10 = hll_registers(df, "k", [], p=10).withColumn("_g", F.lit(1))
+    with pytest.raises(Exception, match="different\\s+precisions|different precisions"):
+        hll_merge(regs12.unionByName(regs10), ["_g"]).collect()
+    # matched precision still estimates fine (linear-counting regime,
+    # a few % collision error at 1000 keys / 4096 buckets)
+    got = hll_estimate(regs12, ["_g"], p=12).collect()[0].approx_distinct
+    assert abs(got - 1000) <= 50, got
+    # legacy p-column-free tables: the bucket-range necessary condition
+    legacy = regs12.drop("_hll_p")
+    with pytest.raises(Exception, match="larger precision"):
+        hll_estimate(legacy, ["_g"], p=8).collect()
