@@ -39,13 +39,13 @@ def char_count(col: Column | str) -> Column:
 
 def punct_count(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    # length-difference after translate-ing the punctuation class away:
-    # for a SINGLE-CHAR class this equals regexp_count(c, '[\.,;:!\?]')
-    # exactly, but translate is a per-char map lookup while regexp_count
-    # walks the automaton per position — measurably cheaper on the
-    # x_text_stats narrow scan, which sat at the 2x-of-DuckDB line at
-    # 100x (round-7 verdict, What's wrong #2)
-    return F.length(c) - F.length(F.translate(c, ".,;:!?", ""))
+    # pattern must be a Column: a bare str is taken as a column NAME here.
+    # Measured A/B (round 8, 500k docs): the "cheaper" translate form
+    # (length(c) - length(translate(c, '.,;:!?', ''))) is ~40% SLOWER in
+    # the full x_text_stats pipeline — translate allocates the stripped
+    # copy of every document while regexp_count counts in place. Keep
+    # the regex.
+    return F.regexp_count(c, F.lit(r"[\.,;:!\?]"))
 
 
 def stopword_count(col: Column | str, stopwords: list[str] | None = None) -> Column:

@@ -111,7 +111,11 @@ def audit(
     )
 
 
-def profile_table(df: DataFrame, columns: list[tuple[str, Column]]) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    columns: list[tuple[str, Column]],
+    input_is_scan: bool = True,
+) -> DataFrame:
     """Data-profiling summary — the schema-quality audit a pipeline runs
     before trusting a new landing table: per column, row count, null
     count, EXACT distinct count, and min/max rendered to engine-portable
@@ -135,7 +139,48 @@ def profile_table(df: DataFrame, columns: list[tuple[str, Column]]) -> DataFrame
     previous single-pass form computed all exact distincts in ONE
     aggregate, which Catalyst executes via Expand — input replicated
     x(columns + 1) through the hash aggregate; measured at a 20x bench
-    scale the union form is 13.0s -> 2.2s with identical output."""
+    scale the union form is 13.0s -> 2.2s with identical output.
+
+    ASSUMPTION (advisor note, round 7): the union form re-executes the
+    upstream plan once per profiled column, so its win RELIES on ``df``
+    being a pruned FILE SCAN (each branch then reads only its column).
+    Profiling a DERIVED/computed DataFrame that way would run the
+    upstream pipeline O(columns) times — for that shape pass
+    ``input_is_scan=False``, which switches to the single-pass Expand
+    aggregate (ONE scan of the derived input, identical output; the
+    Expand x(columns+1) row replication is the right trade when the
+    alternative is recomputing the pipeline per column). Callers may
+    also ``.cache()`` the derived input and keep the union form."""
+    if not input_is_scan:
+        aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+        for i, (_, col) in enumerate(columns):
+            v = col.cast("string")
+            aggs.extend([
+                F.sum(v.isNull().cast("long")).alias(f"_null_{i}"),
+                F.count_distinct(v).alias(f"_dst_{i}"),
+                F.min(v).alias(f"_min_{i}"),
+                F.max(v).alias(f"_max_{i}"),
+            ])
+        wide = df.agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(name).alias("column"),
+                F.col("_n").cast("long").alias("n_rows"),
+                # empty input: SUM over zero rows is NULL, match the
+                # union form's coalesce-to-0
+                F.coalesce(F.col(f"_null_{i}"), F.lit(0))
+                .cast("long").alias("n_null"),
+                F.col(f"_dst_{i}").cast("long").alias("n_distinct"),
+                F.col(f"_min_{i}").alias("min_value"),
+                F.col(f"_max_{i}").alias("max_value"),
+            )
+            for i, (name, _) in enumerate(columns)
+        ]
+        return (
+            wide.select(F.explode(F.array(*structs)).alias("_p"))
+            .select("_p.*")
+            .orderBy("column")
+        )
     branches = []
     for name, col in columns:
         v = col.cast("string").alias("_v")

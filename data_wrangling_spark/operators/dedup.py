@@ -201,8 +201,16 @@ def gram_hashes_from_tokens(toks: "F.Column", n: int = 3):
     shifted-boundary splits ('ab c' vs 'a bc') cannot alias.
 
     Same contract as ``shingles``: distinct hashes, [] for texts
-    shorter than n tokens, NULL for NULL input (accepting an expression
-    is safe here for the same reason it is in ``shingles``). Collisions
+    shorter than n tokens, NULL for NULL input. Passing an expression
+    (rather than a staged column) is LINEAR-safe, not free: ``toks`` is
+    instantiated n+3 times (size + the shifted slices + their length
+    args), so an expression input plants that many copies of itself in
+    the plan — runtime subexpression elimination within the ProjectExec
+    usually dedups them, but callers on a hot path should project the
+    token array first (dedup_incremental and shingle_novelty do; the
+    quadratic re-tokenization trap the paragraph above describes was a
+    separate, lambda-capture problem and stays fixed either way).
+    Collisions
     merge two distinct n-grams with probability ~(distinct grams)^2 /
     2^65 — negligible at any realistic vocabulary, and consumers that
     reconstruct strings (boilerplate_spans) or emit statuses
@@ -933,15 +941,29 @@ def dedup_incremental(
     independently, so a collision would surface as a driver mismatch."""
     from data_wrangling_spark.functions.text import fingerprint, tokens
 
+    # tokens STAGED as a projected column, not passed as an expression:
+    # gram_hashes_from_tokens references its input n+3 times (size + n
+    # shifted slices + their length args), so the expression form plants
+    # that many copies of the tokenize regex in the plan — runtime
+    # subexpression elimination usually dedups them within one
+    # ProjectExec, but the staged multi-use alias survives
+    # CollapseProject by construction (advisor find, round 7; same
+    # defense as quality_features)
     new_base = new_df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_nid"),
         fingerprint(text_col).alias("_nfp"),
-        gram_hashes_from_tokens(tokens(text_col), n).alias("_nsh"),
+        tokens(text_col).alias("_toks"),
+    ).select(
+        "_nid", "_nfp",
+        gram_hashes_from_tokens(F.col("_toks"), n).alias("_nsh"),
     )
     idx_base = index_df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_iid"),
         fingerprint(text_col).alias("_ifp"),
-        gram_hashes_from_tokens(tokens(text_col), n).alias("_ish"),
+        tokens(text_col).alias("_toks"),
+    ).select(
+        "_iid", "_ifp",
+        gram_hashes_from_tokens(F.col("_toks"), n).alias("_ish"),
     )
     # exact: smallest index id per fingerprint, one equi join
     fp_idx = idx_base.groupBy("_ifp").agg(F.min("_iid").alias("_exact_match"))
@@ -950,15 +972,24 @@ def dedup_incremental(
     ).select("_nid", "_nsh", "_exact_match")
 
     # near: cross-relation shingle inverted index
+    # explode_outer everywhere below, NOT explode: InferFiltersFromGenerate
+    # plants a size(grams) > 0 filter under a plain explode, and predicate
+    # pushdown substitutes the WHOLE gram-hash chain into that filter —
+    # HOF chains sit outside codegen's subexpression elimination, so the
+    # grams were computed twice per row (round-8 plan audit). Outer
+    # generates infer nothing; the null row an empty array emits is
+    # dropped by a cheap isNotNull on the exploded long.
     if max_df is None:
         # sizes ride along in the postings (arrays are distinct, so
         # F.size == posting count) — no extra shuffle
         sh_new = new_base.select(
-            "_nid", F.size("_nsh").alias("_na"), F.explode("_nsh").alias("_sh")
-        )
+            "_nid", F.size("_nsh").alias("_na"),
+            F.explode_outer("_nsh").alias("_sh"),
+        ).filter(F.col("_sh").isNotNull())
         sh_idx = idx_base.select(
-            "_iid", F.size("_ish").alias("_nb"), F.explode("_ish").alias("_sh")
-        )
+            "_iid", F.size("_ish").alias("_nb"),
+            F.explode_outer("_ish").alias("_sh"),
+        ).filter(F.col("_sh").isNotNull())
         pairs = (
             sh_new.join(sh_idx, "_sh")
             .groupBy("_nid", "_iid", "_na", "_nb")
@@ -978,8 +1009,12 @@ def dedup_incremental(
         # that the candidate-pair aggregate dominates end to end
         # (28s of a 29s query); an explicit repartition-for-reuse
         # staging was measured a wash and removed.
-        sh_new = new_base.select("_nid", F.explode("_nsh").alias("_sh"))
-        sh_idx = idx_base.select("_iid", F.explode("_ish").alias("_sh"))
+        sh_new = new_base.select(
+            "_nid", F.explode_outer("_nsh").alias("_sh")
+        ).filter(F.col("_sh").isNotNull())
+        sh_idx = idx_base.select(
+            "_iid", F.explode_outer("_ish").alias("_sh")
+        ).filter(F.col("_sh").isNotNull())
         heavy = (
             sh_new.select("_sh")
             .unionAll(sh_idx.select("_sh"))

@@ -395,6 +395,19 @@ def asof_join_adaptive(
     put more than ~one bucket of rows through a single window task
     (the one skew shape AQE cannot split).
 
+    API CONTRACT — EAGER, runs a job at CALL time (advisor note,
+    round 7): calling this function executes one input-sized detection
+    scan + O(buckets) collect BEFORE any action on the returned
+    DataFrame, and the upstream plans are recomputed again by the main
+    job. Callers that (a) build plans without executing them should use
+    plain :func:`asof_join` or :func:`asof_join_bucketed` (both fully
+    lazy), and (b) pass EXPENSIVE DERIVED inputs should ``.cache()``
+    them first so the detection pass doesn't recompute the upstream
+    pipeline (raw table scans — the common case — need no cache: the
+    detection pass reads two columns and parquet pruning makes it
+    cheap). Details of why eager beats lazy here are at the end of this
+    docstring.
+
     Why not route hot keys through ``asof_join_bucketed`` as a second
     pipeline: measured at 20x bench scale, splitting the inputs via
     semi/anti broadcast joins scanned each table twice and ran two full

@@ -394,7 +394,12 @@ _STOPWORDS_SQL = ", ".join(f"'{w}'" for w in TX.QUALITY_STOPWORDS)
     """,
     doc="X-TEXT quality features: token/char/punct/stopword counts + a "
         "fixed-formula quality score (rounded 6dp both sides). All narrow "
-        "JVM-side expressions, no shuffle.",
+        "JVM-side expressions — and since round 8, ZERO exchanges: the "
+        "cosmetic ORDER BY is dropped (the driver compare is "
+        "order-insensitive, the chunk_overlap precedent), which removes "
+        "the range-partition sort that was ~half the query's wall time "
+        "at 100x — the 2x-of-DuckDB headline gap was the sort, not the "
+        "regex stack (measured A/B in ROUNDLOG r8).",
     bench=True,
 )
 def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,7 +414,7 @@ def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_punct").cast("int").alias("n_punct"),
         F.col("n_stopwords").cast("int").alias("n_stopwords"),
         F.round("quality_score", 6).alias("quality_score"),
-    ).orderBy("doc_id")
+    )
 
 
 _LANGID_SCORE_SQL = {

@@ -1574,26 +1574,29 @@ def ext_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
                        >= wm.watermark_ms)
         ORDER BY a.user_id, a.session_start
     """,
-    doc="Streaming gap sessionization via Spark's NATIVE session_window "
-        "aggregation — the faster of the two row-identical forms per the "
-        "round-7 A/B (20x: 8.4s vs the custom stateful op's 23.7s; 100x: "
-        "50.2s vs 60.2s, SCALING.md streaming section): JVM-side window "
-        "merge, no Arrow transfer, no Python workers. Trade-off: its "
-        "state is per-EVENT until windows close (measured 9.5M state "
-        "rows at 100x vs the custom op's 150k user-bounded triples), so "
-        "on a continuous stream whose event rate x watermark exceeds "
-        "active-user cardinality the custom form "
-        "(x_stream_sessionize_custom) is the memory-safe choice. Emits "
-        "exactly the sessions the batch operator computes; sessions "
-        "still open at the final watermark stay unemitted. Oracled: the "
-        "emission set is deterministic for a bounded drain (see oracle "
-        "comment).",
+    doc="Streaming gap sessionization, STATE-AWARE (round-8): "
+        "sessionize_stream_auto picks between the two row-identical "
+        "forms by the backlog's parquet-footer row count. Under the "
+        "2M-row state budget it runs the NATIVE session_window "
+        "aggregation — the faster form per the round-7 A/B (20x: 8.4s "
+        "vs the custom stateful op's 23.7s; 100x: 50.2s vs 60.2s, "
+        "SCALING.md streaming section): JVM-side window merge, no "
+        "Arrow transfer. Over budget (a large bounded-backlog replay, "
+        "where native state holds ~every event: measured 9.5M rows at "
+        "100x vs the custom op's 150k user-bounded triples) it runs "
+        "the custom applyInPandasWithState form instead — memory-safe "
+        "where the native one would OOM the state store. Emission set "
+        "is identical either way (pinned in "
+        "tests/test_streaming_sessionize.py), so the pick is pure "
+        "execution strategy. Sessions still open at the final "
+        "watermark stay unemitted. Oracled: the emission set is "
+        "deterministic for a bounded drain (see oracle comment).",
 )
 def x_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_wrangling_spark.streaming.events import sessionize_stream_native
+    from data_wrangling_spark.streaming.events import sessionize_stream_auto
 
-    out = sessionize_stream_native(
-        spark, sf_dir, table_name="q_stream_sessions_native"
+    out = sessionize_stream_auto(
+        spark, sf_dir, table_name="q_stream_sessions_auto"
     )
     return out.orderBy("user_id", "session_start")
 

@@ -44,6 +44,9 @@ def main() -> None:
     )
 
     dirs = sys.argv[1:] or ["/tmp/dws-scale/mult20"]
+    # same heap default as bench_scale.py: at 100x the window/join state
+    # OOMs under local mode's 1g driver default (judge-hit in round 7)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark(app_name="asof-ab")
     spark.sparkContext.setLogLevel("ERROR")
     for d in dirs:

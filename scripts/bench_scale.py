@@ -338,6 +338,70 @@ def time_suite(
 DUCK_ORACLE_SKIP: dict[str, int] = {"x_dedup_semantic": 20}
 
 
+def semantic_scale_invariant(spark, sf_dir: str) -> dict:
+    """Replacement verification signal for x_dedup_semantic at the scale
+    points where its DuckDB oracle is DUCK_ORACLE_SKIPped (round-7
+    verdict item 3): the scaled corpus replicates every base embedding
+    MULT times bit-identically (key-shifted ids, same values), and
+    identical vectors provably land in the same k-means cell (identical
+    integer squared-L2 to every centroid, deterministic tie-break) with
+    pairwise cosine exactly 1 ≥ threshold — so SemDeDup must keep AT
+    MOST ONE row per distinct embedding. Checked corpus-wide with one
+    join + one hash aggregate keyed on xxhash64(embedding):
+
+    - ``violations``: distinct embeddings with ≥2 copies that kept ≥2
+      rows (MUST be 0 — a planted-duplicate recall failure);
+    - ``recall``: pruned / expected-prunable over exact-copy groups
+      (expected ~1.0 by the argument above; may exceed 1.0 slightly
+      because CROSS-group prunes — the 5 planted x1.1-scaled rows,
+      which are singleton groups — count in the numerator. Reported,
+      not asserted, so a drift shows up as a number instead of a
+      crash).
+
+    O(n) cost vs the oracle's quadratic chained-CTE spill — the check
+    the harness can afford at every scale point.
+    """
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.plans.registry import QUERIES
+
+    out = QUERIES["x_dedup_semantic"].spark(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    # the registered query plants 5 extra x1.1 rows (vec_id+1000000);
+    # reconstruct the SAME input so every output id joins a vector
+    planted = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 1.1
+        ).cast("array<float>").alias("embedding"),
+    )
+    inp = emb.unionByName(planted)
+    g = (
+        out.join(inp, "vec_id")
+        .groupBy(F.xxhash64("embedding").alias("_k"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("kept").cast("long")).alias("_kept"),
+        )
+    )
+    stats = g.agg(
+        F.sum(
+            ((F.col("_n") >= 2) & (F.col("_kept") > 1)).cast("long")
+        ).alias("violations"),
+        F.sum(F.greatest(F.col("_n") - 1, F.lit(0))).alias("expected_prunable"),
+        F.sum(F.col("_n") - F.col("_kept")).alias("pruned"),
+    ).collect()[0]
+    exp = int(stats["expected_prunable"] or 0)
+    return {
+        "violations": int(stats["violations"] or 0),
+        "expected_prunable": exp,
+        "pruned": int(stats["pruned"] or 0),
+        "recall": round(int(stats["pruned"] or 0) / exp, 6) if exp else None,
+    }
+
+
 def duckdb_time_suite(
     specs, sf_dir: str, threads: int, sink: str = "fetch",
     skip: set[str] | None = None,
@@ -484,6 +548,7 @@ def main() -> None:
         extra_specs = {n: QUERIES[n] for n in EXTRA_QUERIES}
         ex_results: dict[str, dict[str, float]] = {}
         ex_duck: dict[str, dict[str, float]] = {}
+        ex_inv: dict[str, dict] = {}
         for label, d, _ratio in scales:
             ex_results[label], _ = time_suite(spark, extra_specs, d, conc=False)
             print(f"extras {label}: {json.dumps(ex_results[label])}",
@@ -496,7 +561,15 @@ def main() -> None:
                 )
                 print(f"extras {label} duckdb: {json.dumps(ex_duck[label])}",
                       file=sys.stderr)
-        extras_data = {"results": ex_results, "duck": ex_duck}
+                if "x_dedup_semantic" in skip:
+                    ex_inv[label] = semantic_scale_invariant(spark, d)
+                    print(
+                        f"semantic invariant {label}: "
+                        f"{json.dumps(ex_inv[label])}",
+                        file=sys.stderr,
+                    )
+        extras_data = {"results": ex_results, "duck": ex_duck,
+                       "invariants": ex_inv}
 
     top_mult = mults[-1]
     plan_txt = final_plan(
@@ -555,6 +628,7 @@ def main() -> None:
         from data_wrangling_spark.streaming.events import (
             dedup_stream,
             sessionize_stream,
+            sessionize_stream_auto,
             sessionize_stream_native,
         )
 
@@ -563,11 +637,14 @@ def main() -> None:
             point = {}
             for fn, qname in (
                 (dedup_stream, "x_stream_dedup"),
-                (sessionize_stream, "x_stream_sessionize"),
-                # round-7 A/B: the native session_window aggregation vs
-                # the custom stateful op (row-identical, pinned) — which
-                # form wins at which state size, recorded per scale
-                (sessionize_stream_native, "x_stream_sessionize_native"),
+                # round-7 A/B twins (row-identical, pinned): the custom
+                # user-bounded stateful op vs the native session_window
+                # aggregation — which form wins at which state size
+                (sessionize_stream, "x_stream_sessionize_custom"),
+                (sessionize_stream_native, "sessionize_native_form"),
+                # round-8: the registered x_stream_sessionize is the
+                # STATE-AWARE selector — records which form it picked
+                (sessionize_stream_auto, "x_stream_sessionize"),
             ):
                 prog: dict = {}
                 t0 = time.perf_counter()
@@ -577,6 +654,8 @@ def main() -> None:
                     "state_rows_peak": prog.get("state_rows_peak"),
                     "batches": prog.get("batches"),
                 }
+                if "form" in prog:
+                    point[qname]["form"] = prog["form"]
             stream_data[label] = point
             print(f"stream {label}: {json.dumps(point)}", file=sys.stderr)
 
@@ -762,7 +841,8 @@ def _extras_section(a, scales, extras_data) -> None:
     a("the oracle re-derivation is skipped at that scale (DUCK_ORACLE_SKIP:")
     a("x_dedup_semantic's chained-CTE Lloyd spilled >70 GB at 20x under a")
     a("40 GB memory cap — the oracle exists for correctness at driver")
-    a("scales; the Spark operator is the scale path).")
+    a("scales; the Spark operator is the scale path). At each skipped point")
+    a("the O(n) planted-duplicate invariant runs instead (see below).")
     a("")
     hdr = "| query | " + " | ".join(s for s, _, _ in scales)
     has_duck = bool(ex_duck)
@@ -786,6 +866,27 @@ def _extras_section(a, scales, extras_data) -> None:
             row += " |"
         a(row)
     a("")
+    invariants = extras_data.get("invariants") or {}
+    if invariants:
+        a("### x_dedup_semantic invariant at oracle-skipped scales")
+        a("")
+        a("The scaled corpus replicates every base embedding bit-identically")
+        a("(key-shifted ids), and identical vectors provably share a k-means")
+        a("cell with pairwise cosine 1 — so SemDeDup must keep AT MOST ONE")
+        a("row per distinct embedding. `violations` counts distinct vectors")
+        a("with >= 2 copies that kept >= 2 rows (pass = 0); `recall` is")
+        a("pruned / expected-prunable over exact-copy groups (expected 1.0).")
+        a("One join + one hash aggregate — the O(n) check the harness can")
+        a("afford where the quadratic oracle cannot run.")
+        a("")
+        a("| scale | violations | expected prunable | pruned | recall | verdict |")
+        a("|---|---|---|---|---|---|")
+        for label, inv in invariants.items():
+            verdict = "PASS" if inv["violations"] == 0 else "**FAIL**"
+            a(f"| {label} | {inv['violations']} | "
+              f"{inv['expected_prunable']:,} | {inv['pruned']:,} | "
+              f"{inv['recall']} | {verdict} |")
+        a("")
 
 
 #: mechanism that absorbs each skewed key, per skew-section query

@@ -87,3 +87,30 @@ def test_profile_table_counts_and_string_domain(spark):
     assert out["k"].min_value == "1" and out["k"].max_value == "2"
     assert out["s"].n_null == 1 and out["s"].n_distinct == 2
     assert out["s"].min_value == "a" and out["s"].max_value == "b"
+
+
+def test_profile_table_derived_input_form_matches_union_form(spark):
+    """input_is_scan=False (round-7 advisor find: the union form
+    re-executes the upstream plan per column — wrong trade for derived
+    inputs) must produce IDENTICAL rows via the single-pass Expand
+    aggregate, including the empty-input shape."""
+    from data_wrangling_spark.operators.audit import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (10, "b"), (10, "a")], "k long, s string"
+    )
+    cols = [("k", F.col("k")), ("s", F.col("s"))]
+    key = lambda r: (r.column, r.n_rows, r.n_null, r.n_distinct,  # noqa: E731
+                     r.min_value, r.max_value)
+    union_rows = [key(r) for r in profile_table(df, cols).collect()]
+    single_rows = [
+        key(r) for r in profile_table(df, cols, input_is_scan=False).collect()
+    ]
+    assert union_rows == single_rows
+
+    empty = spark.createDataFrame([], "k long, s string")
+    e_union = [key(r) for r in profile_table(empty, cols).collect()]
+    e_single = [
+        key(r) for r in profile_table(empty, cols, input_is_scan=False).collect()
+    ]
+    assert e_union == e_single

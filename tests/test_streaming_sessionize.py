@@ -88,3 +88,42 @@ def test_native_session_window_equals_custom_stateful(spark):
     ).collect()
     key = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events)  # noqa: E731
     assert sorted(map(key, custom)) == sorted(map(key, native))
+
+
+def test_auto_selection_by_backlog_size(spark):
+    """Round-8 state-aware selection (verdict item 5): the registered
+    sessionize picks the native form while the backlog's footer row
+    count fits the state budget, and the user-bounded custom form when
+    it would not — with identical output either way."""
+    from data_wrangling_spark.streaming.events import sessionize_stream_auto
+
+    # this backlog is far under the default 2M-row budget -> native
+    prog: dict = {}
+    native_pick = sessionize_stream_auto(
+        spark, SF_DIR, gap_minutes=GAP_MIN,
+        watermark=f"{WATERMARK_MIN} minutes",
+        table_name="t_auto_native", progress_out=prog,
+    ).collect()
+    assert prog["form"] == "native"
+
+    # a 1-row budget makes the same backlog "too big" -> custom form
+    prog2: dict = {}
+    custom_pick = sessionize_stream_auto(
+        spark, SF_DIR, gap_minutes=GAP_MIN,
+        watermark=f"{WATERMARK_MIN} minutes",
+        table_name="t_auto_custom", progress_out=prog2,
+        state_budget_rows=1,
+    ).collect()
+    assert prog2["form"] == "custom"
+
+    key = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events)  # noqa: E731
+    assert sorted(map(key, native_pick)) == sorted(map(key, custom_pick))
+
+    # force overrides the estimate entirely
+    prog3: dict = {}
+    sessionize_stream_auto(
+        spark, SF_DIR, gap_minutes=GAP_MIN,
+        watermark=f"{WATERMARK_MIN} minutes",
+        table_name="t_auto_forced", progress_out=prog3, force="custom",
+    )
+    assert prog3["form"] == "custom"
