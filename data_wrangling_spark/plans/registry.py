@@ -155,7 +155,18 @@ DRIVER_WINDOW: list[str] = [
     # its lateness semi logic; q6 -> q20's pushdown+having;
     # chunk_overlap / temperature_mixture -> the text family keeps
     # stats/curation/boilerplate/bm25)
-    "ext_tpch_q2_min_cost_supplier",
+    # round 10: ext_tpch_q2_min_cost_supplier, ext_tpch_q11_important_
+    # parts, and ext_tpch_q20_excess_stock_suppliers (green r6+r7 rows
+    # each; the TPC-H family keeps q3/q17/q21/q22 in the window, q21
+    # covering multi-fact EXISTS shapes and q17 scalar-compare) hand
+    # their slots to the two NEW classifier-evaluation operators (exact
+    # per-source ROC-AUC + PR threshold sweep) and to the reworked
+    # x_text_sequence_pack (two-pass distributed prefix sum replaced
+    # its global-window cumsum — the changed plan earns a fresh driver
+    # row; green r2+r3 rows predate the rework)
+    "x_eval_auc_quality",
+    "x_eval_pr_sweep",
+    "x_text_sequence_pack",
     # round 9: four of the round-6 TPC-H completions (q9, q12, q15,
     # q16 — each holding a green r6 driver row, with the TPC-H family
     # keeping q2/q3/q11/q17/q20/q21/q22 in the window and q2+q11
@@ -168,8 +179,6 @@ DRIVER_WINDOW: list[str] = [
     "x_text_collocations",
     "x_corpus_source_cap",
     "ext_ohlc_bars",
-    "ext_tpch_q11_important_parts",
-    "ext_tpch_q20_excess_stock_suppliers",
     "ext_tpch_q21_waiting_suppliers",
     # round 6: ext_rolling_event_features (trailing time-RANGE window
     # features — the registry's first RangeFrame plan) swaps in for

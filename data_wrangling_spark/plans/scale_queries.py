@@ -4296,6 +4296,141 @@ def x_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_score(docs).orderBy("doc_id")
 
 
+#: shared oracle prefix for the evaluation queries: replay the hashed
+#: linear classifier score (the x_text_quality_classifier oracle's CTEs)
+#: and attach the weak label lang='en' + the source group key
+_EVAL_LABELED_CTES = r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
+        FROM documents WHERE text IS NOT NULL
+    ), w AS (
+        SELECT doc_id,
+               ((CAST(concat('0x', substring(md5(tk), 1, 4)) AS BIGINT)
+                 % 4096) * 2654435761) % 2001 - 1000 AS w
+        FROM tok
+    ), agg AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, SUM(w) AS s
+        FROM w GROUP BY doc_id
+    ), sc AS (
+        SELECT doc_id,
+               CAST(ROUND(1000.0 * s / n_tokens) AS BIGINT) AS score_milli
+        FROM agg
+    ), lab AS (
+        SELECT d.source, sc.score_milli,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+    )
+"""
+
+
+@register(
+    "x_eval_auc_quality",
+    oracle=_EVAL_LABELED_CTES + r""", cnt AS (
+        SELECT source, score_milli, CAST(SUM(y) AS BIGINT) AS p,
+               CAST(SUM(1 - y) AS BIGINT) AS n
+        FROM lab GROUP BY 1, 2
+    ), cum AS (
+        SELECT source, p, n,
+               COALESCE(SUM(n) OVER (PARTITION BY source
+                   ORDER BY score_milli
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS nb
+        FROM cnt
+    ), ag AS (
+        SELECT source, CAST(SUM(p) AS BIGINT) AS pos,
+               CAST(SUM(n) AS BIGINT) AS neg,
+               CAST(SUM(p * (2 * nb + n)) AS BIGINT) AS num2
+        FROM cum GROUP BY source
+    )
+    SELECT source, pos AS n_pos, neg AS n_neg,
+           CAST(ROUND((1000000.0 * num2) / (2.0 * pos * neg)) AS BIGINT)
+               AS auc_micro
+    FROM ag WHERE pos > 0 AND neg > 0 ORDER BY source
+    """,
+    doc="X-TEXT evaluation: exact per-source ROC-AUC (Mann-Whitney with "
+        "midrank ties — identical to trapezoidal ROC area) of the hashed "
+        "linear quality score against the weak label lang='en'. The "
+        "corpus-scale classifier-calibration primitive: one (source, "
+        "score) hash aggregate is the ONLY pass over the data; the "
+        "cumulative window runs over the per-source DISTINCT-score "
+        "table (score-domain bounded, never row-bounded); doubled "
+        "integer units make the one final division engine-exact "
+        "(operators/evaluation.py).",
+)
+def x_eval_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.evaluation import roc_auc
+    from data_wrangling_spark.operators.text_analysis import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs).select("doc_id", "score_milli")
+    lab = scored.join(
+        docs.select(
+            "doc_id",
+            "source",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("_y"),
+        ),
+        "doc_id",
+    )
+    return roc_auc(lab, "score_milli", "_y", ["source"]).orderBy("source")
+
+
+@register(
+    "x_eval_pr_sweep",
+    oracle=_EVAL_LABELED_CTES + r""", thr AS (
+        SELECT unnest([-300, -150, 0, 150, 300]) AS threshold
+    ), ag AS (
+        SELECT source, threshold,
+               CAST(SUM(CASE WHEN score_milli >= threshold THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pred_pos,
+               CAST(SUM(CASE WHEN score_milli >= threshold THEN y ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM lab, thr GROUP BY 1, 2
+    )
+    SELECT source, CAST(threshold AS BIGINT) AS threshold, n_pred_pos, tp,
+           CASE WHEN n_pred_pos > 0
+                THEN CAST(ROUND((1000000.0 * tp) / n_pred_pos) AS BIGINT)
+           END AS precision_micro,
+           CASE WHEN pos > 0
+                THEN CAST(ROUND((1000000.0 * tp) / pos) AS BIGINT)
+           END AS recall_micro,
+           CASE WHEN (n_pred_pos + pos) > 0
+                THEN CAST(ROUND((2000000.0 * tp) / (n_pred_pos + pos))
+                          AS BIGINT)
+           END AS f1_micro
+    FROM ag ORDER BY source, threshold
+    """,
+    doc="X-TEXT evaluation: per-source precision/recall/F1 sweep of the "
+        "hashed quality score at five fixed thresholds against the weak "
+        "label lang='en' — the cutoff-calibration table a curation "
+        "pipeline reads before fixing its filter threshold. The (source, "
+        "score) vocabulary aggregate is computed ONCE; every threshold "
+        "reduces vocabulary rows, so sweeping more thresholds never "
+        "re-scans the corpus; degenerate cells keep NULL ratios instead "
+        "of vanishing (operators/evaluation.py).",
+)
+def x_eval_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.evaluation import pr_at_thresholds
+    from data_wrangling_spark.operators.text_analysis import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs).select("doc_id", "score_milli")
+    lab = scored.join(
+        docs.select(
+            "doc_id",
+            "source",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("_y"),
+        ),
+        "doc_id",
+    )
+    out = pr_at_thresholds(
+        lab, "score_milli", "_y", [-300, -150, 0, 150, 300], ["source"]
+    )
+    return out.withColumn(
+        "threshold", F.col("threshold").cast("long")
+    ).orderBy("source", "threshold")
+
+
 @register(
     "x_text_collocations",
     oracle=r"""

@@ -1,0 +1,112 @@
+"""operators/evaluation.py — exact ROC-AUC (Mann-Whitney midrank) and
+precision/recall sweeps against hand-computed and sklearn-free
+closed-form ground truths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_wrangling_spark.operators.evaluation import pr_at_thresholds, roc_auc
+
+
+def _auc_rows(spark, rows):
+    df = spark.createDataFrame(rows, "s long, y int")
+    out = roc_auc(df, "s", "y").collect()
+    assert len(out) == 1
+    return out[0]
+
+
+def test_auc_perfect_separation(spark):
+    r = _auc_rows(spark, [(1, 0), (2, 0), (3, 1), (4, 1)])
+    assert (r.n_pos, r.n_neg, r.auc_micro) == (2, 2, 1000000)
+
+
+def test_auc_perfect_inversion(spark):
+    r = _auc_rows(spark, [(5, 1), (6, 1), (7, 0), (8, 0)])
+    assert r.auc_micro == 0
+
+
+def test_auc_random_interleave(spark):
+    # pairs (pos above neg): (3>1),(3>2) yes... enumerate:
+    # negs {1, 3}, poss {2, 4}: pairs 2>1 yes, 2>3 no, 4>1 yes, 4>3 yes
+    # AUC = 3/4
+    r = _auc_rows(spark, [(1, 0), (2, 1), (3, 0), (4, 1)])
+    assert r.auc_micro == 750000
+
+
+def test_auc_ties_use_midrank(spark):
+    # one pos and one neg share score 5: the tied pair contributes 1/2
+    # (trapezoid over the tie block). negs {1, 5}, poss {5, 9}:
+    # 5>1 = 1, 5=5 = 0.5, 9>1 = 1, 9>5 = 1 -> AUC = 3.5/4 = 0.875
+    r = _auc_rows(spark, [(1, 0), (5, 0), (5, 1), (9, 1)])
+    assert r.auc_micro == 875000
+
+
+def test_auc_single_class_groups_dropped(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 0), ("a", 2, 1), ("b", 3, 1), ("b", 4, 1)],
+        "g string, s long, y int",
+    )
+    out = {r.g: r for r in roc_auc(df, "s", "y", ["g"]).collect()}
+    assert set(out) == {"a"}  # b has no negatives: AUC undefined
+    assert out["a"].auc_micro == 1000000
+
+
+def test_auc_boolean_label_column(spark):
+    df = spark.createDataFrame([(1, False), (2, True)], "s long, y boolean")
+    assert roc_auc(df, "s", "y").collect()[0].auc_micro == 1000000
+
+
+def test_pr_sweep_known_values(spark):
+    # scores 1..4, positives at 3 and 4; threshold 3 -> pred {3,4},
+    # tp=2, P=2: precision 1.0, recall 1.0, f1 1.0; threshold 2 ->
+    # pred {2,3,4}, tp=2: precision 2/3
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1)], "s long, y int"
+    )
+    out = {
+        r.threshold: r
+        for r in pr_at_thresholds(df, "s", "y", [2, 3, 5]).collect()
+    }
+    assert out[3].n_pred_pos == 2 and out[3].tp == 2
+    assert out[3].precision_micro == 1000000
+    assert out[3].recall_micro == 1000000
+    assert out[3].f1_micro == 1000000
+    assert out[2].precision_micro == 666667  # round(2/3 * 1e6)
+    # aggressive threshold: nothing predicted positive -> NULL precision,
+    # recall 0, f1 defined (denominator P=2)
+    assert out[5].n_pred_pos == 0 and out[5].precision_micro is None
+    assert out[5].recall_micro == 0 and out[5].f1_micro == 0
+
+
+def test_auc_matches_bruteforce_pair_count(spark):
+    """Property check: on a deterministic pseudo-random set, the
+    windowed AUC equals the O(P*N) pair definition computed driver-side."""
+    rows = [((i * 37) % 101, 1 if (i * 53) % 7 < 3 else 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    got = roc_auc(df, "s", "y").collect()[0]
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    num = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    want = round(1e6 * (2 * num) / (2.0 * len(pos) * len(neg)))
+    assert got.auc_micro == want
+
+
+def test_auc_plan_shape(spark):
+    """The scale contract: even UNGROUPED, the cumulative-negatives
+    window must be PARTITIONED (prefix_sum's id-range buckets), never a
+    global ORDER BY funnel. The one Exchange SinglePartition allowed is
+    the final 1-row global aggregate (reduces O(ranges) partial rows —
+    the standard global-agg shape), so the assertion targets the Window
+    nodes, not the whole plan."""
+    from tests.test_plan_hygiene import _window_nodes
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 50).alias("s"), (F.col("id") % 2).cast("int").alias("y")
+    )
+    plan = roc_auc(df, "s", "y")._jdf.queryExecution().executedPlan().toString()
+    windows = _window_nodes(plan)
+    assert windows, "expected the per-range cumulative window"
+    assert all(len(g) == 3 for g in windows), (
+        f"cumulative window lost its partition spec: {windows}"
+    )
