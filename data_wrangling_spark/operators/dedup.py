@@ -282,6 +282,113 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold via PREFIX FILTERING (the
+    AllPairs/PPJoin candidate-pruning scheme, Bayardo et al. 2007 /
+    Xiao et al. 2008) — output IDENTICAL to
+    :func:`ngram_jaccard_pairs` (same schema, same values; equivalence
+    pinned in tests), with a structurally smaller candidate join.
+
+    The theorem: order every document's shingle set by a global total
+    order (ascending document frequency, rarest first — ties by gram);
+    if Jaccard(A, B) >= t then A and B must share at least one element
+    among the FIRST ``|S| - ceil(t·|S|) + 1`` shingles of each (were
+    all prefix elements disjoint, the overlap could not reach the
+    t·|S| floor). So the inverted-index join runs over PREFIX postings
+    only — the rarest ~(1-t) fraction of each document — and a shared
+    COMMON shingle no longer generates a candidate pair unless it
+    falls in both prefixes. The f²-pair blow-up that ngram_jaccard's
+    ``max_df`` valve cuts off by CHANGING semantics (dropping stop
+    shingles from the similarity) is here cut without changing them:
+    frequent shingles sort to the suffix and never generate
+    candidates, yet still count in verification.
+
+    ``ceil(t·|S|)`` is computed as ``ceil(t·|S| - 1e-9)``: float
+    rounding may only LENGTHEN the prefix (extra candidates — safe),
+    never shorten it (false negatives — wrong).
+
+    Scale shape: postings → one df aggregate (map-side partials
+    collapse to the vocabulary) → per-DOC row_number window (bounded
+    by document length) → prefix⋈prefix candidate join → verification
+    joins restricted to candidate pairs. Shingle identity rides as
+    64-bit gram hashes end to end (the dedup_incremental discipline —
+    only ids and counts leave; the registered query's STRING-domain
+    oracle would surface a collision as a driver mismatch).
+
+    Reference scope: the reference engine has no similarity join at
+    all (S2 is an imperative cleaning pipeline); §2.11 X-DEDUP-FUZZY
+    extension surface."""
+    from pyspark.sql import Window
+
+    from data_wrangling_spark.functions.text import tokens
+
+    sh = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc"), tokens(text_col).alias("_toks")
+        )
+        .select(
+            "doc",
+            F.explode_outer(
+                gram_hashes_from_tokens(F.col("_toks"), n)
+            ).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("doc").orderBy("_df", "gram")
+    ranked = (
+        sh.join(dfreq, "gram")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sizes, "doc")
+    )
+    prefix = ranked.filter(
+        F.col("_pos")
+        <= F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + F.lit(1)
+    ).select("doc", "gram")
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.gram") == F.col("pb.gram"))
+            & (F.col("pa.doc") < F.col("pb.doc")),
+        )
+        .select(
+            F.col("pa.doc").alias("doc_a"), F.col("pb.doc").alias("doc_b")
+        )
+        .distinct()
+    )
+    common = (
+        cand.join(sh.alias("fa"), F.col("doc_a") == F.col("fa.doc"))
+        .join(
+            sh.alias("fb"),
+            (F.col("doc_b") == F.col("fb.doc"))
+            & (F.col("fa.gram") == F.col("fb.gram")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

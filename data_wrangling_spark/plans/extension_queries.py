@@ -109,6 +109,55 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_dedup_jaccard_prefix",
+    # SAME oracle as x_dedup_ngram_jaccard (plain pair-join re-derivation
+    # in the STRING-shingle domain): prefix filtering is a candidate
+    # PRUNING scheme, provably output-identical — a dropped true pair or
+    # a gram-hash collision would surface as a driver hash mismatch here
+    oracle=r"""
+        WITH docs AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents WHERE doc_id < 200
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            )) AS shingle
+            FROM docs WHERE len(toks) >= 3
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT p.doc_a, p.doc_b, p.n_common,
+               sa.n AS n_a, sb.n AS n_b,
+               CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) AS jaccard
+        FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id
+                     JOIN sizes sb ON p.doc_b = sb.doc_id
+        WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= 0.3
+        ORDER BY doc_a, doc_b
+    """,
+    doc="X-DEDUP-FUZZY, prefix-filtered exact form (AllPairs/PPJoin): "
+        "identical output to x_dedup_ngram_jaccard, but the candidate "
+        "join runs over each document's rarest (1-t)-fraction PREFIX "
+        "postings only (global df order) — frequent shingles sort to "
+        "the suffix and never generate candidates yet still count in "
+        "verification, cutting the f²-pair blow-up WITHOUT the max_df "
+        "valve's semantics change (operators/dedup.py "
+        "jaccard_pairs_prefix).",
+)
+def x_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.dedup import jaccard_pairs_prefix
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return jaccard_pairs_prefix(
+        docs, "doc_id", "text", n=3, threshold=0.3
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
     "x_dedup_minhash_lsh",
     oracle=golden_oracle("x_dedup_minhash_lsh"),  # INDEPENDENTLY
         # derived golden: pure-Python XXH64 dual implementation must

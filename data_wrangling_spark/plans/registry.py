@@ -247,10 +247,12 @@ DRIVER_WINDOW: list[str] = [
     # x_sim_topk_lsh (green r5 driver row; ANN family still represented
     # by bruteforce + ivf + mllib_brp in the window)
     "ext_asof_latest_order_adaptive",
-    # Q17 keeps its slot into round 6 because its implementation
-    # changed this round (brand-partkey semi-filter on the pre-agg):
-    # the changed plan should earn a fresh driver row
-    "ext_tpch_q17_small_quantity",
+    # round 10: ext_tpch_q17_small_quantity (green r6+r7 rows after its
+    # round-6 rework; TPC-H family keeps q3/q21/q22, q21 covering the
+    # EXISTS/semi shapes) hands its slot to the NEW prefix-filtered
+    # exact Jaccard join (AllPairs/PPJoin candidate pruning,
+    # output-identical to x_dedup_ngram_jaccard by theorem + oracle)
+    "x_dedup_jaccard_prefix",
 ]
 
 

@@ -129,6 +129,12 @@ EXTRA_QUERIES = [
     # distributed prefix sum — the round-7 verdict's last scale-killer,
     # now needing its committed multi-scale row)
     "x_text_sequence_pack",
+    # round-8 second batch (registered mid-round, AFTER the round's main
+    # regeneration launched; their first multi-scale rows come from the
+    # same-methodology addendum run — scripts/bench_scale_addendum.py)
+    "x_eval_auc_quality",
+    "x_eval_pr_sweep",
+    "x_dedup_jaccard_prefix",
 ]
 
 # ---------------------------------------------------------------- skew --
