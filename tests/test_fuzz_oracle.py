@@ -26,11 +26,13 @@ Round-8 widening — the shapes where engine semantics actually diverge
 - HAVING on aggregate expressions (not aliases — Spark resolves HAVING
   against the input, alias references are the non-portable form);
 - window functions: RANK / DENSE_RANK over any order (tie-stable, so
-  deterministic), ROW_NUMBER / LAG / LEAD only over per-table UNIQUE
-  total orders; explicit NULLS FIRST everywhere because the engines'
-  DEFAULT null ordering differs (Spark ASC=NULLS FIRST, DuckDB
-  ASC=NULLS LAST — exactly the kind of silent divergence this suite
-  exists to catch); optional rank<=k predicate via a subquery;
+  deterministic), ROW_NUMBER / LAG / LEAD and framed aggregates
+  (SUM/COUNT with explicit ROWS BETWEEN n PRECEDING frames) only over
+  per-table UNIQUE total orders; explicit NULLS FIRST everywhere
+  because the engines' DEFAULT null ordering differs (Spark ASC=NULLS
+  FIRST, DuckDB ASC=NULLS LAST — exactly the kind of silent divergence
+  this suite exists to catch); optional rank<=k predicate via a
+  subquery;
 - scalar subqueries (uncorrelated MIN/MAX/COUNT thresholds) and IN /
   NOT IN subqueries (NOT IN only over provably non-NULL key columns —
   the three-valued-logic trap is real semantics, not divergence, but a
@@ -213,7 +215,11 @@ def _gen_window_query(rng: random.Random) -> str:
     part = rng.choice([c for c in spec["cat"] if c in CAT_VALUES])
     choices = ["rank", "dense_rank"]
     if t in UNIQUE_KEY:
-        choices += ["row_number", "lag", "lead"]
+        # framed aggregate windows (explicit ROWS frame — the default
+        # frame is RANGE-with-peers on both engines, but explicit ROWS
+        # over a unique total order is the deterministic shape that
+        # exercises frame arithmetic)
+        choices += ["row_number", "lag", "lead", "sum_frame", "cnt_frame"]
     fn = rng.choice(choices)
     if fn in ("rank", "dense_rank"):
         order_col = rng.choice(spec["int"])
@@ -227,6 +233,15 @@ def _gen_window_query(rng: random.Random) -> str:
         wexpr = f"{fn.upper()}({val}, 1) OVER ({over})"
     elif fn == "row_number":
         wexpr = f"ROW_NUMBER() OVER ({over})"
+    elif fn in ("sum_frame", "cnt_frame"):
+        lo = rng.randint(1, 4)
+        hi = rng.choice(["CURRENT ROW", "1 FOLLOWING"])
+        frame = f"ROWS BETWEEN {lo} PRECEDING AND {hi}"
+        if fn == "sum_frame":
+            val = rng.choice(spec["int"])
+            wexpr = f"SUM({val}) OVER ({over} {frame})"
+        else:
+            wexpr = f"COUNT(*) OVER ({over} {frame})"
     else:
         wexpr = f"{fn.upper()}() OVER ({over})"
     preds = _preds(rng, spec, n_max=1)
