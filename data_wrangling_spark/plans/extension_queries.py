@@ -109,6 +109,59 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_corpus_snapshot_diff",
+    oracle=r"""
+        WITH oldv AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0
+        ), newv AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN text || ' rev2'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 5 != 0
+        ), ofp AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'))) AS fp
+            FROM oldv
+        ), nfp AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'))) AS fp
+            FROM newv
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM ofp o FULL OUTER JOIN nfp n ON o.doc_id = n.doc_id
+        ORDER BY doc_id
+    """,
+    doc="Corpus snapshot diff (operators/diff.py): added / removed / "
+        "changed / unchanged per document between two corpus versions — "
+        "the change-detection primitive an incremental pipeline runs "
+        "before reprocessing. Each side reduces to a narrow (id, "
+        "normalized-content md5) projection + ONE full-outer equi join; "
+        "whitespace-only edits count as unchanged (same normalization "
+        "as exact dedup). Snapshots are derived deterministically from "
+        "the one documents table (mod-7 drop = added, mod-5 drop = "
+        "removed, mod-3 ' rev2' suffix = changed) on BOTH engines.",
+)
+def x_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.diff import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    oldv = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    newv = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return snapshot_diff(oldv, newv, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
     "x_dedup_jaccard_prefix",
     # SAME oracle as x_dedup_ngram_jaccard (plain pair-join re-derivation
     # in the STRING-shingle domain): prefix filtering is a candidate

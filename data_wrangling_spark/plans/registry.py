@@ -180,11 +180,10 @@ DRIVER_WINDOW: list[str] = [
     "x_corpus_source_cap",
     "ext_ohlc_bars",
     "ext_tpch_q21_waiting_suppliers",
-    # round 6: ext_rolling_event_features (trailing time-RANGE window
-    # features — the registry's first RangeFrame plan) swaps in for
-    # ext_tpch_q14_promo_revenue (green r5 driver row; the TPC-H family
-    # keeps ten other members in the window)
-    "ext_rolling_event_features",
+    # round 10: ext_rolling_event_features (green r6+r7 rows; the
+    # windowed-temporal family keeps ext_ohlc_bars + the three as-of
+    # forms) hands its slot to the NEW corpus snapshot diff
+    "x_corpus_snapshot_diff",
     # round 9: ext_tpch_q22_dormant_customers (green r6 row; the TPC-H
     # family keeps seven members in the window) demotes to make room
     # for the permanent reference-surface slots above
