@@ -110,3 +110,12 @@ def test_auc_plan_shape(spark):
     assert all(len(g) == 3 for g in windows), (
         f"cumulative window lost its partition spec: {windows}"
     )
+
+
+def test_auc_ungrouped_negative_scores(spark):
+    """The ungrouped path routes through prefix_sum's id-range buckets:
+    negative score domains must bucket and splice correctly (milli
+    scores are signed in the registered queries)."""
+    rows = [(-800, 0), (-200, 0), (-100, 1), (300, 1)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    assert roc_auc(df, "s", "y").collect()[0].auc_micro == 1000000
