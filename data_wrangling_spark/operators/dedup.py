@@ -316,10 +316,27 @@ def jaccard_pairs_prefix(
     Scale shape: postings → one df aggregate (map-side partials
     collapse to the vocabulary) → per-DOC row_number window (bounded
     by document length) → prefix⋈prefix candidate join → verification
-    joins restricted to candidate pairs. Shingle identity rides as
-    64-bit gram hashes end to end (the dedup_incremental discipline —
-    only ids and counts leave; the registered query's STRING-domain
-    oracle would surface a collision as a driver mismatch).
+    by ``array_intersect`` over the two documents' gram ARRAYS (two
+    narrow joins attaching one array per side, O(|S_a| + |S_b|)
+    per-pair vectorized work — NOT a posting-level join: the round-8
+    A/B found the posting-join verification turns 41M candidates into
+    a 2.1 B-row join, 433 s, while the array form is per-pair-linear).
+    Array verification is the right trade while documents are shingle-
+    count-moderate (10²-10³ grams — this corpus); for huge documents
+    the arrays themselves dominate the shuffle and a posting-join
+    verification wins instead. Shingle identity rides as 64-bit gram
+    hashes end to end (the dedup_incremental discipline — only ids and
+    counts leave; the registered query's STRING-domain oracle would
+    surface a collision as a driver mismatch).
+
+    Candidate-count honesty (round-8 A/B diagnosis): prefix filtering
+    prunes per-document FREQUENT grams; on a corpus dominated by large
+    duplicate GROUPS, even each document's rarest grams are shared by
+    its whole group, so candidates approach the true-pair count times
+    group size — the true output is itself quadratic in group size
+    there, and the right composition is exact-dup collapse FIRST
+    (operators/splits.py's leakage-safe pattern), then prefix-Jaccard
+    over representatives.
 
     Reference scope: the reference engine has no similarity join at
     all (S2 is an imperative cleaning pipeline); §2.11 X-DEDUP-FUZZY
@@ -328,19 +345,19 @@ def jaccard_pairs_prefix(
 
     from data_wrangling_spark.functions.text import tokens
 
-    sh = (
+    gram_sets = (
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("doc"), tokens(text_col).alias("_toks")
         )
         .select(
-            "doc",
-            F.explode_outer(
-                gram_hashes_from_tokens(F.col("_toks"), n)
-            ).alias("gram"),
+            "doc", gram_hashes_from_tokens(F.col("_toks"), n).alias("_grams")
         )
-        .filter(F.col("gram").isNotNull())
+        .filter(F.size("_grams") >= 1)
     )
+    sh = gram_sets.select(
+        "doc", F.explode_outer("_grams").alias("gram")
+    ).filter(F.col("gram").isNotNull())
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy("doc").orderBy("_df", "gram")
@@ -367,23 +384,26 @@ def jaccard_pairs_prefix(
         )
         .distinct()
     )
-    common = (
-        cand.join(sh.alias("fa"), F.col("doc_a") == F.col("fa.doc"))
-        .join(
-            sh.alias("fb"),
-            (F.col("doc_b") == F.col("fb.doc"))
-            & (F.col("fa.gram") == F.col("fb.gram")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    ga = gram_sets.select(
+        F.col("doc").alias("doc_a"), F.col("_grams").alias("_ga")
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    gb = gram_sets.select(
+        F.col("doc").alias("doc_b"), F.col("_grams").alias("_gb")
+    )
+    verified = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_ga", "_gb")).alias("n_common"),
+            F.size("_ga").alias("n_a"),
+            F.size("_gb").alias("n_b"),
+        )
+    )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
     )

@@ -12,7 +12,12 @@ number behind the wall-clock.
 
 Usage: python scripts/bench_jaccard_ab.py /tmp/dws-scale/mult10 [more]
 Env:   SPARK_GRAFT_JACCARD_PLAIN=0 skips the plain form (it may be
-       pathological at the larger dirs — record prefix-only there).
+       pathological at the larger dirs — record prefix-only there);
+       SPARK_GRAFT_JACCARD_T sets the threshold (default 0.5 — at low
+       thresholds the prefix is most of the document by the theorem
+       itself, so BOTH forms grind on a replication-dense corpus and
+       the A/B measures nothing; 0.5 is also the realistic near-dup
+       cutoff at scale).
 """
 
 from __future__ import annotations
@@ -50,18 +55,19 @@ def main() -> None:
     dirs = sys.argv[1:] or ["/tmp/dws-scale/mult10"]
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     plain_on = os.environ.get("SPARK_GRAFT_JACCARD_PLAIN", "1") != "0"
+    thr = float(os.environ.get("SPARK_GRAFT_JACCARD_T", "0.5"))
     spark = get_spark(app_name="jaccard-ab")
     spark.sparkContext.setLogLevel("ERROR")
     for d in dirs:
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
         n_docs = docs.count()
-        pref = jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=0.3)
+        pref = jaccard_pairs_prefix(docs, "doc_id", "text", n=3, threshold=thr)
         t_pref = timeit(lambda: pref.write.format("noop").mode("overwrite").save())
         n_pairs = pref.count()
-        out = {"dir": d, "docs": n_docs, "pairs": n_pairs, "prefix_s": t_pref}
+        out = {"dir": d, "docs": n_docs, "t": thr, "pairs": n_pairs, "prefix_s": t_pref}
         if plain_on:
             plain = ngram_jaccard_pairs(
-                docs, "doc_id", "text", n=3, threshold=0.3
+                docs, "doc_id", "text", n=3, threshold=thr
             )
             out["plain_s"] = timeit(
                 lambda: plain.write.format("noop").mode("overwrite").save()

@@ -1021,10 +1021,24 @@ def _stream_section(a, stream_data) -> None:
     a("  the full key count — on a real continuous stream the watermark")
     a("  advances every batch and state holds only the trailing window's keys")
     a("  (the 2h watermark ~ 2-3% of a year-long key range).")
-    a("- `x_stream_sessionize` (applyInPandasWithState) holds ONE")
+    a("- `x_stream_sessionize_custom` (applyInPandasWithState) holds ONE")
     a("  (start, end, n) triple per user with an open session — bounded by")
     a("  active users, independent of event count; the measured peak equals the")
     a("  user cardinality at every scale while input rows grow 100x.")
+    a("- `sessionize_native_form` (session_window aggregation) is the")
+    a("  row-identical twin: faster per row (JVM merge, no Arrow transfer)")
+    a("  but holds PER-EVENT state until windows close — its peak grows with")
+    a("  the whole backlog on a bounded replay.")
+    a("- `x_stream_sessionize` (the REGISTERED query) is the round-8")
+    a("  state-aware selector: native under a 2M-row backlog budget")
+    a("  (parquet footer count), the user-bounded custom form above it. The")
+    a("  crossover is a MEMORY-safety policy, not a wall-clock one: at the")
+    a("  top scale the selector deliberately pays the slower custom form's")
+    a("  wall to cap state at user cardinality (the `form` cell shows the")
+    a("  pick) — on a single 24g box the native form's per-event state still")
+    a("  fits, but its peak is the backlog size, which is exactly what OOMs")
+    a("  a state store when the replay is 100 TB rather than GBs. Callers")
+    a("  who know their store can hold the backlog pass force='native'.")
     a("")
     labels = list(stream_data)
     qnames = list(stream_data[labels[0]])
@@ -1037,6 +1051,8 @@ def _stream_section(a, stream_data) -> None:
         cells = " | ".join(
             f"{stream_data[lb][q]['sec']}s / "
             f"{stream_data[lb][q]['state_rows_peak']:,}"
+            + (f" ({stream_data[lb][q]['form']})"
+               if "form" in stream_data[lb][q] else "")
             for lb in labels
         )
         a(f"| {q} | {cells} |")
