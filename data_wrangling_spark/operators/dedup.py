@@ -355,17 +355,17 @@ def jaccard_pairs_prefix(
         )
         .filter(F.size("_grams") >= 1)
     )
+    # per-doc set size rides the explode as a projected column — no
+    # separate sizes aggregate + join (the arrays are distinct, so
+    # size(_grams) IS the posting count)
     sh = gram_sets.select(
-        "doc", F.explode_outer("_grams").alias("gram")
+        "doc",
+        F.size("_grams").alias("n_sh"),
+        F.explode_outer("_grams").alias("gram"),
     ).filter(F.col("gram").isNotNull())
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy("doc").orderBy("_df", "gram")
-    ranked = (
-        sh.join(dfreq, "gram")
-        .withColumn("_pos", F.row_number().over(w))
-        .join(sizes, "doc")
-    )
+    ranked = sh.join(dfreq, "gram").withColumn("_pos", F.row_number().over(w))
     prefix = ranked.filter(
         F.col("_pos")
         <= F.col("n_sh")
