@@ -40,13 +40,21 @@ def roc_auc(
     where p(s)/n(s) are the positive/negative counts at distinct score
     s and N_below(s) the negatives strictly below s. Computed in
     doubled integer units (num2 = Σ p·(2·N_below + n), AUC = num2 /
-    (2·P·N)) so the only float op is ONE final division of exact
-    integers — engine-portable to the last ulp while 2·P·N < 2^53
-    (beyond that the division is correctly rounded but no longer
-    integer-exact; AUC error stays ~1e-9).
+    (2·P·N)). num2 ≈ 2·P·N can exceed int64 at ~4.6e18 pairs (a few
+    billion positives × a few billion negatives), so it accumulates in
+    decimal(38,0) — exact to 10^38 pairs, far past any corpus — rather
+    than a silently-wrapping long (advisor find, round 8). The only
+    float op is ONE final division of exact integers — engine-portable
+    to the last ulp while 2·P·N < 2^53 (beyond that the division is
+    correctly rounded but no longer integer-exact; AUC error stays
+    ~1e-9).
 
     ``label_col`` must evaluate to 1/0 (or boolean — cast applied).
-    Returns (group_cols..., n_pos, n_neg, auc_micro) with auc_micro =
+    Rows with a NULL score are dropped up front in BOTH the grouped and
+    ungrouped paths (a NULL score has no rank; previously the grouped
+    window silently ranked them NULLS FIRST while the ungrouped
+    prefix-sum path raised — advisor find, round 8). Returns
+    (group_cols..., n_pos, n_neg, auc_micro) with auc_micro =
     round(1e6 · AUC); groups with zero positives or zero negatives are
     dropped (AUC undefined).
 
@@ -67,6 +75,7 @@ def roc_auc(
     y = label.cast("int")
     counted = (
         df.select(*group_cols, score.alias("_s"), y.alias("_y"))
+        .filter(F.col("_s").isNotNull())
         .groupBy(*group_cols, "_s")
         .agg(
             F.sum("_y").cast("long").alias("_p"),
@@ -92,7 +101,10 @@ def roc_auc(
     agg = cum.groupBy(*group_cols).agg(
         F.sum("_p").alias("_P"),
         F.sum("_n").alias("_N"),
-        F.sum(F.col("_p") * (2 * F.col("_nb") + F.col("_n"))).alias("_num2"),
+        F.sum(
+            F.col("_p").cast("decimal(38,0)")
+            * (2 * F.col("_nb") + F.col("_n")).cast("decimal(38,0)")
+        ).alias("_num2"),
     )
     return agg.filter((F.col("_P") > 0) & (F.col("_N") > 0)).select(
         *group_cols,
@@ -127,9 +139,13 @@ def pr_at_thresholds(
     vocabulary-bounded rows). Degenerate cells (no predicted positives
     / no actual positives) yield NULL precision/recall and are kept, so
     a sweep over an aggressive threshold is visible instead of silently
-    dropped.
+    dropped. ``thresholds`` is deduplicated up front: a duplicated
+    threshold would explode two identical rows that collapse into one
+    (group, threshold) group and double every count (advisor find,
+    round 8).
     """
     group_cols = group_cols or []
+    thresholds = sorted({int(t) for t in thresholds})
     score = F.col(score_col) if isinstance(score_col, str) else score_col
     label = F.col(label_col) if isinstance(label_col, str) else label_col
     counted = (

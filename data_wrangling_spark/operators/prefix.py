@@ -52,21 +52,36 @@ def prefix_sum(
     bounds aggregate and one O(n_ranges)-row totals aggregate before
     returning; callers passing an expensive derived ``df`` should cache
     it first, since the upstream plan executes for the control passes
-    and again in the main job.
+    and again in the main job. Because of that re-execution the input
+    plan must be DETERMINISTIC (or cached): a non-deterministic upstream
+    (sampling, rand(), non-idempotent source) would compute the spliced
+    offsets from a DIFFERENT execution than the main job, silently
+    corrupting the running sums — same caveat as ``asof_join_adaptive``.
 
-    ``order_col`` must be an integral column and should be unique per
-    row (ties share a range bucket, so correctness of the total is kept,
-    but within-tie running values are order-arbitrary — same caveat as
-    the ROWS-frame global window this replaces). ``n_ranges`` defaults
-    to ``spark.sql.shuffle.partitions``.
+    ``order_col`` must be an integral, NON-NULL column and should be
+    unique per row (ties share a range bucket, so correctness of the
+    total is kept, but within-tie running values are order-arbitrary —
+    same caveat as the ROWS-frame global window this replaces). A NULL
+    ``order_col`` value has no position in the order, so the function
+    fails fast with a ValueError (checked inside the bounds aggregate —
+    no extra pass) rather than producing an arbitrary splice.
+    ``n_ranges`` defaults to ``spark.sql.shuffle.partitions``.
     """
     spark = df.sparkSession
     if n_ranges is None:
         n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     val = F.col(value_col) if isinstance(value_col, str) else value_col
     bounds = df.agg(
-        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+        F.min(order_col).alias("lo"),
+        F.max(order_col).alias("hi"),
+        F.count(F.when(F.col(order_col).isNull(), 1)).alias("n_null"),
     ).collect()[0]
+    if int(bounds["n_null"]):
+        raise ValueError(
+            f"prefix_sum: order_col `{order_col}` contains "
+            f"{int(bounds['n_null'])} NULL value(s) — a NULL has no "
+            "position in the running-sum order; filter or impute first"
+        )
     if bounds["lo"] is None:  # empty input: shape-only result
         return df.withColumn(out_col, val.cast("bigint"))
     lo, hi = int(bounds["lo"]), int(bounds["hi"])

@@ -22,7 +22,7 @@ integers; % on negatives differs across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: modulus (prime ~1e9: keeps (k%P)*a + b within int64) and per-row
@@ -298,22 +298,33 @@ def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
 
     Merging parts built at DIFFERENT p would silently corrupt the
     estimate; when the inputs carry ``_hll_p`` the merged plan raises
-    at execution on any disagreement (constant-folded away when all
-    parts agree is not guaranteed, but the check is one min/max pair
-    over O(groups * 2^p) register rows — control-plane cost)."""
+    at execution on any disagreement. The disagreement check is per
+    GROUP, not per (group, bucket): parts built at different p have
+    DISJOINT bucket domains, so a per-bucket min/max never sees both
+    values and the corruption would slip through to hll_estimate
+    (advisor find, round 8). The group-level min/max runs as a window
+    over the merged register table — O(groups * 2^p) rows by
+    construction (control-plane-sized: registers, never raw data), so
+    even the empty-``group_cols`` global window sees at most 2^p
+    rows."""
     if "_hll_p" in registers.columns:
         merged = registers.groupBy(*group_cols, "bucket").agg(
             F.max("rho_max").alias("rho_max"),
             F.min("_hll_p").alias("_p_lo"),
             F.max("_hll_p").alias("_p_hi"),
         )
+        wg = Window.partitionBy(*group_cols) if group_cols else (
+            Window.partitionBy()
+        )
+        g_lo = F.min("_p_lo").over(wg)
+        g_hi = F.max("_p_hi").over(wg)
         guard = F.when(
-            F.col("_p_lo") != F.col("_p_hi"),
+            g_lo != g_hi,
             F.raise_error(
                 F.concat(
                     F.lit("hll_merge: register tables built at different "
                           "precisions p="),
-                    F.col("_p_lo"), F.lit(" vs p="), F.col("_p_hi"),
+                    g_lo, F.lit(" vs p="), g_hi,
                 )
             ).cast("int"),
         ).otherwise(F.col("_p_hi"))

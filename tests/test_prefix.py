@@ -60,3 +60,15 @@ def test_plan_has_no_single_partition_exchange(spark):
         .toString()
     )
     assert "Exchange SinglePartition" not in plan
+
+
+def test_null_order_col_fails_fast(spark):
+    """Round-8 advisor find: a NULL order key has no position in the
+    running-sum order — it used to surface as a bare TypeError from
+    int(None) on the collected totals. Now a clear ValueError, checked
+    inside the existing bounds aggregate (no extra pass)."""
+    df = spark.createDataFrame(
+        [(1, 10), (None, 20), (3, 30)], "k long, v int"
+    )
+    with pytest.raises(ValueError, match="NULL value"):
+        prefix_sum(df, "k", "v", "cum")

@@ -314,3 +314,34 @@ def test_hll_precision_mismatch_fails_fast(spark):
     legacy = regs12.drop("_hll_p")
     with pytest.raises(Exception, match="larger precision"):
         hll_estimate(legacy, ["_g"], p=8).collect()
+
+
+def test_hll_merge_disjoint_bucket_mixed_p_raises(spark):
+    """Round-8 advisor find: parts built at different p with DISJOINT
+    bucket sets slipped past the per-(group, bucket) min/max guard and
+    merged silently. The guard is now group-level (window over the
+    merged register table), so any mixed-p merge raises as the
+    docstring promises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_wrangling_spark.operators.sketches import (
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    regs12 = hll_registers(df, "k", [], p=12).withColumn("_g", F.lit(1))
+    regs10 = hll_registers(df, "k", [], p=10).withColumn("_g", F.lit(1))
+    # force-disjoint bucket domains: shift the p=10 buckets past 2^12 so
+    # no (group, bucket) key collides with the p=12 part
+    regs10_disjoint = regs10.withColumn(
+        "bucket", F.col("bucket") + F.lit(1 << 13)
+    )
+    with pytest.raises(Exception, match="different\\s+precisions"):
+        hll_merge(regs12.unionByName(regs10_disjoint), ["_g"]).collect()
+    # same-p parts with disjoint buckets still merge fine
+    half_a = regs12.filter(F.col("bucket") < 2048)
+    half_b = regs12.filter(F.col("bucket") >= 2048)
+    merged = hll_merge(half_a.unionByName(half_b), ["_g"])
+    assert merged.count() == regs12.count()
