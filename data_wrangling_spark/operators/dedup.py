@@ -409,6 +409,117 @@ def jaccard_pairs_prefix(
     )
 
 
+def jaccard_pairs_collapsed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold via EXACT-DUP COLLAPSE then
+    prefix filtering — output IDENTICAL to :func:`ngram_jaccard_pairs`
+    and :func:`jaccard_pairs_prefix` (same schema, same values;
+    equivalence pinned in tests), and the scalable default on real
+    corpora.
+
+    Why the composition (round-8 A/B, SCALING.md round-8 addendum):
+    prefix filtering prunes per-document FREQUENT grams, but on a
+    corpus dense in exact-duplicate GROUPS even each document's rarest
+    grams are shared by its whole group, so prefix candidates approach
+    true-pairs x group-size and the scheme measured a WASH (1.09x)
+    against the plain join. The quadratic mass there is intra-group —
+    and intra-group pairs need no gram work at all: members are
+    bit-identical in the token domain, so every intra pair is Jaccard
+    1.0 with n_common = n_a = n_b = the group's gram-set size. This
+    operator therefore:
+
+    1. collapses documents by token-sequence fingerprint
+       (``md5(array_join(tokens, ' '))`` — EXACTLY the key that
+       determines the gram set, so members of a group provably share
+       it; one narrow projection + one hash aggregate, the
+       ``leakage_safe_split`` collapse-before-quadratic pattern);
+    2. runs :func:`jaccard_pairs_prefix` over one representative per
+       group (min id) — the corpus the prefix theorem is actually
+       effective on, duplicates gone;
+    3. expands back: intra-group pairs from a self-equi-join of the
+       membership relation on the group key (output-sized, stats from
+       the representative's gram-set size, empty-gram groups excluded
+       exactly as the plain join excludes them); inter-group pairs by
+       joining each side of the representative pairs through the
+       membership relation, swapping (n_a, n_b) when member order
+       flips relative to representative order.
+
+    Every shuffle is keyed on ids/fingerprints; gram arrays exist only
+    inside the representative-level prefix join. The expansion joins
+    are output-bounded (their result IS the pair list).
+
+    Reference scope: §2.11 X-DEDUP-FUZZY extension surface (the
+    reference engine has no similarity join)."""
+    from data_wrangling_spark.functions.text import tokens
+
+    if threshold > 1.0:
+        raise ValueError(f"threshold must be <= 1.0, got {threshold}")
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"),
+        F.col(text_col).alias("_text"),
+        F.md5(F.array_join(tokens(text_col), " ")).alias("_fp"),
+    )
+    reps_tbl = base.groupBy("_fp").agg(F.min("doc").alias("_rep"))
+    m = base.select("doc", "_fp").join(reps_tbl, "_fp").select("doc", "_rep")
+    reps = base.join(
+        reps_tbl.select(F.col("_rep").alias("doc")), "doc", "left_semi"
+    )
+    rep_pairs = jaccard_pairs_prefix(reps, "doc", "_text", n, threshold)
+
+    # inter-group: expand each representative pair through both groups'
+    # memberships; (n_a, n_b) swap when the member order flips
+    ma = m.select(F.col("_rep").alias("doc_a"), F.col("doc").alias("_da"))
+    mb = m.select(F.col("_rep").alias("doc_b"), F.col("doc").alias("_db"))
+    swap = F.col("_da") > F.col("_db")
+    inter = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            F.col("n_common"),
+            F.when(swap, F.col("n_b")).otherwise(F.col("n_a")).alias("n_a"),
+            F.when(swap, F.col("n_a")).otherwise(F.col("n_b")).alias("n_b"),
+            F.col("jaccard"),
+        )
+    )
+    # intra-group: all member pairs at Jaccard exactly 1.0; groups whose
+    # gram set is empty (< n tokens) produce no pairs, as in the plain
+    # join (no postings -> no candidates)
+    rep_sizes = reps.select(
+        F.col("doc").alias("_rep"),
+        F.size(gram_hashes_from_tokens(tokens("_text"), n)).alias("_n"),
+    ).filter(F.col("_n") >= 1)
+    intra = (
+        m.alias("x")
+        .join(
+            m.alias("y"),
+            (F.col("x._rep") == F.col("y._rep"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x._rep").alias("_rep"),
+        )
+        .join(rep_sizes, "_rep")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("_n").alias("n_common"),
+            F.col("_n").alias("n_a"),
+            F.col("_n").alias("n_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return inter.unionByName(intra)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -211,6 +211,79 @@ def x_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_dedup_jaccard_collapsed",
+    # plain string-domain pair-join re-derivation over a corpus made
+    # duplicate-DENSE by construction (two shifted-id replica subsets),
+    # so BOTH expansion arms execute: intra-group pairs at Jaccard 1.0
+    # and inter-group pairs expanded through the membership relation.
+    # A dropped pair, a wrong swap of (n_a, n_b), or a gram-hash /
+    # fingerprint collision all surface as a driver hash mismatch.
+    oracle=r"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 150
+            UNION ALL
+            SELECT doc_id + 10000, text FROM documents
+            WHERE doc_id < 150 AND doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id + 20000, text FROM documents
+            WHERE doc_id < 150 AND doc_id % 6 = 0
+        ), docs AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM corpus WHERE text IS NOT NULL
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            )) AS shingle
+            FROM docs WHERE len(toks) >= 3
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT p.doc_a, p.doc_b, p.n_common,
+               sa.n AS n_a, sb.n AS n_b,
+               CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) AS jaccard
+        FROM pairs p JOIN sizes sa ON p.doc_a = sa.doc_id
+                     JOIN sizes sb ON p.doc_b = sb.doc_id
+        WHERE CAST(p.n_common AS DOUBLE) / (sa.n + sb.n - p.n_common) >= 0.3
+        ORDER BY doc_a, doc_b
+    """,
+    doc="X-DEDUP-FUZZY scalable-default composition (round-8 A/B "
+        "finding made first-class): exact-dup collapse by "
+        "token-sequence fingerprint -> prefix-filtered Jaccard over "
+        "one representative per group -> expansion back through the "
+        "membership relation (intra-group pairs at Jaccard 1.0, "
+        "inter-group pairs with order-aware n_a/n_b swap). Output "
+        "identical to x_dedup_ngram_jaccard on any corpus; beats the "
+        "plain prefix form wherever duplicate groups carry the "
+        "quadratic mass (operators/dedup.py jaccard_pairs_collapsed). "
+        "The query's corpus is made duplicate-dense by unioning two "
+        "shifted-id replica subsets so both expansion arms execute.",
+)
+def x_dedup_jaccard_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.dedup import jaccard_pairs_collapsed
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+    dup1 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    dup2 = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dup1).unionByName(dup2)
+    return jaccard_pairs_collapsed(
+        corpus, "doc_id", "text", n=3, threshold=0.3
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
     "x_dedup_minhash_lsh",
     oracle=golden_oracle("x_dedup_minhash_lsh"),  # INDEPENDENTLY
         # derived golden: pure-Python XXH64 dual implementation must

@@ -58,6 +58,8 @@ def main() -> None:
     thr = float(os.environ.get("SPARK_GRAFT_JACCARD_T", "0.5"))
     spark = get_spark(app_name="jaccard-ab")
     spark.sparkContext.setLogLevel("ERROR")
+    from data_wrangling_spark.operators.dedup import jaccard_pairs_collapsed
+
     for d in dirs:
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
         n_docs = docs.count()
@@ -65,6 +67,19 @@ def main() -> None:
         t_pref = timeit(lambda: pref.write.format("noop").mode("overwrite").save())
         n_pairs = pref.count()
         out = {"dir": d, "docs": n_docs, "t": thr, "pairs": n_pairs, "prefix_s": t_pref}
+        # round-9: the collapse-then-prefix composition registered as
+        # x_dedup_jaccard_collapsed — on the replication-dense scaled
+        # corpus the intra-group quadratic mass bypasses gram work
+        # entirely, which is where the round-8 A/B said the win lives
+        coll = jaccard_pairs_collapsed(
+            docs, "doc_id", "text", n=3, threshold=thr
+        )
+        out["collapsed_s"] = timeit(
+            lambda: coll.write.format("noop").mode("overwrite").save()
+        )
+        out["ratio_prefix_over_collapsed"] = round(
+            t_pref / out["collapsed_s"], 2
+        ) if out["collapsed_s"] else None
         if plain_on:
             plain = ngram_jaccard_pairs(
                 docs, "doc_id", "text", n=3, threshold=thr
@@ -75,6 +90,9 @@ def main() -> None:
             out["ratio_plain_over_prefix"] = round(
                 out["plain_s"] / t_pref, 2
             ) if t_pref else None
+            out["ratio_plain_over_collapsed"] = round(
+                out["plain_s"] / out["collapsed_s"], 2
+            ) if out["collapsed_s"] else None
         print(out, flush=True)
     spark.stop()
 

@@ -760,3 +760,80 @@ def test_prefix_filtering_actually_prunes_candidates(spark):
     # the bound, not a defect.
     assert full_pairs == 60 * 59 // 2
     assert prefix_pairs == 0, (full_pairs, prefix_pairs)
+
+
+def test_collapsed_jaccard_equals_plain_on_dup_dense_corpus(spark):
+    """jaccard_pairs_collapsed (collapse exact dups -> prefix-Jaccard
+    over representatives -> expand) must produce EXACTLY
+    ngram_jaccard_pairs' rows on a corpus dense in exact-duplicate
+    groups — the corpus shape the round-8 A/B showed plain prefix
+    filtering is a wash on. Covers intra-group pairs (Jaccard 1.0),
+    inter-group expansion with member-order swaps, whitespace-variant
+    collapse (token-sequence fingerprint), and sub-n-token groups."""
+    from data_wrangling_spark.operators.dedup import (
+        jaccard_pairs_collapsed,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        # group A: ids 1, 9, 12 (bit-identical) + 20 (whitespace variant)
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (9, "alpha beta gamma delta epsilon zeta"),
+        (12, "alpha beta gamma delta epsilon zeta"),
+        (20, "  alpha beta   gamma delta epsilon zeta "),
+        # group B: ids 5, 6 — near-dup of A (shares a 4-token run)
+        (5, "alpha beta gamma delta other words"),
+        (6, "alpha beta gamma delta other words"),
+        # singleton C: unrelated
+        (7, "completely different content entirely here"),
+        # group D: too short for 3-grams twice (no pairs expected)
+        (30, "tiny doc"),
+        (31, "tiny doc"),
+        # null text: ignored everywhere
+        (40, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    key = lambda r: (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b,  # noqa: E731
+                     round(r.jaccard, 9))
+    plain = sorted(
+        key(r) for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.3).collect()
+    )
+    coll = sorted(
+        key(r) for r in jaccard_pairs_collapsed(
+            df, "doc_id", "text", n=3, threshold=0.3).collect()
+    )
+    assert plain == coll
+    # sanity: the corpus exercises both expansion arms
+    intra = [p for p in plain if p[5] == 1.0]
+    inter = [p for p in plain if p[5] < 1.0]
+    assert len(intra) >= 7 and inter, (intra, inter)
+    # member-order swap arm: group A member 9 > group B member 5 while
+    # rep(A)=1 < rep(B)=5 -> the expanded pair must be (5, 9) with
+    # n_a/n_b swapped relative to the rep pair
+    assert any(p[0] == 5 and p[1] == 9 for p in inter), inter
+
+
+def test_collapsed_jaccard_equals_prefix_on_sf_corpus(spark):
+    """On the sf corpus (few exact dups) the collapsed form must still
+    agree with the prefix form exactly — the composition degrades to
+    plain prefix filtering when groups are singletons."""
+    from data_wrangling_spark.operators.dedup import (
+        jaccard_pairs_collapsed,
+        jaccard_pairs_prefix,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        "doc_id < 200"
+    )
+    key = lambda r: (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b,  # noqa: E731
+                     round(r.jaccard, 9))
+    pref = sorted(
+        key(r) for r in jaccard_pairs_prefix(
+            docs, "doc_id", "text", n=3, threshold=0.3).collect()
+    )
+    coll = sorted(
+        key(r) for r in jaccard_pairs_collapsed(
+            docs, "doc_id", "text", n=3, threshold=0.3).collect()
+    )
+    assert pref == coll
