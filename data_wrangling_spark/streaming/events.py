@@ -652,9 +652,11 @@ def sessionize_stream_auto(
     (``pyarrow`` num_rows — no scan, no Spark job; a bounded file
     source replayed with availableNow holds ~every event as native
     state). Over ``state_budget_rows`` → the custom form; under → the
-    native form. A LIVE unbounded source has no footer to read —
-    callers there should pass ``force`` by their own rate x watermark
-    estimate (native while event-rate * gap stays under budget).
+    native form. A LIVE unbounded source has no footer to read — run a
+    short probe (or the native form itself) and feed its
+    ``query.recentProgress`` to :func:`sessionize_form_for_live`,
+    which applies the same budget to a rate x (gap + watermark-delay)
+    steady-state estimate; ``force`` stays as the manual override.
 
     ``force='native'|'custom'`` overrides; the chosen form is recorded
     in ``progress_out['form']``. Output is identical either way
@@ -684,3 +686,87 @@ def sessionize_stream_auto(
         sink=sink,
         progress_out=progress_out,
     )
+
+
+#: duration-literal units accepted by _duration_seconds (the subset of
+#: Spark's CalendarInterval forms the engine's watermark strings use)
+_DURATION_UNITS = {
+    "second": 1.0, "seconds": 1.0,
+    "minute": 60.0, "minutes": 60.0,
+    "hour": 3600.0, "hours": 3600.0,
+    "day": 86400.0, "days": 86400.0,
+}
+
+
+def _duration_seconds(s: str) -> float:
+    """Parse a Spark watermark-delay literal like ``'30 minutes'``."""
+    parts = s.strip().split()
+    if len(parts) != 2 or parts[1].lower() not in _DURATION_UNITS:
+        raise ValueError(f"unsupported duration literal: {s!r}")
+    return float(parts[0]) * _DURATION_UNITS[parts[1].lower()]
+
+
+def _pget(progress, key):
+    """Read a field from a StreamingQueryProgress (dict-like in
+    PySpark 4) or a plain dict (tests, older JSON dumps)."""
+    try:
+        v = progress.get(key)
+    except AttributeError:
+        v = getattr(progress, key, None)
+    return v
+
+
+def estimate_native_state_rows(
+    recent_progress: "list",
+    gap_minutes: int,
+    watermark: str = "30 minutes",
+) -> int | None:
+    """Steady-state state-row estimate for the NATIVE ``session_window``
+    form on a LIVE (unbounded) source, from streaming progress metrics
+    (round-8 verdict item 3 — the file path reads parquet footers; a
+    live source has no footer, but its ``query.recentProgress`` carries
+    the arrival rate).
+
+    A session's per-event rows stay in native state until the watermark
+    passes last_event + gap, and the watermark itself lags arrivals by
+    the watermark delay — so at arrival rate r the store holds roughly
+    ``r * (gap_seconds + delay_seconds)`` rows. The estimate takes the
+    MAX ``inputRowsPerSecond`` over the supplied progress list
+    (conservative peak, not mean: undersizing state is the failure that
+    hurts). Returns None when no progress carries a usable rate (first
+    availableNow batch reports none) — callers should treat None as
+    "unknown, choose the bounded-memory form".
+    """
+    horizon = gap_minutes * 60.0 + _duration_seconds(watermark)
+    best = None
+    for p in recent_progress or []:
+        r = _pget(p, "inputRowsPerSecond")
+        if r is None:
+            continue
+        r = float(r)
+        if r != r or r <= 0:  # NaN or idle batch
+            continue
+        best = r if best is None else max(best, r)
+    if best is None:
+        return None
+    return int(best * horizon)
+
+
+def sessionize_form_for_live(
+    recent_progress: "list",
+    gap_minutes: int,
+    watermark: str = "30 minutes",
+    state_budget_rows: int = SESSIONIZE_STATE_BUDGET_ROWS,
+) -> str:
+    """The live-source counterpart of :func:`sessionize_stream_auto`'s
+    footer check: 'native' while the rate x (gap + watermark-delay)
+    steady-state estimate fits ``state_budget_rows``, else 'custom'.
+    No usable rate yet (fresh query, idle source) selects 'custom' —
+    the bounded-memory form is the safe default until the source has
+    shown its rate. Feed the result back as ``force=`` on the next
+    (re)start of the query; selection is an execution-strategy choice,
+    output is identical either way."""
+    est = estimate_native_state_rows(recent_progress, gap_minutes, watermark)
+    if est is None or est > state_budget_rows:
+        return "custom"
+    return "native"

