@@ -38,7 +38,30 @@ Round-8 widening — the shapes where engine semantics actually diverge
   the three-valued-logic trap is real semantics, not divergence, but a
   NULL in the subquery returns an empty result and tests nothing).
 
-Seeded with a fixed constant: every run generates the identical 300
+Round-9 widening (r8 verdict item 5) — the next divergence surfaces:
+
+- CORRELATED subqueries: scalar COUNT/MIN/MAX correlated on the join
+  key (COUNT over an empty correlated group is the classic "count bug"
+  every decorrelation rewrite must get right — it must yield 0, not
+  NULL-drop the outer row) and [NOT] EXISTS;
+- GROUPING SETS / ROLLUP / CUBE with GROUPING() markers (the marker
+  disambiguates rollup-NULL keys from natural NULLs, and its type
+  discipline differs across engines — cast to BIGINT). FOUND DIVERGENCE
+  (seed 0x5EED #78, round 9): over an EMPTY input relation Spark emits
+  NO rows for ROLLUP/CUBE/GROUPING SETS while DuckDB (with Postgres and
+  the standard) emits the ()-grouping-set grand-total row with
+  COUNT(*) = 0 — the same discipline that makes a global aggregate over
+  empty input one row, which Spark itself follows for plain GROUP-BY-
+  less aggregates. Triaged in ROUNDLOG.md round 9; the generator below
+  therefore draws only non-emptying (modulo) predicates for grouping
+  queries so the suite pins the shared semantics, not the known gap;
+- RANGE frames with explicit numeric bounds (value-based frames over
+  possibly-TIED integer order columns — peers are included by
+  definition, so results stay deterministic where a ROWS frame would
+  not be; exercises each engine's frame-boundary arithmetic in both
+  sort directions).
+
+Seeded with a fixed constant: every run generates the identical 400
 queries, so a failure is reproducible by seed index.
 """
 
@@ -51,7 +74,7 @@ import pytest
 from data_wrangling_spark.sources.tables import load_table
 from tests.conftest import SF_DIR, canonical
 
-N_QUERIES = 300
+N_QUERIES = 400
 SEED = 0x5EED
 
 #: (table, categorical cols, integer cols, cents cols, ts col)
@@ -292,13 +315,126 @@ def _gen_subquery_query(rng: random.Random) -> str:
     return sql
 
 
+def _gen_correlated_query(rng: random.Random) -> str:
+    """Correlated subqueries on the join keys: scalar aggregates
+    (COUNT exercises the count bug — an outer row with NO correlated
+    matches must see 0, not vanish; MIN/MAX yield NULL there, making
+    the predicate three-valued) and [NOT] EXISTS semi/anti shapes."""
+    lt, rt, lk, rk = rng.choice(JOINS)
+    spec = TABLES[lt]
+    kind = rng.choice(["count", "minmax", "exists", "not_exists"])
+    sub_pred = _preds(rng, TABLES[rt], n_max=1)
+    corr = f"{rt}.{rk} = {lt}.{lk}"
+    if kind == "count":
+        sub = f"SELECT COUNT(*) FROM {rt} WHERE {corr}"
+        if sub_pred:
+            sub += " AND " + " AND ".join(sub_pred)
+        op = rng.choice(["=", ">=", "<=", ">"])
+        where = f"({sub}) {op} {rng.randint(0, 5)}"
+    elif kind == "minmax":
+        agg = rng.choice(["MIN", "MAX"])
+        val = rng.choice(TABLES[rt]["int"])
+        sub = f"SELECT {agg}({val}) FROM {rt} WHERE {corr}"
+        if sub_pred:
+            sub += " AND " + " AND ".join(sub_pred)
+        c = rng.choice(spec["int"])
+        op = rng.choice(["<", "<=", ">", ">="])
+        where = f"{c} {op} ({sub})"
+    else:
+        sub = f"SELECT 1 FROM {rt} WHERE {corr}"
+        if sub_pred:
+            sub += " AND " + " AND ".join(sub_pred)
+        neg = "NOT " if kind == "not_exists" else ""
+        where = f"{neg}EXISTS ({sub})"
+    outer_pred = _preds(rng, spec, n_max=1)
+    if outer_pred:
+        where += " AND " + " AND ".join(outer_pred)
+    group = rng.sample(spec["cat"], k=rng.randint(0, 1))
+    aggs = ["COUNT(*) AS agg_0",
+            f"CAST(SUM({rng.choice(spec['int'])}) AS BIGINT) AS agg_1"]
+    sel = ", ".join(group + aggs)
+    sql = f"SELECT {sel} FROM {lt} WHERE {where}"
+    if group:
+        sql += " GROUP BY " + ", ".join(group)
+    return sql
+
+
+def _gen_grouping_query(rng: random.Random) -> str:
+    """ROLLUP / CUBE / explicit GROUPING SETS over one table's
+    categorical pair, with GROUPING() markers cast to BIGINT so the
+    rollup-generated NULL keys are distinguishable from natural NULLs
+    in the canonical compare.
+
+    Predicates here are MODULO-only (never range): a range predicate
+    can empty the input, where the engines genuinely diverge — Spark
+    emits no rows, DuckDB/ANSI emit the () grand-total row (divergence
+    documented in the module docstring and ROUNDLOG round 9)."""
+    t = rng.choice([t for t, s in TABLES.items() if len(set(s["cat"])) >= 2])
+    spec = TABLES[t]
+    g1, g2 = rng.sample(sorted(set(spec["cat"])), k=2)
+    shape = rng.choice(["ROLLUP", "CUBE", "SETS"])
+    if shape == "SETS":
+        all_sets = [f"({g1})", f"({g2})", f"({g1}, {g2})", "()"]
+        sets = rng.sample(all_sets, k=rng.randint(2, 4))
+        grouping = f"GROUPING SETS ({', '.join(sets)})"
+    else:
+        grouping = f"{shape}({g1}, {g2})"
+    aggs = ["COUNT(*) AS agg_0"]
+    if rng.random() < 0.7:
+        c = rng.choice(spec["int"])
+        aggs.append(f"CAST(SUM({c}) AS BIGINT) AS agg_1")
+    sel = (f"{g1}, {g2}, CAST(GROUPING({g1}) AS BIGINT) AS grp_1, "
+           f"CAST(GROUPING({g2}) AS BIGINT) AS grp_2, " + ", ".join(aggs))
+    sql = f"SELECT {sel} FROM {t}"
+    if rng.random() < 0.5:
+        c = rng.choice(spec["int"])
+        sql += f" WHERE {c} % {rng.randint(2, 7)} = 0"
+    sql += f" GROUP BY {grouping}"
+    return sql
+
+
+def _gen_range_frame_query(rng: random.Random) -> str:
+    """Value-based RANGE frames with explicit integer bounds: peers are
+    included by definition, so any integer order column is
+    deterministic even with ties (unlike ROWS frames, which need the
+    unique-key restriction)."""
+    t = rng.choice(list(TABLES))
+    spec = TABLES[t]
+    part = rng.choice([c for c in spec["cat"] if c in CAT_VALUES])
+    order_col = rng.choice([c for c in spec["int"] if c != part])
+    direction = rng.choice(["ASC", "DESC"])
+    lo, hi = rng.randint(1, 1000), rng.randint(1, 1000)
+    frame = rng.choice([
+        f"RANGE BETWEEN {lo} PRECEDING AND CURRENT ROW",
+        f"RANGE BETWEEN CURRENT ROW AND {hi} FOLLOWING",
+        f"RANGE BETWEEN {lo} PRECEDING AND {hi} FOLLOWING",
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    ])
+    agg = rng.choice(["COUNT(*)", f"SUM({rng.choice(spec['int'])})",
+                      f"MIN({order_col})", f"MAX({order_col})"])
+    over = (f"PARTITION BY {part} ORDER BY {order_col} {direction} "
+            f"NULLS FIRST {frame}")
+    preds = _preds(rng, spec, n_max=1)
+    sql = (f"SELECT {part}, {order_col}, "
+           f"CAST({agg} OVER ({over}) AS BIGINT) AS w_0 FROM {t}")
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    return sql
+
+
 def _gen_query(rng: random.Random) -> str:
     r = rng.random()
-    if r < 0.55:
+    if r < 0.40:
         return _gen_agg_query(rng)
-    if r < 0.80:
+    if r < 0.58:
         return _gen_window_query(rng)
-    return _gen_subquery_query(rng)
+    if r < 0.68:
+        return _gen_subquery_query(rng)
+    if r < 0.80:
+        return _gen_correlated_query(rng)
+    if r < 0.90:
+        return _gen_grouping_query(rng)
+    return _gen_range_frame_query(rng)
 
 
 def _all_queries() -> list[tuple[int, str]]:
