@@ -115,13 +115,13 @@ DRIVER_WINDOW: list[str] = [
     # round 6: x_text_lm_score (new bigram-LM perplexity filter) swaps
     # in for ext_tpch_q5_local_supplier (green r4+r5 driver rows; the
     # TPC-H family keeps 15+ members in the window)
-    "x_text_lm_score",
+    # "x_text_lm_score" — demoted round 9 (fairness rotation, see above)
     "op_jsonl_roundtrip",
     # round 7: x_corpus_source_overlap (new slice-level redundancy
     # diagnostic) swaps in for ext_anti_join (green r4-r6 driver rows;
     # the join-shape family keeps semi/anti coverage via
     # ext_tpch_q21/q22 and the TPC-H block)
-    "x_corpus_source_overlap",
+    # "x_corpus_source_overlap" — demoted round 9 (fairness rotation, see above)
     "x_stream_sessionize",
     # round 8: x_dedup_clusters (2 green rows) hands its slot to the
     # new incremental batch-vs-index dedup; the iterative-components
@@ -132,7 +132,7 @@ DRIVER_WINDOW: list[str] = [
     # r4-r6 driver rows; the iterative-computation family stays
     # represented by x_dedup_clusters, and pagerank keeps its chained-
     # CTE oracle row in the sf0.001 pytest suite)
-    "x_multimodal_video",
+    # "x_multimodal_video" — demoted round 9 (fairness rotation, see above)
     # -- round-5 widening: nine new queries (six TPC-H-shaped joins +
     # three training-pipeline ops) take their first driver rows; their
     # slots come from nine entries each holding 1-4 green driver rows
@@ -201,6 +201,27 @@ DRIVER_WINDOW: list[str] = [
     # in for x_text_lexical_diversity (green r5 driver row; the text
     # family keeps stats/curation/chunking/boilerplate in the window)
     "x_text_bm25_search",
+    # round 9 fairness rotation (r8 verdict item 7 — the full
+    # name -> last-driver-round table is in ROUNDLOG.md round 9; every
+    # tail query was judge-replica-verified green at sf0.01 in round 8
+    # and is pytest-oracled at sf0.001 every CI run): the NEW
+    # collapse-then-prefix Jaccard composition takes its first row from
+    # x_text_entropy (green r6-r8; the text-signal family keeps
+    # boilerplate_spans + quality_classifier + lm-adjacent stats), and
+    # three reference-surface queries whose last driver rows date to r1
+    # re-enter per the reference-first policy above: clean_phone (the
+    # §2.5 cleaning family's only pure-Column phone normalizer; slot
+    # from x_text_lm_score, green r6-r8, text family still 8+ strong),
+    # q5a_oldest_ts (Q5 sort+limit surface; slot from
+    # x_multimodal_video, green r6-r8, multimodal family keeps
+    # audio/image_hash/image_dedup/features/frames), and
+    # op_posexplode_positions (OP-POSEXPLODE; slot from
+    # x_corpus_source_overlap, green r6-r8, corpus-diagnostic family
+    # keeps source_cap + shard_manifest + snapshot_diff)
+    "x_dedup_jaccard_collapsed",
+    "clean_phone",
+    "q5a_oldest_ts",
+    "op_posexplode_positions",
     # round 9: ext_range_join_bucketed (green r5+r6 rows) demotes for
     # the permanent reference-surface slots above; interval/temporal
     # machinery stays driver-covered by the three as-of forms and
@@ -210,7 +231,7 @@ DRIVER_WINDOW: list[str] = [
     # repetition/diversity signal family keeps boilerplate_spans +
     # lm_score in the window and the demoted entry stays in the sf0.001
     # pytest oracle suite)
-    "x_text_entropy",
+    # "x_text_entropy" — demoted round 9 (fairness rotation, see above)
     "x_sim_topk_ivf",
     # -- round-5 rotation: the four newly golden-oracled seeded queries
     # (plans/seeded_goldens.py) swap in for proven near-duplicates
