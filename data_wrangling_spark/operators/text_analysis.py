@@ -743,23 +743,48 @@ def boilerplate_removal(
     distinct segments colliding in xxhash64 would merge their df counts
     (P ~ vocab^2 / 2^65); the registered query's DuckDB oracle counts
     strings independently, so a collision surfaces as a driver hash
-    mismatch rather than passing silently."""
-    toks = TX.tokens(text_col)
-    n_seg = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_seg - 1),
-        lambda i: F.array_join(F.slice(toks, i * seg_tokens + 1, seg_tokens), " "),
-    )
+    mismatch rather than passing silently.
+
+    Segmentation is REGEX-NATIVE, not array-HOF (round-9 A/B at 100x:
+    the ``transform(sequence, i -> array_join(slice(tokens, ...)))``
+    chain cost 20.5s per corpus pass — nested higher-order functions
+    run interpreted, outside whole-stage codegen — vs 2.1s for the
+    plain tokenize split; the regex form is three codegen string ops).
+    Equivalence to the token-array form, case by case: squeeze
+    ``\\s+`` -> one space over the space-only-trimmed text, so every
+    token boundary is exactly one space and the empty tokens the
+    array form produces (leading non-space whitespace, trailing
+    whitespace, ''-token of empty text) survive as leading/trailing
+    spaces; then ONE pass inserting a newline after every
+    ``seg_tokens``-th token (``[^ ]*`` matches the empty tokens the
+    squeeze preserved; post-squeeze content cannot contain a newline —
+    every whitespace char became a space — so the separator cannot
+    collide); ``split`` keeps trailing empties exactly like the
+    tokenizer's ``split``. Each group joins its tokens with single
+    spaces — byte-identical to ``array_join(slice(tokens), ' ')``,
+    pinned by the string-domain replay test across the whitespace edge
+    cases."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    group_re = f"((?:[^ ]* ){{{seg_tokens - 1}}}[^ ]*) "
+    marked = F.regexp_replace(norm, group_re, "$1\n")
+    segs = F.split(marked, "\n")
     # segs staged as a projected column (the shingle_novelty lesson:
-    # HOF chains sit outside codegen subexpression elimination, so each
-    # textual use re-runs the tokenize regex — the reassembly select
-    # reads it three times)
+    # chained expressions sit outside codegen subexpression
+    # elimination, so each textual use re-runs the regexes — the
+    # reassembly select reads it three times)
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), segs.alias("_segs")
     )
+    # hash INSIDE the array, explode LONGS: generating 3.6M string rows
+    # through posexplode cost 12s at the 100x probe (per-row UTF8String
+    # materialization) vs 4.7s for transform-then-explode — the segment
+    # string never even reaches the generator
     rows = base.select(
-        F.col(id_col), F.posexplode("_segs").alias("_i", "_seg")
-    ).select(id_col, "_i", F.xxhash64("_seg").alias("_h"))
+        F.col(id_col),
+        F.posexplode(
+            F.transform("_segs", lambda s: F.xxhash64(s))
+        ).alias("_i", "_h"),
+    )
     # (doc, hash) -> ordered position list + occurrence count: the
     # relation is distinct by construction, so df below needs no
     # count-distinct; within-doc repeats ride along as array entries
@@ -774,7 +799,13 @@ def boilerplate_removal(
         .select("_h")
     )
     dropped = (
-        occ.join(bad, "_h", "left_semi")
+        # INNER equi join, deliberately not left_semi: bad's _h is
+        # unique (aggregate output), so they are equivalent — but
+        # Catalyst PUSHES a left_semi below occ's aggregate, planning
+        # the df-count branch as an independent re-scan of the corpus
+        # (the round-9 probe measured the semi form at 94.6s vs 49.3s
+        # inner at 100x — the whole tokenize+explode chain ran twice)
+        occ.join(bad, "_h")
         .groupBy(id_col)
         .agg(
             F.sum("_c").alias("_n_drop"),

@@ -516,3 +516,43 @@ def test_boilerplate_removal_matches_string_domain_reference(spark):
         assert got[i].n_segments == len(segs), (i, got[i])
         assert got[i].n_kept == len(kept), (i, got[i], kept)
         assert got[i].cleaned_text == " ".join(kept), (i, got[i], kept)
+
+
+def test_boilerplate_regex_segmenter_equals_token_array_form(spark):
+    """The round-9 regex-native segmenter must produce byte-identical
+    segments to the token-array form (transform/sequence/slice/
+    array_join) it replaced for speed — including the whitespace edge
+    cases where the tokenizer's space-only trim yields empty tokens:
+    leading tab (leading '' token shifts every group boundary),
+    trailing whitespace (trailing '' token), empty and space-only
+    text, and an exact-multiple token count (no empty tail group)."""
+    from pyspark.sql import functions as F
+
+    texts = [
+        "\tt1 t2 t3 t4 t5 t6 t7 t8 t9",  # leading '' token + 9 real
+        "a\tb   c\nd",
+        "a b c d e f g h",               # exact multiple of group size
+        "x " * 16,                        # trailing space -> '' token
+        "trail\t",
+        "",
+        "   ",
+        "x y z",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for seg in (2, 3, 8):
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        n_seg = F.ceil(F.size(toks) / F.lit(float(seg))).cast("int")
+        old = F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(F.slice(toks, i * seg + 1, seg), " "),
+        )
+        norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+        marked = F.regexp_replace(
+            norm, f"((?:[^ ]* ){{{seg - 1}}}[^ ]*) ", "$1\n"
+        )
+        new = F.split(marked, "\n")
+        rows = docs.select("doc_id", old.alias("o"), new.alias("n")).collect()
+        for r in rows:
+            assert r.o == r.n, (seg, texts[r.doc_id], r.o, r.n)
