@@ -135,6 +135,15 @@ EXTRA_QUERIES = [
     "x_eval_auc_quality",
     "x_eval_pr_sweep",
     "x_dedup_jaccard_prefix",
+    # (x_corpus_snapshot_diff belongs to the same round-8 late batch —
+    # it was missing from this list when the addendum promise was
+    # written; restored round 9 so the full regeneration folds all four
+    # in, per the r8 verdict item-4 audit)
+    "x_corpus_snapshot_diff",
+    # round-9 addition: the collapse-then-prefix exact-Jaccard default
+    # (its duplicate-dense A/B lives in scripts/bench_jaccard_ab.py;
+    # this row times the registered query's corpus)
+    "x_dedup_jaccard_collapsed",
 ]
 
 # ---------------------------------------------------------------- skew --
