@@ -465,49 +465,55 @@ def embedding_outliers(
 
     Returns (label_col, id_col, dist2, rnk) with rnk in [1, top_k].
 
-    Scale shape: the centroid pass is posexplode → (label, dim) hash
-    aggregate — shuffle bounded by labels·dims, with map-side partials
-    collapsing the per-row mass; centroids re-assemble to one array row
-    per label (labels·dims rows total, a control-plane-sized relation)
-    and BROADCAST back; the distance is then a narrow zip_with
-    projection and the per-label top-k is the WindowGroupLimit partial
-    rank (≤ top_k rows per label per partition reach the exchange)."""
-    from data_wrangling_spark.operators.dedup import _quantize_micro
-
-    base = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(label_col).alias("_lbl"),
-        F.col(id_col).alias("_id"),
-        _quantize_micro(vec_col, scale).alias("_q"),
-    )
-    sums = (
-        base.select("_lbl", F.posexplode("_q").alias("_d", "_v"))
-        .groupBy("_lbl", "_d")
-        .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+    Scale shape — every stage is codegen scalar arithmetic; no
+    higher-order function touches the data (round-9 rework: the
+    original form quantized via an array ``transform`` and computed
+    the distance via ``zip_with``+``aggregate`` — both run INTERPRETED
+    outside whole-stage codegen, and the quantize pass executed once
+    per branch; 17.7s -> measured rework at the 100x probe with the
+    same output). Vectors posexplode to (label, id, dim, value) rows
+    where quantization is a plain scalar round; the centroid pass is a
+    (label, dim) hash aggregate (map-side partials collapse the
+    per-row mass) kept FLAT — labels·dims rows, a control-plane-sized
+    relation BROADCAST back and joined on (label, dim), so dimension
+    alignment is by key, not by array reassembly; the distance is then
+    one (label, id) hash aggregate of (v-c)^2, and the per-label top-k
+    is the WindowGroupLimit partial rank (<= top_k rows per label per
+    partition reach the exchange)."""
+    # scalar twin of dedup._quantize_micro's per-element lambda:
+    # round(double(x) * scale) — elementwise cast == array cast
+    ex = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(label_col).alias("_lbl"),
+            F.col(id_col).alias("_id"),
+            F.posexplode(vec_col).alias("_d", "_x"),
+        )
+        .select(
+            "_lbl",
+            "_id",
+            "_d",
+            F.round(F.col("_x").cast("double") * scale)
+            .cast("long")
+            .alias("_v"),
+        )
     )
     cents = (
-        sums.select(
+        ex.groupBy("_lbl", "_d")
+        .agg(F.sum("_v").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select(
             "_lbl",
             "_d",
-            F.floor(F.col("_s").cast("double") / F.col("_n")).cast("long").alias("_c"),
-        )
-        .groupBy("_lbl")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("_d").alias("d"), F.col("_c").alias("c")))
-                ),
-                lambda x: x["c"],
-            ).alias("_cent")
+            F.floor(F.col("_s").cast("double") / F.col("_n"))
+            .cast("long")
+            .alias("_c"),
         )
     )
-    dist = base.join(F.broadcast(cents), "_lbl").select(
-        "_lbl",
-        "_id",
-        F.aggregate(
-            F.zip_with("_q", "_cent", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("dist2"),
+    diff = F.col("_v") - F.col("_c")
+    dist = (
+        ex.join(F.broadcast(cents), ["_lbl", "_d"])
+        .groupBy("_lbl", "_id")
+        .agg(F.sum(diff * diff).alias("dist2"))
     )
     w = Window.partitionBy("_lbl").orderBy(F.col("dist2").desc(), F.col("_id"))
     return (
