@@ -467,62 +467,74 @@ def lm_score_bigram(
     engines (the int-cents pattern applied to logs). The derived
     ``avg_nll`` divides two exact ints in double, rounded to 6dp.
 
-    Scale shape: bigrams explode with multiplicity (a slice of one
-    index-transform over the staged token array — the
-    shingles_from_tokens construction, lambda referencing only the
-    bound column); the bigram-count aggregate keys on (_bg, _w1) —
-    bigram cardinality, since the string determines its prefix — and
-    the prefix counts derive from IT (sum over w2), so bigram
-    OCCURRENCES are aggregated once, not twice; scoring joins back on
-    the same (_bg, _w1) keys plus a 1-row vocabulary broadcast, and
-    the per-document NLL sum is one final hash agg. Two passes over
-    the exploded bigrams total (model build + scoring join) — at bench
-    scale the derived-prefix form A/B'd neutral (~7s either way at
-    10x, the joins dominate), but it removes a full occurrence-level
-    shuffle that grows with the corpus while the derived aggregate is
-    bounded by distinct-bigram cardinality."""
+    Scale shape — the ENTIRE pipeline runs in the 64-bit hash domain
+    (the boilerplate_removal recipe, round-9 verdict: interpreted
+    string-struct explodes and string-keyed shuffles were the repo's
+    dominant hidden cost, NOT shuffle structure). A bigram's identity
+    is its (h1, h2) = (xxhash64(w1), xxhash64(w2)) pair: hashes are
+    computed INSIDE the token array (``transform`` over strings → long
+    array, one interpreted pass — measured 4.7s vs 12s for the string
+    explode at the 100x probe), bigram pairs are two codegen ``slice``
+    views zipped with ``arrays_zip``, and only (doc, long, long) rows
+    ever explode or shuffle. The model aggregate keys on (h1, h2) —
+    bigram cardinality — and the prefix counts derive from IT
+    (C_prefix(w1) = sum over w2 of C(w1 w2)); the vocabulary size is
+    countDistinct over (bigram-prefix hashes ∪ per-doc last-token
+    hashes), a vocabulary-bounded relation plus one long per document
+    — no token-occurrence explode anywhere. Scoring joins back on the
+    same (h1, h2) longs plus a 1-row vocabulary broadcast; the output
+    carries no token strings, so no hash→string join-back is needed
+    at all.
+
+    Hash-collision caveat (same as boilerplate_removal): two distinct
+    tokens colliding in xxhash64 would merge their model counts
+    (P ~ vocab² / 2^65); the registered query's DuckDB oracle counts
+    strings independently, so a collision surfaces as a driver hash
+    mismatch rather than passing silently."""
     toked = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), TX.tokens(text_col).alias("_toks"))
         .filter(F.size("_toks") >= 2)
     )
-    toks = F.col("_toks")
-    m = F.size(toks) - F.lit(1)
-    # (w1, "w1 w2") structs with MULTIPLICITY, in document order; the
-    # trailing entry's try_element_at past the end is NULL (concat_ws
-    # would emit a partial gram) so slice to the first m
-    bigram_structs = F.slice(
-        F.transform(
-            toks,
-            lambda x, i: F.struct(
-                x.alias("w1"),
-                F.concat_ws(
-                    " ", x, F.try_element_at(toks, i + F.lit(2))
-                ).alias("bg"),
-            ),
-        ),
-        1,
-        m,
+    # hash inside the array; strings never leave their source task
+    staged = toked.select(
+        F.col(id_col),
+        F.transform("_toks", lambda t: F.xxhash64(t)).alias("_hs"),
     )
-    bi = (
-        toked.select(id_col, F.explode(bigram_structs).alias("_b"))
-        .select(
-            id_col,
-            F.col("_b.w1").alias("_w1"),
-            F.col("_b.bg").alias("_bg"),
-        )
+    m = F.size("_hs") - F.lit(1)
+    # (h1, h2) = (hs[i], hs[i+1]) with MULTIPLICITY, via two codegen
+    # slice views zipped positionally — no index-transform chain
+    pairs = staged.select(
+        F.col(id_col),
+        F.slice("_hs", 1, m).alias("_a"),
+        F.slice("_hs", 2, m).alias("_b"),
+        F.element_at("_hs", -1).alias("_last"),
     )
-    # the bigram string determines its prefix, so grouping by
-    # (_bg, _w1) has bigram cardinality and the prefix counts derive
-    # from the bigram counts (C_prefix(w1) = sum over w2 of C(w1 w2))
-    # — one aggregate over DISTINCT bigrams instead of a third full
-    # pass over bigram OCCURRENCES; and because the model join below
-    # uses the same (_bg, _w1) keys as this groupBy, the exploded
-    # relation's exchange is shuffled once and reused
-    big = bi.groupBy("_bg", "_w1").agg(F.count(F.lit(1)).alias("_c12"))
-    uni = big.groupBy("_w1").agg(F.sum("_c12").cast("long").alias("_c1"))
-    voc = toked.select(F.explode("_toks").alias("_tok")).agg(
-        F.countDistinct("_tok").alias("_v")
+    bi = pairs.select(
+        F.col(id_col),
+        F.col("_last"),
+        F.explode(F.arrays_zip("_a", "_b")).alias("_p"),
+    ).select(
+        id_col,
+        "_last",
+        F.col("_p._a").alias("_h1"),
+        F.col("_p._b").alias("_h2"),
+    )
+    # grouping by (h1, h2) has bigram cardinality and the prefix
+    # counts derive from the bigram counts (C_prefix(w1) = sum over w2
+    # of C(w1 w2)) — one aggregate over DISTINCT bigrams instead of a
+    # second full pass over bigram OCCURRENCES; the model join below
+    # reuses the same (h1, h2) exchange
+    big = bi.groupBy("_h1", "_h2").agg(F.count(F.lit(1)).alias("_c12"))
+    uni = big.groupBy("_h1").agg(F.sum("_c12").cast("long").alias("_c1"))
+    # |vocab| = |distinct tokens| = |distinct bigram prefixes ∪ per-doc
+    # last tokens| (every token occurrence is a bigram prefix except
+    # each document's last) — vocabulary-bounded + one long per doc,
+    # replacing the former full token-occurrence string explode
+    voc = (
+        big.select("_h1")
+        .union(pairs.select(F.col("_last").alias("_h1")))
+        .agg(F.countDistinct("_h1").alias("_v"))
     )
     nll_micro = F.round(
         -F.log(
@@ -532,8 +544,8 @@ def lm_score_bigram(
         0,
     ).cast("bigint")
     return (
-        bi.join(big, ["_bg", "_w1"])
-        .join(uni, "_w1")
+        bi.join(big, ["_h1", "_h2"])
+        .join(uni, "_h1")
         .join(F.broadcast(voc))
         .select(id_col, nll_micro.alias("_nll"))
         .groupBy(id_col)
@@ -927,36 +939,89 @@ def collocations_pmi(
     to the single ln() are IEEE doubles derived identically on any
     engine, the entropy/lm_score discipline.
 
-    Scale shape: two hash aggregates (bigram counts: the shuffle is
-    bounded by the distinct-bigram vocabulary thanks to map-side
-    combine; unigram counts likewise), two vocabulary-bounded equi-joins
-    to attach c_a and c_b, and a 1-row totals broadcast. No posting-level
-    join anywhere."""
+    Scale shape — counting runs ENTIRELY in the 64-bit hash domain
+    (the boilerplate_removal / lm_score_bigram recipe, round-9 verdict:
+    interpreted string-struct explodes were the repo's dominant hidden
+    cost). Token hashes are computed INSIDE the array (one
+    ``transform`` pass, strings never leave their source task); bigram
+    (h1, h2) pairs are two codegen ``slice`` views zipped with
+    ``arrays_zip`` so only longs explode; unigram counts DERIVE from
+    the bigram counts — c(w) = Σ_b C(w, b) + #docs whose LAST token is
+    w (every token occurrence is a bigram prefix except each
+    document's last; single-token documents contribute only the last
+    term) — so there is NO token-occurrence explode at all. Token
+    STRINGS are attached only at the end: one corpus explode of
+    per-document tokens semi-filtered by broadcast against the
+    survivor hash set (c_ab >= min_count bounds it by the collocation
+    vocabulary), then two tiny hash→string joins.
+
+    Hash-collision caveat (same as boilerplate_removal): two distinct
+    tokens colliding in xxhash64 would merge counts (P ~ vocab² /
+    2^65); the registered query's DuckDB oracle counts strings
+    independently, so a collision surfaces as a driver hash mismatch
+    rather than passing silently."""
     toks = TX.tokens(text_col)
     docs = df.filter(F.col(text_col).isNotNull()).select(toks.alias("_toks"))
-    bigrams = docs.filter(F.size("_toks") >= 2).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_toks") - 2),
-                lambda i: F.struct(
-                    F.col("_toks")[i].alias("w1"), F.col("_toks")[i + 1].alias("w2")
-                ),
-            )
-        ).alias("_bg")
-    ).select(F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
-    uni = (
-        docs.select(F.explode("_toks").alias("_tok"))
-        .groupBy("_tok")
-        .agg(F.count(F.lit(1)).alias("_c"))
+    staged = docs.select(
+        F.col("_toks"),
+        F.transform("_toks", lambda t: F.xxhash64(t)).alias("_hs"),
     )
-    bg = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    m = F.size("_hs") - F.lit(1)
+    # every document (size >= 1 by split semantics) contributes its
+    # last-token hash; docs with >= 2 tokens also contribute bigrams
+    pairs = staged.select(
+        F.slice("_hs", 1, m).alias("_a"),
+        F.slice("_hs", 2, m).alias("_b"),
+        F.element_at("_hs", -1).alias("_last"),
+    )
+    bg = (
+        pairs.select(F.explode(F.arrays_zip("_a", "_b")).alias("_p"))
+        .select(F.col("_p._a").alias("_h1"), F.col("_p._b").alias("_h2"))
+        .groupBy("_h1", "_h2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    lastc = pairs.groupBy(F.col("_last").alias("_h")).agg(
+        F.count(F.lit(1)).alias("_lc")
+    )
+    # unigram occurrence counts, derived: prefix counts + last-token
+    # counts (full outer: a token can appear only as a last token, or
+    # only as a prefix)
+    uni = (
+        bg.groupBy(F.col("_h1").alias("_h"))
+        .agg(F.sum("c_ab").alias("_pc"))
+        .join(lastc, "_h", "full_outer")
+        .select(
+            "_h",
+            (
+                F.coalesce(F.col("_pc"), F.lit(0))
+                + F.coalesce(F.col("_lc"), F.lit(0))
+            ).alias("_c"),
+        )
+    )
     totals = uni.agg(
         F.sum("_c").alias("_n"),
     ).crossJoin(bg.agg(F.sum("c_ab").alias("_np")))
+    surv = bg.filter(F.col("c_ab") >= min_count)
+    # hash→string map for the SURVIVORS only: explode corpus tokens
+    # once, semi-filter immediately against the broadcast survivor
+    # hash set (collocation-vocabulary-sized), dedupe the tiny result
+    need = (
+        surv.select(F.col("_h1").alias("_h"))
+        .union(surv.select(F.col("_h2").alias("_h")))
+        .distinct()
+    )
+    vocab = (
+        docs.select(F.explode("_toks").alias("_w"))
+        .select(F.xxhash64("_w").alias("_h"), F.col("_w"))
+        .join(F.broadcast(need), "_h")
+        .groupBy("_h")
+        .agg(F.min("_w").alias("_w"))
+    )
     pmi = (
-        bg.filter(F.col("c_ab") >= min_count)
-        .join(uni.select(F.col("_tok").alias("w1"), F.col("_c").alias("_ca")), "w1")
-        .join(uni.select(F.col("_tok").alias("w2"), F.col("_c").alias("_cb")), "w2")
+        surv.join(uni.select(F.col("_h").alias("_h1"), F.col("_c").alias("_ca")), "_h1")
+        .join(uni.select(F.col("_h").alias("_h2"), F.col("_c").alias("_cb")), "_h2")
+        .join(vocab.select(F.col("_h").alias("_h1"), F.col("_w").alias("w1")), "_h1")
+        .join(vocab.select(F.col("_h").alias("_h2"), F.col("_w").alias("w2")), "_h2")
         .crossJoin(F.broadcast(totals))
     )
     expr = F.log(

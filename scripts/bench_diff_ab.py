@@ -17,6 +17,16 @@ hash buys nothing — document the floor and keep md5 (engine-portable,
 user-facing manifests reuse it). Usage:
 
     python scripts/bench_diff_ab.py /tmp/dws-scale/mult100 [more dirs]
+
+Round-10 addendum (`--churn`): the round-9 verdict refuted the "regex
+floor" — raw-equal implies normalized-equal, so the regex only NEEDS
+to run on raw-mismatched present-in-both pairs. The shipped
+operators/diff.py short-circuits on a raw xxhash64 compare and
+fingerprints only the churn set. `--churn` sweeps churn rates
+1% / 10% / 100% (suffix-edit on doc_id % {100,10,1} == 0) comparing
+the OLD normalize-everything plan against the SHIPPED short-circuit:
+
+    python scripts/bench_diff_ab.py --churn /tmp/dws-scale/mult100
 """
 
 from __future__ import annotations
@@ -63,8 +73,44 @@ def diff_with(old, new, key_expr) -> "object":
     return j.select("_id", status.alias("status"))
 
 
+def churn_sweep(spark, dirs) -> None:
+    """OLD normalize-everything diff vs SHIPPED raw-hash short-circuit
+    at 1% / 10% / 100% churn (plus the registered query's mixed
+    added/removed/changed shape)."""
+    from data_wrangling_spark.operators.diff import snapshot_diff
+
+    old_plan = lambda o, n: diff_with(  # noqa: E731
+        o, n, lambda c: F.md5(normalized(c))
+    )
+    for d in dirs:
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        for label, mod in [("1pct", 100), ("10pct", 10), ("100pct", 1)]:
+            oldv = docs.select("doc_id", "text")
+            newv = docs.select(
+                "doc_id",
+                F.when(F.col("doc_id") % mod == 0,
+                       F.concat(F.col("text"), F.lit(" rev2")))
+                .otherwise(F.col("text")).alias("text"),
+            )
+            out = {
+                "dir": d,
+                "churn": label,
+                "old_normalize_all_s": timeit(old_plan(oldv, newv)),
+                "new_short_circuit_s": timeit(snapshot_diff(oldv, newv)),
+            }
+            print(out, flush=True)
+
+
 def main() -> None:
-    dirs = sys.argv[1:] or ["/tmp/dws-scale/mult100"]
+    args = sys.argv[1:]
+    if args and args[0] == "--churn":
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+        spark = get_spark(app_name="diff-ab-churn")
+        spark.sparkContext.setLogLevel("ERROR")
+        churn_sweep(spark, args[1:] or ["/tmp/dws-scale/mult100"])
+        spark.stop()
+        return
+    dirs = args or ["/tmp/dws-scale/mult100"]
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark(app_name="diff-ab")
     spark.sparkContext.setLogLevel("ERROR")
