@@ -142,7 +142,11 @@ def pr_at_thresholds(
     dropped. ``thresholds`` is deduplicated up front: a duplicated
     threshold would explode two identical rows that collapse into one
     (group, threshold) group and double every count (advisor find,
-    round 8).
+    round 8). NULL-score rows are DROPPED up front, matching
+    :func:`roc_auc`'s round-8 policy (advisor find, round 9: keeping
+    them made ``NULL >= t`` never count in n_pred_pos/tp while their
+    positives still counted in the recall denominator, silently
+    deflating recall/F1 at every threshold).
     """
     group_cols = group_cols or []
     thresholds = sorted({int(t) for t in thresholds})
@@ -150,6 +154,7 @@ def pr_at_thresholds(
     label = F.col(label_col) if isinstance(label_col, str) else label_col
     counted = (
         df.select(*group_cols, score.alias("_s"), label.cast("int").alias("_y"))
+        .filter(F.col("_s").isNotNull())
         .groupBy(*group_cols, "_s")
         .agg(
             F.sum("_y").cast("long").alias("_p"),

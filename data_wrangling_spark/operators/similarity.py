@@ -465,6 +465,18 @@ def embedding_outliers(
 
     Returns (label_col, id_col, dist2, rnk) with rnk in [1, top_k].
 
+    PRECONDITION (advisor find, round 9): vectors must be
+    fixed-dimension with non-NULL elements. The flat (label, dim)
+    formulation sums whatever dimensions exist per key, so a
+    NULL-element or ragged-length vector would get a finite PARTIAL
+    distance instead of the NULL the old array form produced — and an
+    EMPTY vector would vanish (posexplode emits no rows). Empty
+    vectors fail loudly via a codegen ``assert_true`` guard; the
+    NULL-element / ragged checks are stated as preconditions rather
+    than guarded because the only expression that could check them
+    per-row (``exists(vec, isnull)``) runs interpreted — the exact
+    cost this rework removed.
+
     Scale shape — every stage is codegen scalar arithmetic; no
     higher-order function touches the data (round-9 rework: the
     original form quantized via an array ``transform`` and computed
@@ -484,6 +496,16 @@ def embedding_outliers(
     # round(double(x) * scale) — elementwise cast == array cast
     ex = (
         df.filter(F.col(vec_col).isNotNull())
+        # loud guard on empty vectors (they would silently vanish:
+        # posexplode emits no rows); assert_true returns NULL when the
+        # predicate holds, so the filter keeps every valid row while
+        # forcing the codegen size() check to evaluate
+        .filter(
+            F.assert_true(
+                F.size(vec_col) > 0,
+                F.lit(f"embedding_outliers: empty {vec_col} vector"),
+            ).isNull()
+        )
         .select(
             F.col(label_col).alias("_lbl"),
             F.col(id_col).alias("_id"),

@@ -167,3 +167,20 @@ def test_pr_sweep_duplicate_thresholds_not_double_counted(spark):
     assert out[3].n_pred_pos == 2 and out[3].tp == 2
     assert out[3].precision_micro == 1000000
     assert out[2].n_pred_pos == 3
+
+
+def test_pr_sweep_null_scores_dropped_like_roc_auc(spark):
+    """Round-9 advisor find: pr_at_thresholds kept NULL-score rows —
+    NULL >= t never counted in n_pred_pos/tp, yet their positives
+    counted in the recall denominator, silently deflating recall/F1 at
+    every threshold. NULL scores are now dropped up front, matching
+    roc_auc's round-8 policy."""
+    rows = [(1, 0), (2, 1), (3, 0), (4, 1), (None, 1), (None, 1)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    clean = df.filter(F.col("s").isNotNull())
+    want = {r.threshold: r for r in pr_at_thresholds(clean, "s", "y", [2]).collect()}
+    got = {r.threshold: r for r in pr_at_thresholds(df, "s", "y", [2]).collect()}
+    # recall = tp / P over NON-NULL-score positives only: 2/2, not 2/4
+    assert got[2].recall_micro == want[2].recall_micro == 1000000
+    assert got[2].f1_micro == want[2].f1_micro
+    assert got[2].n_pred_pos == 3 and got[2].tp == 2

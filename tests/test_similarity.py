@@ -197,3 +197,26 @@ def test_embedding_outliers_rank_ties_break_by_id(spark):
     )
     got = {r.rnk: r.vec_id for r in embedding_outliers(df, top_k=3).collect()}
     assert got == {1: 3, 2: 1, 3: 2}
+
+
+def test_embedding_outliers_empty_vector_fails_loudly(spark):
+    """Round-9 advisor find: the flat (label, dim) rework made empty
+    vectors silently VANISH (posexplode emits no rows) where the old
+    array form returned them with NULL dist2. Empty vectors now raise
+    via a codegen assert_true guard; NULL-element / ragged vectors are
+    documented preconditions."""
+    import pytest
+
+    from data_wrangling_spark.operators.similarity import embedding_outliers
+
+    good = spark.createDataFrame(
+        [(1, [1.0, 2.0], "a"), (2, [0.5, 1.5], "a")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    assert embedding_outliers(good).count() == 2
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0], "a"), (2, [], "a")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    with pytest.raises(Exception, match="empty embedding vector"):
+        embedding_outliers(bad).count()
