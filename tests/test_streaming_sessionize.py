@@ -193,3 +193,87 @@ def test_live_form_selection_from_progress_metrics(spark):
     assert sessionize_form_for_live(
         q.recentProgress, 30, "30 minutes", state_budget_rows=10
     ) == "custom"
+
+
+def test_duration_seconds_compound_literals():
+    """Compound CalendarInterval forms sum their pairs (advisor find,
+    round 9: feeding a query's own compound watermark string raised)."""
+    import pytest
+
+    from data_wrangling_spark.streaming.events import _duration_seconds
+
+    assert _duration_seconds("30 minutes") == 1800.0
+    assert _duration_seconds("1 hour 30 minutes") == 5400.0
+    assert _duration_seconds("1 day 2 hours 3 minutes 4 seconds") == 93784.0
+    assert _duration_seconds("1.5 hours") == 5400.0
+    for bad in ("", "30", "30 fortnights", "1 hour 30"):
+        with pytest.raises(ValueError):
+            _duration_seconds(bad)
+
+
+def test_live_sessionize_switches_to_custom_when_budget_crossed(spark):
+    """LiveSessionize (round-9 verdict item 5): a real unbounded rate
+    source whose ramp-up CROSSES the state budget mid-stream must make
+    the controller stop the native query at a batch boundary and
+    restart the custom applyInPandasWithState form — the closed loop
+    the selector alone could not act on. Ramp-up guarantees the
+    arrival rate starts below the crossing rate, so the switch can
+    only happen from a genuinely observed estimate, not the start
+    condition."""
+    import time
+
+    from data_wrangling_spark.streaming.events import LiveSessionize
+
+    def source_fn(s):
+        return (
+            s.readStream.format("rate")
+            .option("rowsPerSecond", 200)
+            .option("rampUpTime", "10s")
+            .load()
+            .select(
+                (F.col("value") % 50).alias("user_id"),
+                F.col("value").alias("event_id"),
+                F.col("timestamp").alias("ts"),
+            )
+        )
+
+    # horizon = 60s gap + 10s delay = 70s; budget 10_500 rows = a
+    # 150 rows/s crossing rate, reached ~7.5s into the 10s ramp
+    ctl = LiveSessionize(
+        spark,
+        source_fn,
+        gap_minutes=1,
+        watermark="10 seconds",
+        table_prefix="live_sessions_test",
+        state_budget_rows=10_500,
+        initial_form="native",
+    )
+    ctl.start()
+    try:
+        assert ctl.form == "native"
+        native_query = ctl.query
+        deadline = time.time() + 90
+        while time.time() < deadline and ctl.poll() == "native":
+            time.sleep(0.5)
+        assert ctl.form == "custom", (
+            f"no switch within deadline; history={ctl.history}"
+        )
+        # the native query was stopped, a NEW query took over
+        assert not native_query.isActive
+        assert ctl.query is not native_query and ctl.query.isActive
+        # the switch decision recorded the crossing estimate
+        switch = [h for h in ctl.history if h.get("switched_to") == "custom"]
+        assert len(switch) == 1 and switch[0]["estimate"] > 10_500
+        # the restarted query IS the custom form (its memory-sink name
+        # carries the form suffix _start_form assigned)
+        assert ctl.query.name == "live_sessions_test_custom"
+        # further polls are a no-op on the custom form (one-way ratchet)
+        assert ctl.poll() == "custom"
+        # the custom query makes progress (micro-batches run)
+        deadline = time.time() + 30
+        while time.time() < deadline and ctl.query.lastProgress is None:
+            time.sleep(0.5)
+        assert ctl.query.lastProgress is not None
+    finally:
+        ctl.stop()
+    assert ctl.query is None
