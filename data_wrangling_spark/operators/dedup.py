@@ -409,6 +409,119 @@ def jaccard_pairs_prefix(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment join: emit directed pairs
+    (src, dst) with C(src→dst) = |G_src ∩ G_dst| / |G_src| >= threshold
+    over DISTINCT n-gram sets — the quote/excerpt detector Jaccard
+    cannot express: a 50-gram snippet fully contained in a 5000-gram
+    article has containment 1.0 but Jaccard ~0.01, so symmetric
+    near-dup passes keep both while a curation pipeline usually wants
+    the subset document flagged (deduplicating quoted/excerpted text is
+    the Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" substring-dedup motivation, re-expressed at gram
+    granularity).
+
+    Prefix filtering adapts to the asymmetric measure (the overlap-join
+    corollary of the AllPairs bound): order every document's gram set
+    by ascending document frequency (rarest first, ties by gram); if
+    C(src→dst) >= t then dst must contain at least ceil(t·|G_src|)
+    of src's grams, so dst must hit at least ONE of src's first
+    ``|G_src| - ceil(t·|G_src|) + 1`` grams — were the whole prefix
+    missed, the overlap could top out at |G_src| - prefix_len =
+    ceil(t·|G_src|) - 1 < t·|G_src|. Only the SRC side can be
+    prefix-pruned (containment does not constrain |G_dst ∩ G_src| /
+    |G_dst|), so candidates come from prefix(src) ⋈ FULL postings of
+    dst — the frequent grams every document shares sort to src
+    suffixes and never seed candidates, which is what bounds the join
+    fan-out. ``ceil(t·|S|)`` is ``ceil(t·|S| - 1e-9)``: float rounding
+    may only lengthen the prefix (extra candidates — safe), never
+    shorten it (false negatives — wrong).
+
+    Scale shape: the jaccard_pairs_prefix discipline end to end — gram
+    identity rides as 64-bit hashes (strings never shuffle), one df
+    aggregate (map-side partials collapse to the vocabulary), one
+    per-doc row_number window bounded by document length, the
+    prefix⋈postings candidate join on a long key, verification by
+    ``array_intersect`` over the two documents' gram arrays
+    (per-pair-linear, never a posting-level join). Candidate-count
+    honesty: on duplicate-dense corpora compose with exact-dup
+    collapse first (jaccard_pairs_collapsed's structure) — a large
+    exact-dup group makes the true directed-pair output itself
+    quadratic in group size.
+
+    Returns (src_doc, dst_doc, n_common, n_src, n_dst, containment),
+    src_doc != dst_doc, containment = n_common / n_src (one IEEE
+    division of exact ints — engine-portable). Both directions of a
+    mutually-containing pair emit their own rows (A→B and B→A are
+    different statements at different denominators).
+
+    Reference scope: no counterpart in the reference engine (S2 is an
+    imperative cleaning pipeline); §2.11 X-DEDUP-FUZZY extension
+    surface."""
+    from pyspark.sql import Window
+
+    from data_wrangling_spark.functions.text import tokens
+
+    gram_sets = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc"), tokens(text_col).alias("_toks"))
+        .select(
+            "doc", gram_hashes_from_tokens(F.col("_toks"), n).alias("_grams")
+        )
+        .filter(F.size("_grams") >= 1)
+    )
+    sh = gram_sets.select(
+        "doc",
+        F.size("_grams").alias("n_sh"),
+        F.explode("_grams").alias("gram"),
+    )
+    dfreq = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("doc").orderBy("_df", "gram")
+    ranked = sh.join(dfreq, "gram").withColumn("_pos", F.row_number().over(w))
+    prefix = ranked.filter(
+        F.col("_pos")
+        <= F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        + F.lit(1)
+    ).select(F.col("doc").alias("src"), "gram")
+    cand = (
+        prefix.join(
+            sh.select(F.col("doc").alias("dst"), "gram"),
+            ["gram"],
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    ga = gram_sets.select(F.col("doc").alias("src"), F.col("_grams").alias("_ga"))
+    gb = gram_sets.select(F.col("doc").alias("dst"), F.col("_grams").alias("_gb"))
+    verified = (
+        cand.join(ga, "src")
+        .join(gb, "dst")
+        .select(
+            F.col("src").alias("src_doc"),
+            F.col("dst").alias("dst_doc"),
+            F.size(F.array_intersect("_ga", "_gb")).alias("n_common"),
+            F.size("_ga").alias("n_src"),
+            F.size("_gb").alias("n_dst"),
+        )
+    )
+    return (
+        verified.withColumn(
+            "containment", F.col("n_common") / F.col("n_src")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("src_doc", "dst_doc", "n_common", "n_src", "n_dst",
+                "containment")
+    )
+
+
 def jaccard_pairs_collapsed(
     df: DataFrame,
     id_col: str,

@@ -188,3 +188,137 @@ def pr_at_thresholds(
             (F.col("_pred") + F.col("_P")) > 0, F.round(f1).cast("long")
         ).alias("f1_micro"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str | Column,
+    label_col: str | Column,
+    n_bins: int = 10,
+    lo: int = 0,
+    hi: int = 1000,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reliability table (calibration-diagram bins) for an integer
+    score against a binary label — the third leg of the evaluation
+    tripod next to :func:`roc_auc` (ranking) and
+    :func:`pr_at_thresholds` (cutoffs): AUC can be perfect while the
+    scores are wildly miscalibrated, and a curation pipeline that
+    thresholds on "probability-like" quality scores needs to know the
+    score→empirical-rate mapping before trusting the threshold.
+
+    Scores (integer units, e.g. milli) are binned uniformly over
+    [lo, hi): bin = floor((s - lo) · n_bins / (hi - lo)), clamped into
+    [0, n_bins) so out-of-range scores land in the edge bins rather
+    than vanishing. Returns one row per (group..., bin) with
+    (bin, bin_lo, n, n_pos, conf_micro, acc_micro, gap_micro):
+
+    - ``conf_micro`` — the bin's mean score normalized onto [0, 1] as
+      round(1e6 · (Σs − n·lo) / (n · (hi − lo))): exact integers in,
+      ONE double division out (the module's engine-exactness
+      discipline);
+    - ``acc_micro``  — round(1e6 · n_pos / n), the empirical positive
+      rate;
+    - ``gap_micro``  — |acc − conf| computed from the two
+      ALREADY-ROUNDED micros, so it is exact integer arithmetic and
+      Σ n·gap / N (the expected calibration error,
+      :func:`calibration_error`) replays bit-for-bit on any engine.
+
+    Scale shape: ONE (group, bin) hash aggregate is the only pass over
+    the data — the bin index is codegen scalar arithmetic on the score
+    column, map-side partials collapse each task's output to
+    group·n_bins cells, and everything after the aggregate runs on a
+    control-plane-sized relation. NULL-score rows are dropped up front
+    (the roc_auc / pr_at_thresholds round-9 policy); empty bins emit
+    no row (a reliability diagram reads missing cells as "no data",
+    and synthesizing zero rows would need a bins×groups grid join that
+    serves no downstream consumer).
+    """
+    if hi <= lo:
+        raise ValueError(f"calibration_bins: hi ({hi}) must exceed lo ({lo})")
+    if n_bins < 1:
+        raise ValueError(f"calibration_bins: n_bins ({n_bins}) must be >= 1")
+    group_cols = group_cols or []
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    # bin from the RENAMED projection column (_s), not the caller's
+    # expression — the bin is computed after the select below
+    raw_bin = F.floor(
+        (F.col("_s") - F.lit(int(lo)))
+        * F.lit(int(n_bins))
+        / F.lit(float(hi - lo))
+    )
+    bin_ = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(int(n_bins) - 1))
+    agg = (
+        df.select(
+            *group_cols,
+            score.cast("long").alias("_s"),
+            label.cast("int").alias("_y"),
+        )
+        .filter(F.col("_s").isNotNull())
+        .withColumn("_b", bin_.cast("long"))
+        .groupBy(*group_cols, "_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_y").cast("long").alias("_p"),
+            F.sum("_s").cast("long").alias("_ss"),
+        )
+    )
+    span = float(hi - lo)
+    conf = F.round(
+        (F.lit(1000000.0) * (F.col("_ss") - F.col("_n") * F.lit(int(lo))))
+        / (F.col("_n") * F.lit(span))
+    ).cast("long")
+    acc = F.round(
+        (F.lit(1000000.0) * F.col("_p")) / F.col("_n")
+    ).cast("long")
+    return agg.select(
+        *group_cols,
+        F.col("_b").alias("bin"),
+        # FLOOR, not cast: Spark's double→long cast truncates while
+        # DuckDB's rounds, so the oracle mirrors an explicit floor
+        (F.lit(int(lo)) + F.floor(
+            F.col("_b") * F.lit(float(hi - lo)) / F.lit(int(n_bins))
+        )).cast("long").alias("bin_lo"),
+        F.col("_n").alias("n"),
+        F.col("_p").alias("n_pos"),
+        conf.alias("conf_micro"),
+        acc.alias("acc_micro"),
+        F.abs(acc - conf).alias("gap_micro"),
+    )
+
+
+def calibration_error(
+    df: DataFrame,
+    score_col: str | Column,
+    label_col: str | Column,
+    n_bins: int = 10,
+    lo: int = 0,
+    hi: int = 1000,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Expected calibration error per group: ECE = Σ_b (n_b/N)·gap_b
+    over the :func:`calibration_bins` table — one scalar per group
+    summarizing the reliability diagram (Naeini et al. 2015's binned
+    ECE, the standard single-number calibration report).
+
+    Exactness: gap_b is already exact integer micro (see
+    calibration_bins), so Σ n_b·gap_b and N are exact int64 and the
+    single final division is the module's one-rounding discipline.
+    Returns (group_cols..., n, ece_micro). Same scale shape as the
+    bins table it folds: the corpus pass is the bins aggregate; this
+    adds one control-plane-sized re-aggregate."""
+    bins = calibration_bins(
+        df, score_col, label_col, n_bins=n_bins, lo=lo, hi=hi,
+        group_cols=group_cols,
+    )
+    group_cols = group_cols or []
+    out = bins.groupBy(*group_cols).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum(F.col("n") * F.col("gap_micro")).cast("long").alias("_wg"),
+    )
+    return out.select(
+        *group_cols,
+        "n",
+        F.round(F.col("_wg") / F.col("n")).cast("long").alias("ece_micro"),
+    )

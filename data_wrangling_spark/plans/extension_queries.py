@@ -109,6 +109,55 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_dedup_containment",
+    oracle=r"""
+        WITH docs AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents WHERE doc_id < 200
+        ), sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(toks) - 1, 1)),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            )) AS shingle
+            FROM docs WHERE len(toks) >= 3
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
+                   COUNT(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT p.src_doc, p.dst_doc, p.n_common,
+               sa.n AS n_src, sb.n AS n_dst,
+               CAST(p.n_common AS DOUBLE) / sa.n AS containment
+        FROM pairs p JOIN sizes sa ON p.src_doc = sa.doc_id
+                     JOIN sizes sb ON p.dst_doc = sb.doc_id
+        WHERE CAST(p.n_common AS DOUBLE) / sa.n >= 0.6
+        ORDER BY src_doc, dst_doc
+    """,
+    doc="X-DEDUP-FUZZY asymmetric form: directed word-trigram "
+        "containment |G_src ∩ G_dst| / |G_src| >= 0.6 — the "
+        "quote/excerpt detector Jaccard cannot express (a snippet "
+        "wholly inside a long article has containment 1.0 but Jaccard "
+        "~0). Prefix filtering adapted to the asymmetric bound: only "
+        "the src side prunes (prefix(src) ⋈ full postings), gram "
+        "identity rides as 64-bit hashes (operators/dedup.py "
+        "containment_pairs). Restricted to doc_id < 200 to bound the "
+        "oracle's directed-pair count; the operator itself is "
+        "unbounded.",
+)
+def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6
+    ).orderBy("src_doc", "dst_doc")
+
+
+@register(
     "x_corpus_snapshot_diff",
     oracle=r"""
         WITH oldv AS (

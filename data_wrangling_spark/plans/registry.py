@@ -98,8 +98,16 @@ DRIVER_WINDOW: list[str] = [
     # incremental/leakage-safe.
     "x_multimodal_features",
     "x_multimodal_frames",
-    "x_sim_topk_bruteforce",
-    "x_text_stats",
+    # round 10: x_sim_topk_bruteforce and x_text_stats (green r1-r9,
+    # the window's two longest streaks after the round-10 sessionize
+    # handoff) hand their slots to the two NEW round-10 queries — new
+    # registrations earn a fresh driver row per the round-4 precedent.
+    # Both demoted entries stay bench headlines (timed every round)
+    # and keep their sf0.001 pytest oracle rows every CI run; the ANN
+    # family keeps x_sim_topk_ivf in the window, the text family keeps
+    # a dozen members.
+    "x_eval_calibration",
+    "x_dedup_containment",
     "x_text_curation_pipeline",
     # -- first-ever driver rows (round-4 rotation set) ---------------
     # round 8: x_vec_normalize (2 green rows) hands the vector-family

@@ -4432,6 +4432,65 @@ def x_eval_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_eval_calibration",
+    oracle=_EVAL_LABELED_CTES + r""", bind AS (
+        SELECT source,
+               LEAST(GREATEST(CAST(FLOOR((score_milli - (-500)) * 10
+                                          / 1000.0) AS BIGINT), 0), 9)
+                   AS bin,
+               score_milli, y
+        FROM lab
+    ), ag AS (
+        SELECT source, bin, COUNT(*) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(score_milli) AS BIGINT) AS ss
+        FROM bind GROUP BY 1, 2
+    ), mic AS (
+        SELECT source, bin,
+               CAST(-500 + FLOOR(bin * 1000.0 / 10) AS BIGINT) AS bin_lo,
+               n, n_pos,
+               CAST(ROUND(1000000.0 * (ss - n * (-500)) / (n * 1000.0))
+                    AS BIGINT) AS conf_micro,
+               CAST(ROUND(1000000.0 * n_pos / n) AS BIGINT) AS acc_micro
+        FROM ag
+    )
+    SELECT source, bin, bin_lo, n, n_pos, conf_micro, acc_micro,
+           ABS(acc_micro - conf_micro) AS gap_micro
+    FROM mic ORDER BY source, bin
+    """,
+    doc="X-TEXT evaluation: per-source reliability table (calibration "
+        "bins) of the hashed quality score against the weak label "
+        "lang='en' — the third evaluation leg beside AUC (ranking) and "
+        "the PR sweep (cutoffs): a perfectly-ranking score can still be "
+        "miscalibrated, and a pipeline thresholding on probability-like "
+        "scores needs the score→empirical-rate map. Ten uniform bins "
+        "over [-500, 500) milli with out-of-range scores clamped to the "
+        "edge bins; one (source, bin) hash aggregate is the only corpus "
+        "pass; conf/acc in integer micro via one double division each, "
+        "gap from the already-rounded micros so ECE replays exactly "
+        "(operators/evaluation.py calibration_bins).",
+)
+def x_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.evaluation import calibration_bins
+    from data_wrangling_spark.operators.text_analysis import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs).select("doc_id", "score_milli")
+    lab = scored.join(
+        docs.select(
+            "doc_id",
+            "source",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("_y"),
+        ),
+        "doc_id",
+    )
+    return calibration_bins(
+        lab, "score_milli", "_y", n_bins=10, lo=-500, hi=500,
+        group_cols=["source"],
+    ).orderBy("source", "bin")
+
+
+@register(
     "x_text_collocations",
     oracle=r"""
         WITH tok AS (

@@ -837,3 +837,82 @@ def test_collapsed_jaccard_equals_prefix_on_sf_corpus(spark):
             docs, "doc_id", "text", n=3, threshold=0.3).collect()
     )
     assert pref == coll
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs (round 10)
+# ---------------------------------------------------------------------------
+
+def _brute_containment(rows, n=3, threshold=0.6):
+    """Independent pure-Python containment over string n-grams."""
+    grams = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        grams[doc_id] = {
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        }
+    out = set()
+    for a, ga in grams.items():
+        if not ga:
+            continue
+        for b, gb in grams.items():
+            if a == b:
+                continue
+            inter = len(ga & gb)
+            if inter / len(ga) >= threshold:
+                out.add((a, b, inter, len(ga), len(gb)))
+    return out
+
+
+def test_containment_snippet_inside_article(spark):
+    article = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    snippet = "delta echo foxtrot golf hotel india"
+    rows = [(0, article), (1, snippet)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.src_doc, r.dst_doc): r
+        for r in dedup.containment_pairs(df, "doc_id", "text").collect()
+    }
+    # snippet fully contained: C(1 -> 0) = 1.0; the article is NOT
+    # contained in the snippet (asymmetry)
+    assert (1, 0) in got and (0, 1) not in got
+    r = got[(1, 0)]
+    assert r.containment == 1.0
+    assert r.n_common == r.n_src == 4  # 6 tokens -> 4 trigrams
+    assert r.n_dst == 18
+
+
+def test_containment_matches_bruteforce(spark, planted_docs):
+    got = {
+        (r.src_doc, r.dst_doc, r.n_common, r.n_src, r.n_dst)
+        for r in dedup.containment_pairs(
+            planted_docs, "doc_id", "text", n=3, threshold=0.6
+        ).collect()
+    }
+    want = _brute_containment(
+        [(r.doc_id, r.text) for r in planted_docs.collect()],
+        n=3, threshold=0.6,
+    )
+    assert got == want
+    assert got, "planted corpus must produce at least the exact-dup pairs"
+
+
+def test_containment_threshold_monotone(spark, planted_docs):
+    loose = dedup.containment_pairs(
+        planted_docs, "doc_id", "text", threshold=0.3
+    ).count()
+    tight = dedup.containment_pairs(
+        planted_docs, "doc_id", "text", threshold=0.9
+    ).count()
+    assert loose >= tight
+
+
+def test_containment_values_exact_division(spark, planted_docs):
+    for r in dedup.containment_pairs(
+        planted_docs, "doc_id", "text", threshold=0.6
+    ).collect():
+        assert r.containment == r.n_common / r.n_src
+        assert r.containment >= 0.6

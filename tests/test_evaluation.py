@@ -184,3 +184,97 @@ def test_pr_sweep_null_scores_dropped_like_roc_auc(spark):
     assert got[2].recall_micro == want[2].recall_micro == 1000000
     assert got[2].f1_micro == want[2].f1_micro
     assert got[2].n_pred_pos == 3 and got[2].tp == 2
+
+
+# ---------------------------------------------------------------------------
+# calibration_bins / calibration_error (round 10)
+# ---------------------------------------------------------------------------
+
+def test_calibration_bins_hand_computed(spark):
+    from data_wrangling_spark.operators.evaluation import calibration_bins
+
+    # 4 bins over [0, 400): width 100. scores 50,150,150,250 ->
+    # bins 0,1,1,2; labels 0,1,0,1
+    df = spark.createDataFrame(
+        [(50, 0), (150, 1), (150, 0), (250, 1)], "s long, y int"
+    )
+    out = {r.bin: r for r in calibration_bins(
+        df, "s", "y", n_bins=4, lo=0, hi=400).collect()}
+    assert set(out) == {0, 1, 2}
+    b0, b1, b2 = out[0], out[1], out[2]
+    assert (b0.n, b0.n_pos, b0.bin_lo) == (1, 0, 0)
+    # conf = 1e6 * 50/400 = 125000; acc = 0
+    assert (b0.conf_micro, b0.acc_micro, b0.gap_micro) == (125000, 0, 125000)
+    assert (b1.n, b1.n_pos, b1.bin_lo) == (2, 1, 100)
+    # conf = 1e6 * 300/(2*400) = 375000; acc = 500000
+    assert (b1.conf_micro, b1.acc_micro, b1.gap_micro) == (
+        375000, 500000, 125000)
+    assert (b2.n, b2.n_pos, b2.bin_lo) == (1, 1, 200)
+    assert (b2.conf_micro, b2.acc_micro) == (625000, 1000000)
+
+
+def test_calibration_bins_clamps_out_of_range(spark):
+    from data_wrangling_spark.operators.evaluation import calibration_bins
+
+    # -50 clamps into bin 0, 1000 clamps into the top bin
+    df = spark.createDataFrame([(-50, 0), (1000, 1)], "s long, y int")
+    out = {r.bin: r for r in calibration_bins(
+        df, "s", "y", n_bins=4, lo=0, hi=400).collect()}
+    assert set(out) == {0, 3}
+    assert out[0].n == 1 and out[3].n == 1
+    # clamped conf can leave [0, 1e6]: -50/400 and 1000/400
+    assert out[0].conf_micro == -125000
+    assert out[3].conf_micro == 2500000
+
+
+def test_calibration_bins_null_scores_dropped(spark):
+    from data_wrangling_spark.operators.evaluation import calibration_bins
+
+    df = spark.createDataFrame(
+        [(None, 1), (150, 1)], "s long, y int"
+    )
+    out = calibration_bins(df, "s", "y", n_bins=4, lo=0, hi=400).collect()
+    assert len(out) == 1 and out[0].n == 1
+
+
+def test_calibration_bins_validates_range(spark):
+    import pytest as _pytest
+
+    from data_wrangling_spark.operators.evaluation import calibration_bins
+
+    df = spark.createDataFrame([(1, 1)], "s long, y int")
+    with _pytest.raises(ValueError):
+        calibration_bins(df, "s", "y", lo=10, hi=10)
+    with _pytest.raises(ValueError):
+        calibration_bins(df, "s", "y", n_bins=0)
+
+
+def test_calibration_error_weighted_fold(spark):
+    from data_wrangling_spark.operators.evaluation import calibration_error
+
+    # same data as the hand-computed bins test: gaps 125000 (n=1),
+    # 125000 (n=2), |625000-1000000|=375000 (n=1)
+    # ECE = (1*125000 + 2*125000 + 1*375000) / 4 = 187500
+    df = spark.createDataFrame(
+        [(50, 0), (150, 1), (150, 0), (250, 1)], "s long, y int"
+    )
+    out = calibration_error(df, "s", "y", n_bins=4, lo=0, hi=400).collect()
+    assert len(out) == 1
+    assert (out[0].n, out[0].ece_micro) == (4, 187500)
+
+
+def test_calibration_bins_grouped_single_aggregate_plan(spark):
+    from data_wrangling_spark.operators.evaluation import calibration_bins
+
+    df = spark.createDataFrame(
+        [("a", 50, 0), ("a", 150, 1), ("b", 250, 1)], "g string, s long, y int"
+    )
+    out = calibration_bins(df, "s", "y", n_bins=4, lo=0, hi=400,
+                           group_cols=["g"])
+    rows = {(r.g, r.bin) for r in out.collect()}
+    assert rows == {("a", 0), ("a", 1), ("b", 2)}
+    # ONE corpus-pass aggregate: exactly one hash-aggregate pair
+    # (partial + final) in the physical plan, no window, no join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
