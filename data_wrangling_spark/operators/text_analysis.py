@@ -1010,8 +1010,15 @@ def collocations_pmi(
         .union(surv.select(F.col("_h2").alias("_h")))
         .distinct()
     )
+    # explode DISTINCT tokens per document, not occurrences: the
+    # hash→string map only needs each (hash, string) pair once per doc,
+    # and array_distinct inside the array cuts the exploded row count
+    # by the per-doc repetition factor before any row exists (round-10
+    # probe at 100x: 15.6s -> 9.6s full-query, the vocab pass being
+    # the difference; output identical — dedup per doc changes neither
+    # the global pair set nor MIN(_w))
     vocab = (
-        docs.select(F.explode("_toks").alias("_w"))
+        docs.select(F.explode(F.array_distinct("_toks")).alias("_w"))
         .select(F.xxhash64("_w").alias("_h"), F.col("_w"))
         .join(F.broadcast(need), "_h")
         .groupBy("_h")

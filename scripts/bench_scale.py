@@ -144,6 +144,11 @@ EXTRA_QUERIES = [
     # (its duplicate-dense A/B lives in scripts/bench_jaccard_ab.py;
     # this row times the registered query's corpus)
     "x_dedup_jaccard_collapsed",
+    # round-10 additions: calibration reliability table + asymmetric
+    # containment join (registered BEFORE this round's regeneration
+    # launched, so their first rows land in the main table directly)
+    "x_eval_calibration",
+    "x_dedup_containment",
 ]
 
 # ---------------------------------------------------------------- skew --
