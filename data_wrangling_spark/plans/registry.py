@@ -108,7 +108,13 @@ DRIVER_WINDOW: list[str] = [
     # a dozen members.
     "x_eval_calibration",
     "x_dedup_containment",
-    "x_text_curation_pipeline",
+    # round 10 (second rotation): x_text_curation_pipeline (green
+    # r1-r9) hands its slot to x_text_dsir — implemented round 6 but
+    # left OFF the registry until round 10, so it has never had any
+    # verification row and outranks every streak. The pipeline stays a
+    # bench headline timed every round and keeps its sf0.001 pytest
+    # oracle row per CI run.
+    "x_text_dsir",
     # -- first-ever driver rows (round-4 rotation set) ---------------
     # round 8: x_vec_normalize (2 green rows) hands the vector-family
     # slot to the new exact-integer embedding-outlier audit

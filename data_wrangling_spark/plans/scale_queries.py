@@ -4491,6 +4491,71 @@ def x_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_text_dsir",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
+            FROM documents WHERE text IS NOT NULL
+        ), tgt AS (
+            SELECT doc_id, (lang = 'en') AS is_t FROM documents
+        ), tk2 AS (
+            SELECT t.doc_id, g.is_t,
+                   (CAST(concat('0x', substring(md5(t.tk), 1, 4)) AS BIGINT)
+                    % 1024) AS bucket
+            FROM tok t JOIN tgt g USING (doc_id)
+        ), counts AS (
+            SELECT bucket,
+                   CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                   CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cs
+            FROM tk2 GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+                   CAST(SUM(cs) AS BIGINT) AS ns
+            FROM counts
+        ), lr AS (
+            SELECT bucket,
+                   CAST(ROUND(1000000.0 * ln(
+                       ((ct + 1) / (nt + 1024.0))
+                       / ((cs + 1) / (ns + 1024.0))
+                   )) AS BIGINT) AS lr_micro
+            FROM counts, tot
+        ), sc AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   CAST(SUM(lr_micro) AS BIGINT) AS weight_micro
+            FROM tk2 JOIN lr USING (bucket) GROUP BY 1
+        )
+        SELECT d.doc_id, (d.lang = 'en') AS is_target,
+               COALESCE(sc.n_tokens, 0) AS n_tokens,
+               COALESCE(sc.weight_micro, 0) AS weight_micro,
+               CASE WHEN sc.n_tokens > 0
+                    THEN CAST(ROUND(CAST(sc.weight_micro AS DOUBLE)
+                                    / sc.n_tokens) AS BIGINT) END AS avg_micro,
+               CASE WHEN sc.n_tokens > 0
+                    THEN (CAST(ROUND(CAST(sc.weight_micro AS DOUBLE)
+                                     / sc.n_tokens) AS BIGINT) > 0)
+                    ELSE FALSE END AS selected
+        FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        ORDER BY d.doc_id
+    """,
+    doc="X-TEXT data selection: DSIR-style importance weights (Xie et "
+        "al. 2023) of every document against the lang='en' target slice "
+        "— hashed bag-of-words LMs of target vs rest with add-one "
+        "smoothing over 1024 md5 buckets, per-document log weight as an "
+        "INTEGER sum of once-rounded micro-nat bucket ratios (summation-"
+        "order-immune, engine-exact). One token explode feeds both the "
+        "bucket model (<=1024 rows, broadcast back) and the per-doc "
+        "scoring aggregate (operators/text_analysis.py dsir_importance "
+        "— registered round 10; implemented round 6 but left off the "
+        "registry, a coverage hole this row closes).",
+)
+def x_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.text_analysis import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance(docs, F.col("lang") == "en")
+
+
+@register(
     "x_text_collocations",
     oracle=r"""
         WITH tok AS (

@@ -149,6 +149,11 @@ EXTRA_QUERIES = [
     # launched, so their first rows land in the main table directly)
     "x_eval_calibration",
     "x_dedup_containment",
+    # round-10 late registration (AFTER the round-10 regeneration
+    # launched): DSIR importance weights — its first multi-scale row
+    # comes from the same-methodology addendum run this round, folded
+    # into the main table at the next regeneration
+    "x_text_dsir",
 ]
 
 # ---------------------------------------------------------------- skew --

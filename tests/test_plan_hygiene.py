@@ -75,6 +75,7 @@ BNLJ_ALLOWED = {
     "ext_tpch_q15_top_supplier",       # 1-row max-revenue broadcast
     "x_text_lm_score",                 # 1-row vocabulary-size broadcast
     "x_text_collocations",             # 1-row (N, N_pairs) totals broadcast
+    "x_text_dsir",                     # 1-row (N_t, N_s) totals broadcast
 }
 # notable CLEAN plans (verified no BNLJ despite the pattern suggesting
 # one): ext_range_join_bucketed (bucket explode gives Catalyst an equi

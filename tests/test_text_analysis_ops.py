@@ -556,3 +556,71 @@ def test_boilerplate_regex_segmenter_equals_token_array_form(spark):
         rows = docs.select("doc_id", old.alias("o"), new.alias("n")).collect()
         for r in rows:
             assert r.o == r.n, (seg, texts[r.doc_id], r.o, r.n)
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance (registered round 10; the sf0.001/sf0.01 oracle rows
+# pin the exact values — these tests pin the SEMANTICS)
+# ---------------------------------------------------------------------------
+
+def test_dsir_identical_doc_opposite_labels_symmetric(spark):
+    """Two identical docs, one target one source: every bucket has
+    ct == cs, so every log-ratio is ln(1) = 0 and both weights are 0
+    (neither selected)."""
+    from data_wrangling_spark.operators.text_analysis import dsir_importance
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma", "en"), (1, "alpha beta gamma", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in dsir_importance(
+        df, F.col("lang") == "en").collect()}
+    assert out[0].is_target and not out[1].is_target
+    for r in out.values():
+        assert (r.weight_micro, r.avg_micro, bool(r.selected)) == (0, 0, False)
+        assert r.n_tokens == 3
+
+
+def test_dsir_target_vocabulary_scores_positive(spark):
+    """A doc made of target-only tokens must score positive (selected),
+    a source-only doc negative, regardless of bucket assignment —
+    target-only buckets have ct>0, cs=0, so lr > 0 with smoothing as
+    long as totals are balanced."""
+    from data_wrangling_spark.operators.text_analysis import dsir_importance
+
+    df = spark.createDataFrame(
+        [(0, "tgtword tgtword tgtword", "en"),
+         (1, "srcword srcword srcword", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in dsir_importance(
+        df, F.col("lang") == "en").collect()}
+    assert out[0].weight_micro > 0 and bool(out[0].selected)
+    assert out[1].weight_micro < 0 and not bool(out[1].selected)
+
+
+def test_dsir_null_text_zero_tokens_not_selected(spark):
+    from data_wrangling_spark.operators.text_analysis import dsir_importance
+
+    df = spark.createDataFrame(
+        [(0, None, "en"), (1, "alpha beta", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in dsir_importance(
+        df, F.col("lang") == "en").collect()}
+    r0 = out[0]
+    assert (r0.n_tokens, r0.weight_micro, r0.avg_micro) == (0, 0, None)
+    assert not bool(r0.selected)
+
+
+def test_dsir_weight_is_integer_sum_partition_invariant(spark):
+    """Integer micro-nat weights are summation-order-immune: the same
+    corpus at 1 and 7 partitions yields identical rows."""
+    from data_wrangling_spark.operators.text_analysis import dsir_importance
+
+    rows = [(i, f"tok{i % 5} tok{(i * 3) % 7} shared common words", 
+             "en" if i % 3 == 0 else "xx") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = dsir_importance(df.coalesce(1), F.col("lang") == "en").collect()
+    b = dsir_importance(df.repartition(7), F.col("lang") == "en").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
