@@ -4491,6 +4491,61 @@ def x_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_eval_ece",
+    oracle=_EVAL_LABELED_CTES + r""", bind AS (
+        SELECT source,
+               LEAST(GREATEST(CAST(FLOOR((score_milli - (-500)) * 10
+                                          / 1000.0) AS BIGINT), 0), 9)
+                   AS bin,
+               score_milli, y
+        FROM lab
+    ), ag AS (
+        SELECT source, bin, COUNT(*) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(score_milli) AS BIGINT) AS ss
+        FROM bind GROUP BY 1, 2
+    ), mic AS (
+        SELECT source, n,
+               ABS(CAST(ROUND(1000000.0 * n_pos / n) AS BIGINT)
+                   - CAST(ROUND(1000000.0 * (ss - n * (-500))
+                                / (n * 1000.0)) AS BIGINT)) AS gap_micro
+        FROM ag
+    )
+    SELECT source, CAST(SUM(n) AS BIGINT) AS n,
+           CAST(ROUND(CAST(SUM(n * gap_micro) AS DOUBLE) / SUM(n))
+                AS BIGINT) AS ece_micro
+    FROM mic GROUP BY source ORDER BY source
+    """,
+    doc="X-TEXT evaluation: expected calibration error per source — the "
+        "binned-ECE single-number calibration report (Naeini et al. "
+        "2015) folded from the x_eval_calibration reliability table: "
+        "ECE = Σ_b (n_b/N)·gap_b with gap_b exact integer micro by "
+        "construction, so the fold is exact int64 arithmetic plus ONE "
+        "final division. Same corpus pass as the bins table; this adds "
+        "one control-plane-sized re-aggregate "
+        "(operators/evaluation.py calibration_error).",
+)
+def x_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.evaluation import calibration_error
+    from data_wrangling_spark.operators.text_analysis import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs).select("doc_id", "score_milli")
+    lab = scored.join(
+        docs.select(
+            "doc_id",
+            "source",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("_y"),
+        ),
+        "doc_id",
+    )
+    return calibration_error(
+        lab, "score_milli", "_y", n_bins=10, lo=-500, hi=500,
+        group_cols=["source"],
+    ).orderBy("source")
+
+
+@register(
     "x_text_dsir",
     oracle=r"""
         WITH tok AS (

@@ -149,11 +149,14 @@ EXTRA_QUERIES = [
     # launched, so their first rows land in the main table directly)
     "x_eval_calibration",
     "x_dedup_containment",
-    # round-10 late registration (AFTER the round-10 regeneration
-    # launched): DSIR importance weights — its first multi-scale row
-    # comes from the same-methodology addendum run this round, folded
-    # into the main table at the next regeneration
+    # round-10 late registrations: DSIR importance weights + the ECE
+    # fold of the calibration table. The round-10 regeneration was
+    # RELAUNCHED after these registered (the first launch was also
+    # contaminated by concurrent probe sessions), so their first
+    # multi-scale rows land in the main table directly — no addendum
+    # fork this round.
     "x_text_dsir",
+    "x_eval_ece",
 ]
 
 # ---------------------------------------------------------------- skew --
