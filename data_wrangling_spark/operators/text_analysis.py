@@ -1072,12 +1072,23 @@ def dsir_importance(
     weights are INTEGER sums of those — immune to float summation
     order, so the result is hash-exact across engines and partitionings.
 
-    Scale shape: one token explode feeding (a) a bucket-keyed hash
-    aggregate (≤ n_buckets rows — the two corpus models in one pass via
-    conditional sums), and (b) the scoring aggregate per document
-    (map-side partials). The model attaches by broadcast join (the
-    model is n_buckets rows by construction) plus a 1-row totals
-    broadcast. No posting-level join, no per-doc state."""
+    Scale shape: TWO corpus passes, the honest lazy floor — the model
+    must exist before scoring can consume it, and Spark does not reuse
+    the exchange between a broadcast-subquery stage and the probe side
+    (round-10 probe: 0 ReusedExchange in the executed plan), so any
+    "shared" intermediate re-executes per consumer. Pass 1 builds the
+    bucket model: one token explode into a bucket-keyed hash aggregate
+    (≤ n_buckets rows, map-side partials); the smoothing totals come
+    from a GLOBAL WINDOW over that n_buckets-row counts table —
+    control-plane-sized by construction (plan-hygiene whitelist) — NOT
+    a separate totals aggregate, whose broadcast subquery re-executed
+    the whole explode as a third corpus pass (round-10 probe at 100x:
+    3 Generate-explodes, 30.7s; window form: 2, 24.0s,
+    output-identical). Pass 2 scores: explode again, broadcast-join
+    the n_buckets-row model, one per-document aggregate. The md5
+    bucket hash is oracle-mandated (DuckDB must replay bucket ids
+    bit-for-bit; xxhash64 has no DuckDB twin) and costs ~6s/pass of
+    the 100x total — the price of a replayable model."""
     bucket = (
         F.conv(F.substring(F.md5(F.col("_tok")), 1, 4), 16, 10).cast("long")
         % n_buckets
@@ -1094,11 +1105,20 @@ def dsir_importance(
         F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_ct"),
         F.sum(F.when(F.col("_is_t"), 0).otherwise(1)).alias("_cs"),
     )
-    totals = counts.agg(
-        F.sum("_ct").alias("_nt"), F.sum("_cs").alias("_ns")
-    )
+    # totals via a GLOBAL window over the n_buckets-row counts table
+    # (control-plane-sized by construction): a separate totals
+    # aggregate + crossJoin(broadcast(...)) plants the counts subplan
+    # inside a broadcast subquery, and Spark re-executes the token
+    # explode for it — a whole third corpus pass (docstring probe)
+    wall = Window.partitionBy()
     b = F.lit(float(n_buckets))
-    lr = counts.crossJoin(F.broadcast(totals)).select(
+    lr = counts.select(
+        "_bucket",
+        "_ct",
+        "_cs",
+        F.sum("_ct").over(wall).alias("_nt"),
+        F.sum("_cs").over(wall).alias("_ns"),
+    ).select(
         "_bucket",
         F.round(
             F.lit(1000000.0)

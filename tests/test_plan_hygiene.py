@@ -288,6 +288,12 @@ UNPARTITIONED_WINDOW_ALLOWED = {
     # event-type x event-type transition matrix: O(types^2) rows
     # (plans/scale_queries.py markov transitions)
     "x_event_transition_matrix",
+    # smoothing totals as a global window over the POST-AGGREGATE
+    # bucket-model table: O(n_buckets)=1024 rows by construction — the
+    # crossJoin(broadcast(totals)) alternative re-executed the token
+    # explode as a third corpus pass (operators/text_analysis.py
+    # dsir_importance, round-10 probe)
+    "x_text_dsir",
 }
 
 
