@@ -146,7 +146,8 @@ def pr_at_thresholds(
     :func:`roc_auc`'s round-8 policy (advisor find, round 9: keeping
     them made ``NULL >= t`` never count in n_pred_pos/tp while their
     positives still counted in the recall denominator, silently
-    deflating recall/F1 at every threshold).
+    deflating recall/F1 at every threshold). NULL-label rows are
+    dropped too (round 11, same policy as calibration_bins).
     """
     group_cols = group_cols or []
     thresholds = sorted({int(t) for t in thresholds})
@@ -154,7 +155,11 @@ def pr_at_thresholds(
     label = F.col(label_col) if isinstance(label_col, str) else label_col
     counted = (
         df.select(*group_cols, score.alias("_s"), label.cast("int").alias("_y"))
-        .filter(F.col("_s").isNotNull())
+        # NULL labels dropped too (round 11): they counted in _c (so in
+        # n_pred_pos) but not _p, deflating precision — the same hazard
+        # the round-10 advisor flagged in calibration_bins. roc_auc
+        # already drops them implicitly (both its sums skip NULLs).
+        .filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
         .groupBy(*group_cols, "_s")
         .agg(
             F.sum("_y").cast("long").alias("_p"),
@@ -228,8 +233,10 @@ def calibration_bins(
     the data — the bin index is codegen scalar arithmetic on the score
     column, map-side partials collapse each task's output to
     group·n_bins cells, and everything after the aggregate runs on a
-    control-plane-sized relation. NULL-score rows are dropped up front
-    (the roc_auc / pr_at_thresholds round-9 policy); empty bins emit
+    control-plane-sized relation. NULL-score AND NULL-label rows are
+    dropped up front (the roc_auc / pr_at_thresholds round-9 policy —
+    before round 11 a NULL label was counted in n but skipped by the
+    n_pos sum, silently deflating acc_micro); empty bins emit
     no row (a reliability diagram reads missing cells as "no data",
     and synthesizing zero rows would need a bins×groups grid join that
     serves no downstream consumer).
@@ -255,7 +262,7 @@ def calibration_bins(
             score.cast("long").alias("_s"),
             label.cast("int").alias("_y"),
         )
-        .filter(F.col("_s").isNotNull())
+        .filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
         .withColumn("_b", bin_.cast("long"))
         .groupBy(*group_cols, "_b")
         .agg(

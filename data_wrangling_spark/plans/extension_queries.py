@@ -211,6 +211,62 @@ def x_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_corpus_snapshot_diff_realistic",
+    oracle=r"""
+        WITH oldv AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 29 != 0
+        ), newv AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 0 THEN text || ' rev2'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 31 != 0
+        ), ofp AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'))) AS fp
+            FROM oldv
+        ), nfp AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '\s+', ' ', 'g'), '[^a-z0-9 ]', '', 'g'))) AS fp
+            FROM newv
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM ofp o FULL OUTER JOIN nfp n ON o.doc_id = n.doc_id
+        ORDER BY doc_id
+    """,
+    doc="Corpus snapshot diff at the REALISTIC churn design point "
+        "(round-10 verdict item 3): ~3.4% added (mod-29 drop from old), "
+        "~3.2% removed (mod-31 drop from new), ~7.7% changed (mod-13 "
+        "' rev2' suffix) — the 1–10% daily-crawl-refresh regime the "
+        "raw-hash short-circuit in operators/diff.py is designed for, "
+        "where the two-regex-pass fingerprint runs on <8% of documents "
+        "and the diff cost is dominated by the two narrow (id, "
+        "xxhash64) scans. The mod-3 27%-churn sibling "
+        "(x_corpus_snapshot_diff) stays registered as the adversarial "
+        "stress case; this row is the headline the scale table reads.",
+)
+def x_corpus_snapshot_diff_realistic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from data_wrangling_spark.operators.diff import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    oldv = docs.filter(F.col("doc_id") % 29 != 0).select("doc_id", "text")
+    newv = docs.filter(F.col("doc_id") % 31 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return snapshot_diff(oldv, newv, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
     "x_dedup_jaccard_prefix",
     # SAME oracle as x_dedup_ngram_jaccard (plain pair-join re-derivation
     # in the STRING-shingle domain): prefix filtering is a candidate

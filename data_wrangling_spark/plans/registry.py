@@ -204,7 +204,13 @@ DRIVER_WINDOW: list[str] = [
     # round 10: ext_rolling_event_features (green r6+r7 rows; the
     # windowed-temporal family keeps ext_ohlc_bars + the three as-of
     # forms) hands its slot to the NEW corpus snapshot diff
-    "x_corpus_snapshot_diff",
+    # round 11 (r10 verdict item 3): the diff family's slot passes to
+    # the NEW realistic-churn variant — the 1–10% regime the raw-hash
+    # short-circuit is designed for becomes the headline row; the
+    # mod-3 27%-churn adversarial form (green r10 row) stays
+    # registered as the documented stress case with its sf0.001
+    # pytest oracle row every CI run
+    "x_corpus_snapshot_diff_realistic",
     # round 9: ext_tpch_q22_dormant_customers (green r6 row; the TPC-H
     # family keeps seven members in the window) demotes to make room
     # for the permanent reference-surface slots above
@@ -265,7 +271,14 @@ DRIVER_WINDOW: list[str] = [
     # op_orc_roundtrip — each with 2+ green driver rows r1-r4 and a
     # same-family representative still in the window) so every one of
     # the 7 formerly rows-only queries has a hash-checked driver row --
-    "x_dedup_minhash_lsh",
+    # round 11: x_dedup_minhash_lsh (green r5-r10, six rows — the
+    # window's longest extension streak; the dedup family keeps
+    # semantic/incremental/containment/jaccard_prefix/
+    # jaccard_collapsed/leakage_safe) hands its slot to x_eval_ece —
+    # the ONLY registered query never driver-checked (registered after
+    # the r10 window rotation; r10 verdict item 4 says never-driven
+    # queries go first)
+    "x_eval_ece",
     # round 8: x_dedup_simhash (1 green r5 row + judge replicas; the
     # signature-sketch family keeps minhash_lsh) hands its slot to the
     # real-decode perceptual image hash; the banded-Hamming image
@@ -292,7 +305,14 @@ DRIVER_WINDOW: list[str] = [
     # as-of form, this round's headline change) swaps in for
     # x_sim_topk_lsh (green r5 driver row; ANN family still represented
     # by bruteforce + ivf + mllib_brp in the window)
-    "ext_asof_latest_order_adaptive",
+    # round 11: ext_asof_latest_order_adaptive (green r6-r10, five
+    # rows; the as-of family keeps plain ext_asof_latest_order in the
+    # window and both demoted forms keep their sf0.001 pytest oracle
+    # rows) hands its slot to ext_tpch_q7_volume_shipping, whose
+    # implementation CHANGED this round (broadcast-hinted narrow
+    # customer/supplier projections — r10 verdict item 2; changed
+    # plans earn a fresh driver row per the round-4 precedent)
+    "ext_tpch_q7_volume_shipping",
     # round 10: ext_tpch_q17_small_quantity (green r6+r7 rows after its
     # round-6 rework; TPC-H family keeps q3/q21/q22, q21 covering the
     # EXISTS/semi shapes) hands its slot to the NEW prefix-filtered

@@ -157,6 +157,11 @@ EXTRA_QUERIES = [
     # fork this round.
     "x_text_dsir",
     "x_eval_ece",
+    # round-11 addition (registered BEFORE this round's regeneration
+    # launched): the realistic-churn snapshot-diff headline (r10
+    # verdict item 3) — the adversarial 27%-churn sibling keeps its
+    # row too so the table shows both ends of the churn-scaling story
+    "x_corpus_snapshot_diff_realistic",
 ]
 
 # ---------------------------------------------------------------- skew --
@@ -430,6 +435,128 @@ def semantic_scale_invariant(spark, sf_dir: str) -> dict:
     }
 
 
+# ------------------------------------------------- extras isolation --
+# Round-11 rework (r10 verdict item 1): the round-10 regeneration ran
+# all ~50 extras queries x 5 scale labels inside ONE long-lived JVM and
+# published rows inflated by up to 22x (committed ext_tpch_q19 11.39s
+# vs 0.52s dedicated) — long-suite GC/codegen-cache pressure, not code.
+# Two defenses, both automatic:
+#   1. extras timings come from FRESH-JVM worker subprocesses (small
+#      batches, parent Spark session stopped first), so no query's
+#      number can inherit another's JVM state;
+#   2. every number is diffed against the previous committed table
+#      (scripts/scaling_extras_baseline.json); any query moving >1.5x
+#      (and >=0.5s absolute) triggers a DEDICATED solo re-run whose
+#      number replaces the suite one, and the diff is published in
+#      SCALING.md so a drift can never again land unremarked.
+
+RERUN_RATIO = 1.5
+RERUN_MIN_ABS = 0.5    # seconds — don't chase noise on sub-second rows
+_WORKER_TAG = "EXTRAS_WORKER_JSON:"
+
+
+def _extras_baseline_path() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "scaling_extras_baseline.json")
+
+
+def extras_worker(sf_dir: str, names: list[str]) -> None:
+    """Subprocess entry: time ``names`` at ``sf_dir`` in a fresh JVM
+    with the suite methodology and print one tagged JSON line."""
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    from data_wrangling_spark.plans.registry import QUERIES, _load_all
+    from data_wrangling_spark.session import get_spark
+
+    _load_all()
+    spark = get_spark(app_name="dws-extras-worker")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = {n: QUERIES[n] for n in names}
+    timings, _ = time_suite(spark, specs, sf_dir, conc=False)
+    spark.stop()
+    print(_WORKER_TAG + json.dumps(timings), flush=True)
+
+
+def _spawn_extras_worker(sf_dir: str, names: list[str]) -> dict[str, float]:
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--extras-worker", sf_dir, *names]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        print(proc.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError(f"extras worker failed for {names} at {sf_dir}")
+    for line in proc.stdout.splitlines():
+        if line.startswith(_WORKER_TAG):
+            return json.loads(line[len(_WORKER_TAG):])
+    print(proc.stdout[-2000:], file=sys.stderr)
+    raise RuntimeError(f"extras worker emitted no JSON for {names}")
+
+
+def run_extras_isolated(scales, duck_on: bool, cpus: int) -> dict:
+    """Time every EXTRA_QUERIES entry at every scale label in
+    fresh-JVM worker batches, then apply the cross-round diff +
+    solo-re-run protocol. Call ONLY after the parent Spark session is
+    stopped (a live parent JVM is exactly the co-tenancy this exists
+    to remove)."""
+    from data_wrangling_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    batch = int(os.environ.get("SPARK_GRAFT_EXTRAS_BATCH", "6"))
+    dirs = {label: d for label, d, _ratio in scales}
+    ex_results: dict[str, dict[str, float]] = {}
+    ex_duck: dict[str, dict[str, float]] = {}
+    for label, d, _ratio in scales:
+        timings: dict[str, float] = {}
+        for i in range(0, len(EXTRA_QUERIES), batch):
+            timings.update(_spawn_extras_worker(d, EXTRA_QUERIES[i:i + batch]))
+        ex_results[label] = timings
+        print(f"extras {label}: {json.dumps(timings)}", file=sys.stderr)
+        if duck_on:
+            mult = int(label.split("x")[0]) if label.endswith("x sf0.1") else 1
+            skip = {n for n, m in DUCK_ORACLE_SKIP.items() if mult >= m}
+            extra_specs = {n: QUERIES[n] for n in EXTRA_QUERIES}
+            ex_duck[label] = duckdb_time_suite(
+                extra_specs, d, threads=cpus, sink="table", skip=skip
+            )
+            print(f"extras {label} duckdb: {json.dumps(ex_duck[label])}",
+                  file=sys.stderr)
+
+    # ---- cross-round diff + dedicated re-runs ----
+    bp = _extras_baseline_path()
+    baseline: dict = {}
+    if os.path.exists(bp):
+        with open(bp) as f:
+            baseline = json.load(f).get("labels", {})
+    requeried: dict[str, dict[str, dict]] = {}
+    for label, timings in ex_results.items():
+        prev_t = baseline.get(label, {})
+        for name in list(timings):
+            prev, cur = prev_t.get(name), timings[name]
+            if prev is None or min(prev, cur) <= 0:
+                continue
+            if (max(prev, cur) / min(prev, cur) > RERUN_RATIO
+                    and abs(prev - cur) >= RERUN_MIN_ABS):
+                print(f"DIFF FLAG {label}/{name}: prev={prev} cur={cur} "
+                      f"— solo re-run", file=sys.stderr)
+                solo = _spawn_extras_worker(dirs[label], [name])[name]
+                confirmed = (
+                    min(prev, solo) > 0
+                    and max(prev, solo) / min(prev, solo) > RERUN_RATIO
+                )
+                requeried.setdefault(label, {})[name] = {
+                    "prev": prev, "suite": cur, "solo": solo,
+                    "moved_vs_prev": confirmed,
+                }
+                timings[name] = solo
+    with open(bp, "w") as f:
+        json.dump({"labels": ex_results,
+                   "note": "final (post-solo-re-run) extras timings of the "
+                           "last committed SCALING.md regeneration; the "
+                           "next regeneration diffs against these"},
+                  f, indent=1, sort_keys=True)
+    return {"results": ex_results, "duck": ex_duck, "requeried": requeried}
+
+
 def duckdb_time_suite(
     specs, sf_dir: str, threads: int, sink: str = "fetch",
     skip: set[str] | None = None,
@@ -568,36 +695,23 @@ def main() -> None:
             print(f"{label} duckdb: {json.dumps(duck_results[label])}",
                   file=sys.stderr)
 
-    # ---- round-5 extras: same scale points, own section -------------
-    extras_data = None
-    if os.environ.get("SPARK_GRAFT_SCALE_EXTRAS", "1") != "0":
-        from data_wrangling_spark.plans.registry import QUERIES
-
-        extra_specs = {n: QUERIES[n] for n in EXTRA_QUERIES}
-        ex_results: dict[str, dict[str, float]] = {}
-        ex_duck: dict[str, dict[str, float]] = {}
-        ex_inv: dict[str, dict] = {}
+    # ---- round-5 extras: timed AFTER spark.stop() in fresh-JVM
+    # worker subprocesses (round-11 co-tenancy rework — see the
+    # "extras isolation" block above). Only the semantic-dedup O(n)
+    # invariant runs here, on the parent session: it is a
+    # verification signal, not a timing, so co-tenancy cannot corrupt
+    # it, and it needs a Spark session that would otherwise have to be
+    # a dedicated worker launch.
+    extras_enabled = os.environ.get("SPARK_GRAFT_SCALE_EXTRAS", "1") != "0"
+    ex_inv: dict[str, dict] = {}
+    if extras_enabled and duck_on:
         for label, d, _ratio in scales:
-            ex_results[label], _ = time_suite(spark, extra_specs, d, conc=False)
-            print(f"extras {label}: {json.dumps(ex_results[label])}",
-                  file=sys.stderr)
-            if duck_on:
-                mult = int(label.split("x")[0]) if label.endswith("x sf0.1") else 1
-                skip = {n for n, m in DUCK_ORACLE_SKIP.items() if mult >= m}
-                ex_duck[label] = duckdb_time_suite(
-                    extra_specs, d, threads=cpus, sink="table", skip=skip
-                )
-                print(f"extras {label} duckdb: {json.dumps(ex_duck[label])}",
-                      file=sys.stderr)
-                if "x_dedup_semantic" in skip:
-                    ex_inv[label] = semantic_scale_invariant(spark, d)
-                    print(
-                        f"semantic invariant {label}: "
-                        f"{json.dumps(ex_inv[label])}",
-                        file=sys.stderr,
-                    )
-        extras_data = {"results": ex_results, "duck": ex_duck,
-                       "invariants": ex_inv}
+            mult = int(label.split("x")[0]) if label.endswith("x sf0.1") else 1
+            skip = {n for n, m in DUCK_ORACLE_SKIP.items() if mult >= m}
+            if "x_dedup_semantic" in skip:
+                ex_inv[label] = semantic_scale_invariant(spark, d)
+                print(f"semantic invariant {label}: "
+                      f"{json.dumps(ex_inv[label])}", file=sys.stderr)
 
     top_mult = mults[-1]
     plan_txt = final_plan(
@@ -687,6 +801,15 @@ def main() -> None:
             stream_data[label] = point
             print(f"stream {label}: {json.dumps(point)}", file=sys.stderr)
 
+    # parent JVM down BEFORE the extras workers launch — a live parent
+    # is exactly the co-tenant the round-10 table was corrupted by
+    spark.stop()
+
+    extras_data = None
+    if extras_enabled:
+        extras_data = run_extras_isolated(scales, duck_on, cpus)
+        extras_data["invariants"] = ex_inv
+
     write_scaling_md(
         os.path.join(repo, "SCALING.md"),
         top_mult, rows_by_mult, scales, results, conc_totals, plan_txt, mat_s,
@@ -701,7 +824,6 @@ def main() -> None:
         out["skew"] = skew_data["results"][top_mult]
         out["aqe_skew_split"] = skew_data["skew_split"]
     print(json.dumps(out))
-    spark.stop()
 
 
 def write_scaling_md(path, mult, rows_by_mult, scales, results, conc_totals,
@@ -861,7 +983,13 @@ def _extras_section(a, scales, extras_data) -> None:
     a("## Widening queries at scale")
     a("")
     a(f"The {len(names)} widening queries (TPC-H-shaped joins +")
-    a("training-pipeline operators), same methodology as the headline table.")
+    a("training-pipeline operators), same per-query methodology as the")
+    a("headline table, but — since round 11 — each batch of 6 queries runs")
+    a("in its OWN fresh-JVM Spark subprocess with the parent session")
+    a("stopped (the round-10 long-suite shared JVM inflated committed rows")
+    a("by up to 22x via GC/codegen-cache pressure), and every number is")
+    a("diffed against the previous committed table with >1.5x movers")
+    a("re-measured solo (see the cross-round diff subsection).")
     a("DuckDB column uses a temp-table sink (full materialization, no client")
     a("transfer) because the chunking query emits millions of text rows at")
     a(f"{top_label} — the closer twin of Spark's noop sink; the headline")
@@ -893,6 +1021,37 @@ def _extras_section(a, scales, extras_data) -> None:
         else:
             row += " |"
         a(row)
+    a("")
+    requeried = extras_data.get("requeried") or {}
+    a("### Cross-round regression diff")
+    a("")
+    a("Every extras timing is diffed against the previous committed")
+    a("table (`scripts/scaling_extras_baseline.json`); a query moving")
+    a(f">{RERUN_RATIO}x and >={RERUN_MIN_ABS}s absolute is re-measured")
+    a("SOLO (single query, fresh JVM, idle box) and the solo number is")
+    a("what the table above publishes. This is the audit trail the")
+    a("round-10 regeneration lacked — a corrupted row can no longer")
+    a("land unremarked.")
+    a("")
+    if not any(requeried.values()):
+        a("No query moved >1.5x against the previous committed table —")
+        a("no solo re-runs were needed.")
+    else:
+        a("| scale | query | prev committed (s) | this suite (s) | "
+          "solo re-run (s) | verdict |")
+        a("|---|---|---|---|---|---|")
+        for label, qs in requeried.items():
+            for name, info in qs.items():
+                verdict = (
+                    "**moved vs previous table — solo-confirmed** "
+                    "(code change this round, or the previous row was "
+                    "itself corrupt)"
+                    if info["moved_vs_prev"]
+                    else "suite number was a co-tenancy/noise artifact — "
+                         "solo agrees with previous table"
+                )
+                a(f"| {label} | {name} | {info['prev']:.3f} | "
+                  f"{info['suite']:.3f} | {info['solo']:.3f} | {verdict} |")
     a("")
     invariants = extras_data.get("invariants") or {}
     if invariants:
@@ -1079,6 +1238,36 @@ def _stream_section(a, stream_data) -> None:
         )
         a(f"| {q} | {cells} |")
     a("")
+    # wall-vs-state trade, computed from the measured cells (round-11,
+    # r10 verdict item 8: one paragraph tying the table together)
+    a("### The sessionize wall-vs-state trade, quantified")
+    a("")
+    a("What the selector's safety pick costs (custom wall / native wall)")
+    a("and buys (native state peak / custom state peak) at each point:")
+    a("")
+    a("| scale | custom wall | native wall | wall cost | custom peak |"
+      " native peak | state reduction |")
+    a("|---|---|---|---|---|---|---|")
+    for lb in labels:
+        c = stream_data[lb].get("x_stream_sessionize_custom")
+        n = stream_data[lb].get("sessionize_native_form")
+        if not c or not n:
+            continue
+        wall = c["sec"] / n["sec"] if n["sec"] else float("nan")
+        red = (n["state_rows_peak"] / c["state_rows_peak"]
+               if c["state_rows_peak"] else float("nan"))
+        a(f"| {lb} | {c['sec']}s | {n['sec']}s | {wall:.1f}x |"
+          f" {c['state_rows_peak']:,} | {n['state_rows_peak']:,} |"
+          f" {red:.0f}x |")
+    a("")
+    a("The wall cost is roughly flat in scale (Arrow state transfer per")
+    a("event) while the state reduction GROWS with backlog-to-user ratio —")
+    a("so the bigger the replay, the better the trade. Callers who have")
+    a("sized their state store for the backlog (backlog_rows x ~100 B")
+    a("within the aggregate state budget) should pass force='native' and")
+    a("take the faster wall; the registered query's doc carries the same")
+    a("guidance (plans/scale_queries.py x_stream_sessionize).")
+    a("")
 
 
 def _xml_split_section(a) -> None:
@@ -1113,4 +1302,7 @@ def _xml_split_section(a) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--extras-worker":
+        extras_worker(sys.argv[2], sys.argv[3:])
+    else:
+        main()

@@ -237,6 +237,36 @@ def test_calibration_bins_null_scores_dropped(spark):
     assert len(out) == 1 and out[0].n == 1
 
 
+def test_calibration_bins_null_labels_dropped(spark):
+    """Round-10 advisor find: a NULL label counted in n (F.count) but
+    not n_pos (F.sum skips NULLs), silently deflating acc_micro. NULL
+    labels are now dropped alongside NULL scores."""
+    from data_wrangling_spark.operators.evaluation import calibration_bins
+
+    df = spark.createDataFrame(
+        [(150, None), (150, 1), (150, 1)], "s long, y int"
+    )
+    out = calibration_bins(df, "s", "y", n_bins=4, lo=0, hi=400).collect()
+    assert len(out) == 1
+    # without the drop: n=3, acc=666667; with it: n=2, acc=1000000
+    assert out[0].n == 2 and out[0].n_pos == 2
+    assert out[0].acc_micro == 1000000
+
+
+def test_pr_sweep_null_labels_dropped(spark):
+    """Same policy extended to pr_at_thresholds (round 11): a NULL
+    label inflated n_pred_pos via the count while tp skipped it,
+    deflating precision."""
+    from data_wrangling_spark.operators.evaluation import pr_at_thresholds
+
+    df = spark.createDataFrame(
+        [(500, None), (500, 1)], "s long, y int"
+    )
+    out = pr_at_thresholds(df, "s", "y", thresholds=[0]).collect()
+    assert len(out) == 1
+    assert out[0].n_pred_pos == 1 and out[0].tp == 1
+
+
 def test_calibration_bins_validates_range(spark):
     import pytest as _pytest
 

@@ -88,11 +88,30 @@ round-9 note called out:
   are DISTINCT-semantics on both engines; UNION ALL enters only under
   an aggregate).
 
+Round-11 widening (r10 verdict item 7) — indexes 500-599, via a
+SEPARATE dispatcher so the frozen 0-499 corpus stays byte-identical:
+
+- QUALIFY-equivalent window filters: windowed MAX/MIN compared to a
+  row value in the outer WHERE (per-group argmax / threshold — the
+  window-then-filter pipeline QUALIFY sugars);
+- multiple DISTINCT aggregates on different columns in one SELECT
+  (Spark's Expand-based multi-distinct rewrite) plus SUM(DISTINCT);
+- NULLS FIRST/LAST sweeps on window ORDER BY over NULLIF-produced
+  NULL order keys, both directions, tie-stable ranks only;
+- aggregate FILTER clauses, mixed filtered/unfiltered in one SELECT
+  (Spark lowers FILTER to agg(CASE WHEN ...); COUNT over an empty
+  filter match must be 0, MIN/MAX must be NULL).
+
 Seeded with a fixed constant and a PER-INDEX rng (``Random(f"{SEED}:
 {i}")``), so every run generates the identical 500 queries AND future
 grammar widenings that append indexes leave existing queries
 byte-identical — a failure is reproducible by seed index across
-rounds.
+rounds. ONE-TIME CORPUS BREAK (round-10 advisor note): the switch
+from a single shared rng to the per-index rng in round 10 regenerated
+the whole corpus once, so seed-index citations from rounds <= 9
+(e.g. the r9 ROLLUP divergence "#78") refer to the OLD corpus and do
+not reproduce against the current one — indexes were effectively
+renumbered in round 10. Citations from round 10 onward are stable.
 """
 
 from __future__ import annotations
@@ -104,7 +123,8 @@ import pytest
 from data_wrangling_spark.sources.tables import load_table
 from tests.conftest import SF_DIR, canonical
 
-N_QUERIES = 500
+N_QUERIES = 600          # 0-499: rounds 7-10 grammar; 500-599: round-11
+N_QUERIES_R10 = 500      # indexes below this use the frozen dispatcher
 SEED = 0x5EED
 
 #: (table, categorical cols, integer cols, cents cols, ts col)
@@ -583,6 +603,146 @@ def _gen_setop_subquery(rng: random.Random) -> str:
             f"MIN(k) AS agg_2, MAX(k) AS agg_3 FROM ({b1} {op} {b2}) u")
 
 
+def _gen_qualify_query(rng: random.Random) -> str:
+    """QUALIFY-equivalent window filters (round-11): the classic
+    per-group argmax/threshold — a windowed aggregate computed in a
+    derived table and compared against a ROW value in the outer WHERE
+    (`WHERE col = w_max`), the pattern QUALIFY sugars in engines that
+    have it. Deterministic with ties: every tied row passes the filter
+    on both engines. Exercises each engine's window-then-filter
+    pipeline (Spark must not push the predicate below the window)."""
+    t = rng.choice(list(TABLES))
+    spec = TABLES[t]
+    part = rng.choice([c for c in spec["cat"] if c in CAT_VALUES])
+    val = rng.choice([c for c in spec["int"] if c != part])
+    agg = rng.choice(["MAX", "MIN"])
+    wexpr = f"{agg}({val}) OVER (PARTITION BY {part})"
+    preds = _preds(rng, spec, n_max=1)
+    inner = (f"SELECT {part}, {val}, CAST({wexpr} AS BIGINT) AS w_0 "
+             f"FROM {t}")
+    if preds:
+        inner += " WHERE " + " AND ".join(preds)
+    if rng.random() < 0.5:
+        cond = f"{val} = w_0"          # argmax/argmin rows per group
+    else:
+        # threshold against the group aggregate (e.g. above-group-min)
+        cond = f"{val} {'<' if agg == 'MAX' else '>'} w_0"
+    return f"SELECT * FROM ({inner}) q WHERE {cond}"
+
+
+def _gen_multi_distinct_agg(rng: random.Random) -> str:
+    """Multiple DISTINCT aggregates on DIFFERENT columns in one SELECT
+    (round-11): Spark plans this via an Expand (one projection per
+    distinct group) + two-stage aggregate — a rewrite with its own bug
+    surface that single-distinct queries never touch. Mixed with a
+    plain aggregate so the expand carries a non-distinct branch too;
+    SUM(DISTINCT) enters on ints (exact) and int-cents."""
+    t = rng.choice(list(TABLES))
+    spec = TABLES[t]
+    group = rng.sample(spec["cat"], k=rng.randint(0, 1))
+    c1, c2 = rng.sample(spec["int"], k=2) if len(spec["int"]) >= 2 else (
+        spec["int"][0], spec["cat"][0])
+    aggs = [f"CAST(COUNT(DISTINCT {c1}) AS BIGINT) AS agg_0",
+            f"CAST(COUNT(DISTINCT {c2}) AS BIGINT) AS agg_1"]
+    kind = rng.choice(["sum_distinct", "plain_sum", "count"])
+    if kind == "sum_distinct":
+        aggs.append(f"CAST(SUM(DISTINCT {rng.choice(spec['int'])}) AS BIGINT)"
+                    " AS agg_2")
+    elif kind == "plain_sum":
+        c = rng.choice(spec["cents"])
+        aggs.append(f"CAST(SUM(CAST(ROUND({c} * 100, 0) AS BIGINT)) "
+                    "AS BIGINT) AS agg_2")
+    else:
+        aggs.append("COUNT(*) AS agg_2")
+    preds = _preds(rng, spec, n_max=1)
+    sql = f"SELECT {', '.join(group + aggs)} FROM {t}"
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    if group:
+        sql += " GROUP BY " + ", ".join(group)
+    return sql
+
+
+def _gen_null_order_window(rng: random.Random) -> str:
+    """NULLS FIRST / NULLS LAST sweeps on window ORDER BY (round-11)
+    over an order expression that actually PRODUCES NULLs
+    (`NULLIF(col % k, 0)` — base columns are non-NULL, where the
+    null-ordering clause would be dead). Tie-stable RANK/DENSE_RANK
+    only (NULL groups are rank-tied, so results stay deterministic in
+    all four direction x null-placement combinations). The engines'
+    DEFAULTS differ (Spark ASC=NULLS FIRST, DuckDB ASC=NULLS LAST),
+    so every combination is spelled explicitly."""
+    t = rng.choice(list(TABLES))
+    spec = TABLES[t]
+    part = rng.choice([c for c in spec["cat"] if c in CAT_VALUES])
+    oc = rng.choice(spec["int"])
+    k = rng.randint(2, 6)
+    direction = rng.choice(["ASC", "DESC"])
+    nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+    fn = rng.choice(["RANK", "DENSE_RANK"])
+    wexpr = (f"{fn}() OVER (PARTITION BY {part} "
+             f"ORDER BY NULLIF({oc} % {k}, 0) {direction} {nulls})")
+    preds = _preds(rng, spec, n_max=1)
+    sel_part = [part] if part == oc else [part, oc]
+    sql = (f"SELECT {', '.join(sel_part)}, "
+           f"CAST({wexpr} AS BIGINT) AS w_0 FROM {t}")
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    return sql
+
+
+def _gen_filter_agg(rng: random.Random) -> str:
+    """Aggregate FILTER clauses (round-11): `agg(x) FILTER (WHERE p)`
+    — standard SQL both engines support natively, but each lowers
+    differently (Spark rewrites to agg(CASE WHEN ...)); mixed
+    filtered/unfiltered aggregates in one SELECT exercise the rewrite
+    alongside an unfiltered sibling. COUNT FILTER over an empty match
+    must be 0 while MIN/MAX FILTER must be NULL — the same
+    empty-group discipline the correlated generator pins."""
+    t = rng.choice(list(TABLES))
+    spec = TABLES[t]
+    group = rng.sample(spec["cat"], k=rng.randint(0, 1))
+    fpreds = _preds(rng, spec, n_max=1) or [
+        f"{rng.choice(spec['int'])} % {rng.randint(2, 5)} = 0"
+    ]
+    fl = f" FILTER (WHERE {' AND '.join(fpreds)})"
+    aggs = []
+    for i in range(rng.randint(2, 3)):
+        kind = rng.choice(["count", "sum", "minmax"])
+        use_f = fl if (i == 0 or rng.random() < 0.6) else ""
+        if kind == "count":
+            aggs.append(f"COUNT(*){use_f} AS agg_{i}")
+        elif kind == "sum":
+            c = rng.choice(spec["int"])
+            aggs.append(f"CAST(SUM({c}){use_f} AS BIGINT) AS agg_{i}")
+        else:
+            c = rng.choice(spec["int"])
+            aggs.append(f"{rng.choice(['MIN', 'MAX'])}({c}){use_f}"
+                        f" AS agg_{i}")
+    preds = _preds(rng, spec, n_max=1)
+    sql = f"SELECT {', '.join(group + aggs)} FROM {t}"
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    if group:
+        sql += " GROUP BY " + ", ".join(group)
+    return sql
+
+
+def _gen_query_r11(rng: random.Random) -> str:
+    """Dispatcher for indexes 500+ (round-11 widening): ONLY the four
+    new shapes — a separate dispatcher because changing _gen_query's
+    draw probabilities would regenerate all 500 pre-existing queries
+    (the round-10 corpus break this suite promised not to repeat)."""
+    r = rng.random()
+    if r < 0.25:
+        return _gen_qualify_query(rng)
+    if r < 0.50:
+        return _gen_multi_distinct_agg(rng)
+    if r < 0.75:
+        return _gen_null_order_window(rng)
+    return _gen_filter_agg(rng)
+
+
 def _gen_query(rng: random.Random) -> str:
     r = rng.random()
     if r < 0.32:
@@ -606,9 +766,15 @@ def _gen_query(rng: random.Random) -> str:
 
 def _all_queries() -> list[tuple[int, str]]:
     # per-index rng: appending indexes or adding generators that only
-    # later indexes draw leaves earlier queries byte-identical
-    return [(i, _gen_query(random.Random(f"{SEED}:{i}")))
-            for i in range(N_QUERIES)]
+    # later indexes draw leaves earlier queries byte-identical. New
+    # rounds widen by appending an index block with its OWN dispatcher
+    # (round 11: 500-599), never by touching an existing dispatcher.
+    return (
+        [(i, _gen_query(random.Random(f"{SEED}:{i}")))
+         for i in range(N_QUERIES_R10)]
+        + [(i, _gen_query_r11(random.Random(f"{SEED}:{i}")))
+           for i in range(N_QUERIES_R10, N_QUERIES)]
+    )
 
 
 @pytest.fixture(scope="module")

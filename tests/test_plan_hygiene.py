@@ -75,7 +75,10 @@ BNLJ_ALLOWED = {
     "ext_tpch_q15_top_supplier",       # 1-row max-revenue broadcast
     "x_text_lm_score",                 # 1-row vocabulary-size broadcast
     "x_text_collocations",             # 1-row (N, N_pairs) totals broadcast
-    "x_text_dsir",                     # 1-row (N_t, N_s) totals broadcast
+    # x_text_dsir REMOVED round 11: the round-10 dsir refactor (8a22a19)
+    # replaced the crossJoin(broadcast(totals)) with a global window over
+    # the 1024-row bucket model, so the executed plan has no BNLJ and the
+    # stale exemption would have masked a regression (round-10 ADVICE).
 }
 # notable CLEAN plans (verified no BNLJ despite the pattern suggesting
 # one): ext_range_join_bucketed (bucket explode gives Catalyst an equi
