@@ -1052,6 +1052,7 @@ def dsir_importance(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 1024,
+    persist_tokens: bool = False,
 ) -> DataFrame:
     """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): estimate how
@@ -1088,7 +1089,21 @@ def dsir_importance(
     the n_buckets-row model, one per-document aggregate. The md5
     bucket hash is oracle-mandated (DuckDB must replay bucket ids
     bit-for-bit; xxhash64 has no DuckDB twin) and costs ~6s/pass of
-    the 100x total — the price of a replayable model."""
+    the 100x total — the price of a replayable model.
+
+    ``persist_tokens=True`` caches the tokenized (id, is_target,
+    bucket) projection (MEMORY_AND_DISK) so pass 2 reads it back
+    instead of re-running scan + tokenize + explode + md5: measured
+    23.9s -> 16.1s at 100x (scripts/bench_dsir_ab.py, fresh JVM,
+    value-hash parity checked) — DSIR's per-pass compute is costly
+    enough to FLIP the vec_outliers round-10 verdict that caching an
+    exploded corpus projection loses to recompute. One-shot scoring
+    jobs (the production shape) should enable it; the default stays
+    False because (a) the cache outlives the returned DataFrame's
+    execution — callers own the unpersist — and (b) re-executing the
+    same cached plan skips pass 1, so any repeated-measurement
+    harness (this repo's bench suite included) would time warm runs
+    and publish a number one-shot users never see."""
     bucket = (
         F.conv(F.substring(F.md5(F.col("_tok")), 1, 4), 16, 10).cast("long")
         % n_buckets
@@ -1101,6 +1116,10 @@ def dsir_importance(
         "_is_t",
         F.explode(TX.tokens("_text")).alias("_tok"),
     ).select(F.col(id_col), "_is_t", bucket.alias("_bucket"))
+    if persist_tokens:
+        from pyspark import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     counts = toks.groupBy("_bucket").agg(
         F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_ct"),
         F.sum(F.when(F.col("_is_t"), 0).otherwise(1)).alias("_cs"),

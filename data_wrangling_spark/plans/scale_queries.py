@@ -2803,18 +2803,23 @@ def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "geography through broadcast nation⨝region lookups, the "
         "<> predicate filters AFTER both joins (it references both "
         "sides). Round-11 rework (r10 verdict item 2 — 3.8x dedicated "
-        "at 100x): the customer side reduces to a NARROW (c_custkey, "
-        "cust_region) projection (~13 B/row — ~20 MB at this bench's "
-        "100x, broadcastable up to ~100M customers), so it is "
-        "broadcast-HINTED and the orders⨝customer shuffle disappears; "
-        "the supplier projection gets the same hint (1M rows at 100x "
-        "sits just over Catalyst's 10 MB static threshold, which made "
-        "the bench-scale broadcast silently degrade to an SMJ at "
-        "100x). The one remaining corpus shuffle is li⨝oc on the "
-        "orderkey — the two-fact floor. At true 100-TB TPC-H "
-        "(customer ~ fact-sized) drop the hints and let AQE pick; "
-        "the projections' 13 B/row arithmetic in SCALING.md gives the "
-        "crossover. Int-cents revenue.",
+        "at 100x): the SUPPLIER projection (1M rows x ~13 B at 100x, "
+        "just over Catalyst's 10 MB static threshold) is "
+        "broadcast-HINTED so the li-side lookup stays a broadcast "
+        "join at every scale instead of silently degrading to a "
+        "third SMJ shuffle (fresh-JVM A/B at 100x: 4.35s vs 4.94s "
+        "unhinted). Broadcasting the CUSTOMER projection too — the "
+        "obvious next step, it would delete the orders-side shuffle — "
+        "was REJECTED on measurement: 14.5s cust-only / 6.6s both vs "
+        "4.35s supp-only (fresh JVM, median-of-3). A 1.5M-entry "
+        "broadcast hash relation is built per execution and probed "
+        "randomly by 32 threads across a >100 MB table; the SMJ it "
+        "replaces streams sorted runs instead, and its shuffle of the "
+        "narrow orders projection is cheaper than the build+probe. "
+        "The resulting plan is the measured two-fact floor — stage "
+        "probes: li scan+filter 0.9s, orders SMJ customer 1.8s, "
+        "li shuffle + merge + agg ~1.6s (SCALING.md q7 floor note). "
+        "Int-cents revenue.",
 )
 def ext_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
@@ -2842,9 +2847,9 @@ def ext_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey", "l_shipdate",
                 _revenue_cents().alias("_cents"))
     )
-    oc = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
-    ).select("o_orderkey", "cust_region")
+    oc = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "cust_region"
+    )
     return (
         li.join(oc, li.l_orderkey == oc.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -4621,13 +4626,19 @@ def x_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket model (<=1024 rows, broadcast back) and the per-doc "
         "scoring aggregate (operators/text_analysis.py dsir_importance "
         "— registered round 10; implemented round 6 but left off the "
-        "registry, a coverage hole this row closes).",
+        "registry, a coverage hole this row closes). Round 11: "
+        "persist_tokens=True — pass 2 reads the cached tokenized "
+        "projection instead of re-running explode+md5 (22.1s -> 13.3s "
+        "at 100x, scripts/bench_dsir_ab.py; value-hash parity "
+        "checked). The timing harness clears the cache after every "
+        "run (time_suite), so published rows still price the cache "
+        "population — the one-shot cost, not a warm re-run.",
 )
 def x_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.text_analysis import dsir_importance
 
     docs = _t(spark, sf_dir, "documents")
-    return dsir_importance(docs, F.col("lang") == "en")
+    return dsir_importance(docs, F.col("lang") == "en", persist_tokens=True)
 
 
 @register(

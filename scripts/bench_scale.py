@@ -340,6 +340,12 @@ def time_suite(
     prepared = {name: spec.spark(spark, sf_dir) for name, spec in specs.items()}
     for df in prepared.values():
         _run(df)
+        # drop any plan-internal cache (x_text_dsir persist_tokens):
+        # without this, re-executions of the same prepared plan would
+        # read the warmup's cache and the median would price warm
+        # re-runs instead of the one-shot cost a production scoring
+        # job pays. No-op for the (vast) non-caching majority.
+        spark.catalog.clearCache()
     timings: dict[str, float] = {}
     for name, df in prepared.items():
         runs = []
@@ -347,6 +353,7 @@ def time_suite(
             t0 = time.perf_counter()
             _run(df)
             runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
         timings[name] = round(statistics.median(runs), 3)
     if not conc:
         return timings, float("nan")
