@@ -329,3 +329,78 @@ def calibration_error(
         "n",
         F.round(F.col("_wg") / F.col("n")).cast("long").alias("ece_micro"),
     )
+
+
+def brier_score(
+    df: DataFrame,
+    score_col: str | Column,
+    label_col: str | Column,
+    lo: int = 0,
+    hi: int = 1000,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Brier score per group — the PROPER scoring rule that completes
+    the calibration leg next to the binned diagnostics: ECE can be
+    gamed by a constant base-rate predictor (perfectly calibrated,
+    zero resolution), while the Brier score = mean (p − y)² decomposes
+    into calibration − resolution + irreducible uncertainty (Murphy
+    1973), so it penalizes exactly what ECE forgives. Reported with
+    the reference Brier of the always-base-rate predictor
+    (= ȳ·(1−ȳ), the uncertainty term) so a reader gets the skill
+    comparison without a second query.
+
+    Scores are integer units on [lo, hi] mapped to probabilities
+    p = (s − lo)/(hi − lo), CLAMPED into [0, 1] (out-of-range scores
+    saturate rather than produce p outside probability space —
+    calibration_bins' edge-bin discipline). Exactness: with
+    span = hi − lo, each residual span·p − span·y = clamp(s − lo) −
+    span·y is exact int64, so Σ residual² is exact int64 (≤ n·span²;
+    span 1000 holds exactness to ~9·10⁹ rows/group — quantize wider
+    domains first, the module discipline) and ONE final division by
+    n·span² yields micro units. Returns (group..., n, brier_micro,
+    base_rate_micro, brier_ref_micro).
+
+    Scale shape: ONE (group) hash aggregate over codegen scalar
+    arithmetic — map-side partials collapse to one row per group;
+    NULL scores and labels drop up front (module policy)."""
+    if hi <= lo:
+        raise ValueError(f"brier_score: hi ({hi}) must exceed lo ({lo})")
+    group_cols = group_cols or []
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    span = int(hi - lo)
+    clamped = F.least(
+        F.greatest(F.col("_s") - F.lit(int(lo)), F.lit(0)),
+        F.lit(span),
+    )
+    resid = clamped - F.lit(span) * F.col("_y")
+    agg = (
+        df.select(
+            *group_cols,
+            score.cast("long").alias("_s"),
+            label.cast("int").alias("_y"),
+        )
+        .filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(resid * resid).cast("long").alias("_sq"),
+            F.sum("_y").cast("long").alias("_p"),
+        )
+    )
+    denom = F.col("n") * F.lit(float(span) * span)
+    # base rate and reference Brier ȳ(1−ȳ) from the same exact counts:
+    # both get ONE double division each (micro-rounded outputs)
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(F.lit(1000000.0) * F.col("_sq") / denom)
+        .cast("long").alias("brier_micro"),
+        F.round(F.lit(1000000.0) * F.col("_p") / F.col("n"))
+        .cast("long").alias("base_rate_micro"),
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("_p") * (F.col("n") - F.col("_p")))
+            / (F.col("n") * F.col("n"))
+        ).cast("long").alias("brier_ref_micro"),
+    )

@@ -185,7 +185,11 @@ DRIVER_WINDOW: list[str] = [
     # x_text_sequence_pack (two-pass distributed prefix sum replaced
     # its global-window cumsum — the changed plan earns a fresh driver
     # row; green r2+r3 rows predate the rework)
-    "x_eval_auc_quality",
+    # round 11: x_eval_auc_quality (green r8-r10 rows; the eval family
+    # keeps pr_sweep + calibration + ece in the window) hands its slot
+    # to the NEW x_eval_brier — new registrations earn a fresh driver
+    # row per the round-4 precedent
+    "x_eval_brier",
     "x_eval_pr_sweep",
     "x_text_sequence_pack",
     # round 9: four of the round-6 TPC-H completions (q9, q12, q15,

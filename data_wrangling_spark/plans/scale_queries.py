@@ -4571,6 +4571,59 @@ def x_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_eval_brier",
+    oracle=_EVAL_LABELED_CTES + r""", r AS (
+        SELECT source,
+               LEAST(GREATEST(score_milli - (-500), 0), 1000)
+                   - 1000 * y AS resid,
+               y
+        FROM lab
+    ), ag AS (
+        SELECT source, COUNT(*) AS n,
+               CAST(SUM(resid * resid) AS BIGINT) AS sq,
+               CAST(SUM(y) AS BIGINT) AS p
+        FROM r GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(ROUND((1000000.0 * sq) / (n * 1000000.0)) AS BIGINT)
+               AS brier_micro,
+           CAST(ROUND((1000000.0 * p) / n) AS BIGINT) AS base_rate_micro,
+           CAST(ROUND((1000000.0 * (p * (n - p))) / (CAST(n AS DOUBLE) * n))
+                AS BIGINT) AS brier_ref_micro
+    FROM ag ORDER BY source
+    """,
+    doc="X-TEXT evaluation: per-source Brier score of the hashed "
+        "quality score (mapped to p = clamp(score_milli+500, 0, 1000) "
+        "/ 1000) against the weak label lang='en' — the PROPER scoring "
+        "rule completing the calibration leg: ECE is gamed by a "
+        "constant base-rate predictor (calibrated, zero resolution); "
+        "Brier penalizes it via the Murphy decomposition. Reported "
+        "with the base rate and the reference Brier ȳ(1−ȳ) so the "
+        "skill comparison needs no second query. ONE (group) hash "
+        "aggregate over codegen integer arithmetic — exact int64 "
+        "residual squares, one double division per output "
+        "(operators/evaluation.py brier_score, round 11).",
+)
+def x_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.evaluation import brier_score
+    from data_wrangling_spark.operators.text_analysis import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs).select("doc_id", "score_milli")
+    lab = scored.join(
+        docs.select(
+            "doc_id",
+            "source",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("_y"),
+        ),
+        "doc_id",
+    )
+    return brier_score(
+        lab, "score_milli", "_y", lo=-500, hi=500, group_cols=["source"]
+    ).orderBy("source")
+
+
+@register(
     "x_text_dsir",
     oracle=r"""
         WITH tok AS (

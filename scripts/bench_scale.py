@@ -157,11 +157,13 @@ EXTRA_QUERIES = [
     # fork this round.
     "x_text_dsir",
     "x_eval_ece",
-    # round-11 addition (registered BEFORE this round's regeneration
+    # round-11 additions (registered BEFORE this round's regeneration
     # launched): the realistic-churn snapshot-diff headline (r10
     # verdict item 3) — the adversarial 27%-churn sibling keeps its
     # row too so the table shows both ends of the churn-scaling story
+    # — and the Brier proper-scoring-rule fold
     "x_corpus_snapshot_diff_realistic",
+    "x_eval_brier",
 ]
 
 # ---------------------------------------------------------------- skew --

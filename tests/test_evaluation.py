@@ -267,6 +267,61 @@ def test_pr_sweep_null_labels_dropped(spark):
     assert out[0].n_pred_pos == 1 and out[0].tp == 1
 
 
+def test_brier_score_hand_computed(spark):
+    """p = clamp(s, 0, 1000)/1000 against y: residuals in milli are
+    exact ints; brier = Σ(clamp(s)−1000y)² / (n·10⁶) in micro."""
+    from data_wrangling_spark.operators.evaluation import brier_score
+
+    df = spark.createDataFrame(
+        # (score, y): p=0.9 vs 1 -> 0.01; p=0.2 vs 0 -> 0.04;
+        # p=1.0 vs 0 -> 1.0; p=0.5 vs 1 -> 0.25
+        [(900, 1), (200, 0), (1000, 0), (500, 1)], "s long, y int"
+    )
+    out = brier_score(df, "s", "y").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == 4
+    assert r.brier_micro == round(1e6 * (0.01 + 0.04 + 1.0 + 0.25) / 4)
+    assert r.base_rate_micro == 500000           # 2/4
+    assert r.brier_ref_micro == 250000           # 0.5 * 0.5
+
+
+def test_brier_score_clamps_and_drops_nulls(spark):
+    from data_wrangling_spark.operators.evaluation import brier_score
+
+    df = spark.createDataFrame(
+        # -300 clamps to p=0, 1400 clamps to p=1; NULL rows drop
+        [(-300, 0), (1400, 1), (None, 1), (500, None)],
+        "s long, y int",
+    )
+    out = brier_score(df, "s", "y").collect()
+    assert len(out) == 1
+    assert out[0].n == 2 and out[0].brier_micro == 0
+
+
+def test_brier_grouped_constant_predictor_vs_ref(spark):
+    """The skill framing: a constant base-rate predictor's Brier equals
+    the reference ȳ(1−ȳ) exactly — ECE would read 0 (calibrated) but
+    Brier shows zero skill vs the reference."""
+    from data_wrangling_spark.operators.evaluation import brier_score
+
+    rows = [("a", 250, 1)] * 1 + [("a", 250, 0)] * 3
+    df = spark.createDataFrame(rows, "g string, s long, y int")
+    r = brier_score(df, "s", "y", group_cols=["g"]).collect()[0]
+    # ȳ = 0.25, constant p = 0.25: brier = ȳ(1−ȳ) = 0.1875
+    assert r.brier_micro == r.brier_ref_micro == 187500
+
+
+def test_brier_validates_range(spark):
+    import pytest as _pytest
+
+    from data_wrangling_spark.operators.evaluation import brier_score
+
+    df = spark.createDataFrame([(1, 1)], "s long, y int")
+    with _pytest.raises(ValueError):
+        brier_score(df, "s", "y", lo=5, hi=5)
+
+
 def test_calibration_bins_validates_range(spark):
     import pytest as _pytest
 
