@@ -557,13 +557,46 @@ def run_extras_isolated(scales, duck_on: bool, cpus: int) -> dict:
                     "moved_vs_prev": confirmed,
                 }
                 timings[name] = solo
+
+    # ---- second rule (round-11 amendment): every TOP-label row that
+    # publishes >2x vs DuckDB is solo-confirmed, regardless of the
+    # cross-round diff. Rationale: the diff cannot catch a row whose
+    # PREVIOUS number was contaminated the same way (adversarial
+    # snapshot_diff published 23s twice while dedicated is 12s), or a
+    # drift just under 1.5x — and >2x rows are exactly the ones the
+    # scale story is judged on, so they must carry dedicated numbers.
+    top_label = scales[-1][0]
+    if duck_on and top_label in ex_duck:
+        for name, sec in list(ex_results[top_label].items()):
+            d_t = ex_duck[top_label].get(name)
+            already = name in requeried.get(top_label, {})
+            if d_t and d_t > 0 and sec / d_t > 2.0 and not already:
+                print(f"RATIO FLAG {top_label}/{name}: {sec}s = "
+                      f"{sec / d_t:.1f}x DuckDB — solo confirmation",
+                      file=sys.stderr)
+                solo = _spawn_extras_worker(dirs[top_label], [name])[name]
+                requeried.setdefault(top_label, {})[name] = {
+                    "prev": sec, "suite": sec, "solo": solo,
+                    "moved_vs_prev": (max(sec, solo)
+                                      / max(min(sec, solo), 1e-9)
+                                      > RERUN_RATIO),
+                    "reason": "ratio>2",
+                }
+                ex_results[top_label][name] = solo
     with open(bp, "w") as f:
         json.dump({"labels": ex_results,
                    "note": "final (post-solo-re-run) extras timings of the "
                            "last committed SCALING.md regeneration; the "
                            "next regeneration diffs against these"},
                   f, indent=1, sort_keys=True)
-    return {"results": ex_results, "duck": ex_duck, "requeried": requeried}
+    out = {"results": ex_results, "duck": ex_duck, "requeried": requeried}
+    # full section inputs persisted so amendments (late solo re-runs,
+    # late registrations) can re-render the extras section without a
+    # 2h regeneration (the round-10 addendum-fork problem)
+    with open(os.path.join(os.path.dirname(bp),
+                           "scaling_extras_last.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    return out
 
 
 def duckdb_time_suite(
@@ -1051,14 +1084,21 @@ def _extras_section(a, scales, extras_data) -> None:
         a("|---|---|---|---|---|---|")
         for label, qs in requeried.items():
             for name, info in qs.items():
-                verdict = (
-                    "**moved vs previous table — solo-confirmed** "
-                    "(code change this round, or the previous row was "
-                    "itself corrupt)"
-                    if info["moved_vs_prev"]
-                    else "suite number was a co-tenancy/noise artifact — "
-                         "solo agrees with previous table"
-                )
+                if info.get("reason") == "ratio>2":
+                    verdict = (
+                        "**>2x-vs-DuckDB row — solo-confirmed** (every "
+                        "top-label row over 2x carries a dedicated "
+                        "number regardless of the cross-round diff)"
+                    )
+                elif info["moved_vs_prev"]:
+                    verdict = (
+                        "**moved vs previous table — solo-confirmed** "
+                        "(code change this round, or the previous row "
+                        "was itself corrupt)"
+                    )
+                else:
+                    verdict = ("suite number was a co-tenancy/noise "
+                               "artifact — solo agrees with previous table")
                 a(f"| {label} | {name} | {info['prev']:.3f} | "
                   f"{info['suite']:.3f} | {info['solo']:.3f} | {verdict} |")
     a("")
