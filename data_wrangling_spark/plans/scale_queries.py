@@ -1590,8 +1590,9 @@ def ext_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tests/test_streaming_sessionize.py), so the pick is pure "
         "execution strategy. CROSSOVER GUIDANCE (round-11, r10 verdict "
         "item 8): the safety pick is not free — at 100x the custom "
-        "form pays ~4x the native wall (45.2s vs 10.9s, SCALING.md "
-        "streaming table) to cap state at user cardinality (150k "
+        "form pays ~2.6-4x the native wall (48.1s vs 18.3s dedicated "
+        "this round; 45.2 vs 10.9 round 10 — SCALING.md streaming "
+        "table) to cap state at user cardinality (150k "
         "triples vs 9.5M per-event rows, a ~64x state reduction). "
         "Pass force='native' when the state store can hold the "
         "backlog — i.e. when backlog_rows x ~100 B/row fits the "
