@@ -3939,17 +3939,23 @@ def ext_tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> Dat
         "definition shared with Q4; no commitdate/receiptdate exists) "
         "was the ONLY late one on a finished multi-supplier order. "
         "The EXISTS / NOT EXISTS pair decorrelates into per-order "
-        "distinct-supplier and distinct-LATE-supplier counts computed "
-        "as collect_set windows over the SAME orderkey partition the "
-        "join just shuffled on — one pass over the fact-fact join, no "
-        "aggregate-plus-join-back re-computation of it; a late line "
-        "qualifies iff n_supp > 1 and n_late_supp = 1 (its own "
-        "supplier being that one). Window state per order is the "
-        "distinct supplier set of ONE order (bounded by lines per "
-        "order, ~7). Counts rows per supplier exactly as the "
-        "reference's l1 multiplicity does. The oracle keeps the "
-        "literal EXISTS form so DuckDB derives the answer "
-        "independently; the supplier/nation/region chain broadcasts.",
+        "predicates over the SAME orderkey partition the join just "
+        "shuffled on — one pass over the fact-fact join, no "
+        "aggregate-plus-join-back re-computation of it. Round 11: the "
+        "two collect_set windows (object-buffer aggregates, outside "
+        "codegen) are replaced by four MIN/MAX windows in ONE "
+        "WindowExec using the distinct-count identities |S| > 1 iff "
+        "min(S) != max(S) and |S| = 1 iff min(S) = max(S) (non-empty "
+        "by the row's own lateness) — 5.35s -> 3.87s at 100x, "
+        "value-identical by theorem and oracle. A late line "
+        "qualifies iff the order has another supplier and every late "
+        "line shares this line's supplier. Counts rows per supplier "
+        "exactly as the reference's l1 multiplicity does. The oracle "
+        "keeps the literal EXISTS form so DuckDB derives the answer "
+        "independently; the supplier/nation/region chain broadcasts. "
+        "Residual vs DuckDB (~2.7x at 100x) is the q7-class two-fact "
+        "shuffle floor: li and F-orders both shuffle for the SMJ, the "
+        "window rides the join's partitioning and sort for free.",
 )
 def ext_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
@@ -3971,18 +3977,19 @@ def ext_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("l_orderkey")
-    counted = lo.withColumn(
-        "_n_supp", F.size(F.collect_set("l_suppkey").over(w))
-    ).withColumn(
-        "_n_late_supp",
-        F.size(
-            F.collect_set(F.when(F.col("_late"), F.col("l_suppkey"))).over(w)
-        ),
+    late_s = F.when(F.col("_late"), F.col("l_suppkey"))
+    counted = (
+        lo.withColumn("_min_s", F.min("l_suppkey").over(w))
+        .withColumn("_max_s", F.max("l_suppkey").over(w))
+        .withColumn("_min_ls", F.min(late_s).over(w))
+        .withColumn("_max_ls", F.max(late_s).over(w))
     )
     asia = _region_suppliers(spark, sf_dir, "ASIA").select("s_suppkey", "s_name")
     waiting = (
         counted.filter(
-            F.col("_late") & (F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1)
+            F.col("_late")
+            & (F.col("_min_s") != F.col("_max_s"))
+            & (F.col("_min_ls") == F.col("_max_ls"))
         )
         .join(F.broadcast(asia), F.col("l_suppkey") == F.col("s_suppkey"))
     )
