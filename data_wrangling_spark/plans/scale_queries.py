@@ -5125,7 +5125,18 @@ def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valved, sizes are recomputed on the pruned postings so the "
         "value is the exact Jaccard of the pruned sets), else fresh; "
         "match_id is the smallest matching index id. Fully re-derived "
-        "by the oracle, pruning included.",
+        "by the oracle, pruning included. Round-11 scaling note: the "
+        "wall is NON-MONOTONIC in scale on this replicated corpus by "
+        "construction — measured candidate pairs through the valve: "
+        "14.6M at 10x, 2.4M at 20x, 0 at 100x (solo-confirmed walls "
+        "15.8s / 8.3s / 36.0s) — because replication multiplies every "
+        "shingle's df, and at 10x the dense shingles sit JUST under "
+        "max_df=100 (worst case: maximal un-pruned fan-out) while at "
+        "20x+ they cross it and prune. At 100x the near-dup join does "
+        "zero candidate work; the wall is the fingerprint + posting "
+        "build itself. A real (non-replicated) corpus keeps df "
+        "roughly scale-invariant, so the valve's cut is stable and "
+        "the ingest cost is linear in the batch as documented.",
 )
 def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.dedup import dedup_incremental
