@@ -38,7 +38,9 @@ Environment knobs: SPARK_GRAFT_SCALE_MULTS (comma-separated, default
 point), SPARK_GRAFT_SCALE_WORKDIR (default /tmp/dws-scale),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALE_SKEW=0 to skip the
 zipf-hot-key skew section, SPARK_GRAFT_SCALE_DUCKDB=0 to skip the
-DuckDB head-to-head columns.
+DuckDB head-to-head columns, SPARK_GRAFT_EXTRAS_BATCH (default 6) for
+the fresh-JVM extras worker batch size, SPARK_GRAFT_SCALE_EXTRAS=0 to
+skip the extras section entirely.
 """
 
 from __future__ import annotations
