@@ -357,7 +357,10 @@ def brier_score(
     span·y is exact int64, so Σ residual² is exact int64 (≤ n·span²;
     span 1000 holds exactness to ~9·10⁹ rows/group — quantize wider
     domains first, the module discipline) and ONE final division by
-    n·span² yields micro units. Returns (group..., n, brier_micro,
+    n·span² yields micro units. The reference term's p·(n−p) numerator
+    is exact int64 to n ≈ 6·10⁹ (≤ n²/4) and its n² denominator is
+    computed in double (an int64 n·n would overflow at n ≈ 3·10⁹,
+    inside the numerator's exact range). Returns (group..., n, brier_micro,
     base_rate_micro, brier_ref_micro).
 
     Scale shape: ONE (group) hash aggregate over codegen scalar
@@ -401,6 +404,10 @@ def brier_score(
         F.round(
             F.lit(1000000.0)
             * (F.col("_p") * (F.col("n") - F.col("_p")))
-            / (F.col("n") * F.col("n"))
+            # n² must not fold in int64: a long denominator overflows at
+            # n ≳ 3.0e9 rows/group, under the int64-exact bound the
+            # numerator keeps (p·(n−p) ≤ n²/4, exact to n ≈ 6.1e9). The
+            # double cast mirrors the oracle's CAST(n AS DOUBLE) * n.
+            / (F.col("n").cast("double") * F.col("n"))
         ).cast("long").alias("brier_ref_micro"),
     )

@@ -26,6 +26,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _table_disk_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet size of a table (file or directory) — the cheap,
+    estimator-independent input for size-gating a broadcast HINT. A
+    hint overrides every Catalyst/AQE threshold, so any hinted relation
+    must be provably small from ACTUAL data, not from the join-output
+    size estimates the hint exists to correct. Filesystem metadata
+    only; no Spark job. Non-local/missing paths return 2**62 (gate
+    shut — fall back to the adaptive plan)."""
+    import os
+
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(p):
+        return os.path.getsize(p)
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(p)
+            for f in files
+        )
+    return 2**62
+
+
 #: revenue in exact integer cents — ONE definition for every lineitem
 #: revenue aggregate in this module (its SQL twin is the literal
 #: `CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)`
@@ -2804,12 +2826,23 @@ def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "geography through broadcast nation⨝region lookups, the "
         "<> predicate filters AFTER both joins (it references both "
         "sides). Round-11 rework (r10 verdict item 2 — 3.8x dedicated "
-        "at 100x): the SUPPLIER projection (1M rows x ~13 B at 100x, "
-        "just over Catalyst's 10 MB static threshold) is "
-        "broadcast-HINTED so the li-side lookup stays a broadcast "
-        "join at every scale instead of silently degrading to a "
-        "third SMJ shuffle (fresh-JVM A/B at 100x: 4.35s vs 4.94s "
-        "unhinted). Broadcasting the CUSTOMER projection too — the "
+        "at 100x): the SUPPLIER projection is broadcast-HINTED so the "
+        "li-side lookup stays a broadcast join instead of silently "
+        "degrading to a third SMJ shuffle (fresh-JVM A/B at 100x: "
+        "4.35s vs 4.94s unhinted). Round-12 correction of the WHY: "
+        "supplier is a fixed 1000-row dim at every bench multiplier "
+        "(~13 KB projected), nowhere near the 10 MB threshold — what "
+        "degrades unhinted is Catalyst's post-join size ESTIMATE for "
+        "supplier⨝nation⨝region (join estimates compound "
+        "multiplicatively without stats), verified by plan read: the "
+        "initial physical plan picks SMJ for li⨝supp. The hint "
+        "corrects the estimator using what we know about the data. "
+        "Because a hint overrides every size threshold, it is "
+        "SIZE-GATED on the supplier table's actual on-disk bytes "
+        "(<64 MB): a real TPC-H deployment where supplier grows with "
+        "SF (10k rows/SF — ~GBs at the 100 TB point) keeps the "
+        "adaptive SMJ fallback instead of risking a broadcast OOM. "
+        "Broadcasting the CUSTOMER projection too — the "
         "obvious next step, it would delete the orders-side shuffle — "
         "was REJECTED on measurement: 14.5s cust-only / 6.6s both vs "
         "4.35s supp-only (fresh JVM, median-of-3). A 1.5M-entry "
@@ -2851,9 +2884,16 @@ def ext_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     oc = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "o_orderkey", "cust_region"
     )
+    # size-gate: hint only while supplier is provably broadcast-sized
+    # on disk; past the gate the plan stays adaptive (see docstring)
+    supp_hinted = (
+        F.broadcast(supp)
+        if _table_disk_bytes(sf_dir, "supplier") < (64 << 20)
+        else supp
+    )
     return (
         li.join(oc, li.l_orderkey == oc.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp_hinted, li.l_suppkey == supp.s_suppkey)
         .filter(F.col("supp_region") != F.col("cust_region"))
         .groupBy(
             "supp_region",

@@ -17,9 +17,14 @@ broadcast hash relation is rebuilt per execution (driver-side
 serialize + build) and then probed RANDOMLY by 32 threads across a
 >100 MB table (L3 thrash); the SMJ it replaces streams sorted runs,
 and shuffling the narrow (o_orderkey, o_custkey) orders projection is
-cheaper than that build+probe. The supp hint wins because 1M rows sits
-just over Catalyst's 10 MB static autoBroadcast threshold — unhinted,
-the li-side lookup silently degrades to a third SMJ at 100x.
+cheaper than that build+probe. The supp hint wins because — round-12
+correction: supplier is a fixed 1000-row dim (~13 KB projected) at
+every bench multiplier, NOT 1M rows — Catalyst's post-join size
+ESTIMATE for supplier⨝nation⨝region compounds multiplicatively above
+the 10 MB threshold, so unhinted the li-side lookup silently plans a
+third SMJ at 100x (verified by plan read). The shipped query size-gates
+the hint on supplier's actual on-disk bytes so extreme-SF deployments
+keep the adaptive fallback.
 
 Stage probes (fresh JVM): li scan+filter+project (17.6M rows) 0.91s;
 orders SMJ customer -> 15M-row oc 1.82s; remaining (li shuffle +
