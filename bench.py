@@ -54,6 +54,64 @@ import os
 import sys
 import time
 
+#: tag for the fresh-JVM solo worker's JSON line (see solo_main)
+_SOLO_TAG = "DWS_BENCH_SOLO:"
+
+#: trimmed-spread threshold that triggers a fresh-JVM solo re-measure
+#: (round-11 verdict "what's wrong" #4: queries flagged at 70%/25.7%
+#: trimmed spread made the committed headline drift 1.03x vs a
+#: dedicated 0.94x — the SCALING extras harness's solo rule, adopted
+#: here, makes the committed number dedicated-by-construction)
+_SOLO_TRIMMED_PCT = 30.0
+
+
+def _run_df(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def solo_main(name: str) -> None:
+    """Fresh-JVM single-query re-measure: same methodology as the suite
+    loop (prepared plan, 2 warmups, median of 5), nothing else in the
+    process. Invoked as `bench.py --solo <name>` by main() for queries
+    whose in-suite trimmed spread exceeds _SOLO_TRIMMED_PCT."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from data_wrangling_spark.plans.registry import bench_queries
+    from data_wrangling_spark.session import get_spark
+
+    spark = get_spark(app_name=f"dws-bench-solo-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = bench_queries()[name].spark(spark, sf_dir)
+    _run_df(df)
+    _run_df(df)
+    runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _run_df(df)
+        runs.append(time.perf_counter() - t0)
+    runs.sort()
+    med = runs[2]
+    print(_SOLO_TAG + json.dumps({
+        "median": round(med, 4),
+        "spread_pct": round(100.0 * (runs[-1] - runs[0]) / med, 1),
+        "trimmed_pct": round(100.0 * (runs[-2] - runs[1]) / med, 1),
+    }), flush=True)
+    spark.stop()
+
+
+def _solo_remeasure(name: str) -> dict | None:
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--solo", name],
+        capture_output=True, text=True,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith(_SOLO_TAG):
+            return json.loads(line[len(_SOLO_TAG):])
+    print(f"solo re-measure failed for {name}: "
+          f"{(proc.stderr or proc.stdout)[-500:]}", file=sys.stderr)
+    return None
+
 
 def main() -> None:
     import re
@@ -72,8 +130,7 @@ def main() -> None:
 
     # prepare: build each logical plan once; warm each with one untimed
     # execution (JVM warmup + whole-stage codegen + parquet footer caches)
-    def run(df):
-        df.write.format("noop").mode("overwrite").save()
+    run = _run_df
 
     prepared = {name: spec.spark(spark, sf_dir) for name, spec in specs.items()}
     for df in prepared.values():
@@ -117,6 +174,31 @@ def main() -> None:
         conc_runs.append(time.perf_counter() - t0)
     conc_runs.sort()
     total = round(conc_runs[2], 4)
+
+    # Solo re-run rule (round-11 verdict "what's wrong" #4, the SCALING
+    # extras protocol adopted for the headline): any query whose
+    # in-suite trimmed spread exceeds _SOLO_TRIMMED_PCT re-measures in
+    # a FRESH JVM — with this parent session STOPPED first, the same
+    # co-tenancy discipline as run_extras_isolated — and the solo
+    # median becomes the committed per-query number. The suite/solo
+    # audit is published in "solo_remeasured" so the substitution is
+    # visible, and "noisy" reflects the post-solo state.
+    flagged = sorted(n for n, s in trimmed.items() if s > _SOLO_TRIMMED_PCT)
+    solo_remeasured: dict[str, dict] = {}
+    if flagged:
+        spark.stop()
+        for name in flagged:
+            solo = _solo_remeasure(name)
+            if solo is None:
+                continue
+            solo_remeasured[name] = {
+                "suite": timings[name],
+                "suite_trimmed_pct": trimmed[name],
+                **solo,
+            }
+            timings[name] = solo["median"]
+            spreads[name] = solo["spread_pct"]
+            trimmed[name] = solo["trimmed_pct"]
 
     # DuckDB calibration anchor: same queries' oracles, same files, same
     # box, fixed engine — separates machine drift from code regressions
@@ -172,6 +254,7 @@ def main() -> None:
                     100.0 * (conc_runs[-1] - conc_runs[0]) / total, 1
                 ),
                 "noisy": sorted(n for n, s in trimmed.items() if s > 50.0),
+                "solo_remeasured": solo_remeasured,
                 "duckdb_calibration": duck,
                 "duckdb_calibration_total": (
                     round(sum(v for v in duck.values()), 4)
@@ -186,4 +269,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--solo":
+        solo_main(sys.argv[2])
+    else:
+        main()

@@ -132,6 +132,110 @@ def x_stream_osm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*cols).orderBy("element", "id")
 
 
+def _scale_or_fixture_path(sf_dir: str) -> str:
+    """`{sf_dir}/osm_scaled.osm` when the bench materializer has written
+    it (scripts/bench_scale.py materialize_osm — the multi-scale dirs),
+    else the deterministic fixture (the driver's testdata dirs carry no
+    OSM XML). Correctness is gated at the fixture fallback (sf0.01 /
+    sf0.001 oracles); the scaled file exists purely to time the same
+    plan at 10x/100x element counts."""
+    p = os.path.join(sf_dir, "osm_scaled.osm")
+    return p if os.path.exists(p) else _fixture_path()
+
+
+@register(
+    "x_osm_scale_audit",
+    # same dual-implementation golden as osm_pipeline_audit: at the
+    # driver dirs the query parses the identical fixture corpus, so the
+    # independent expected_audit_rows golden is the oracle; at the
+    # scaled dirs there is no DuckDB twin at all (DuckDB has no XML
+    # surface) — the bench records the Spark wall with a footnote, and
+    # the competitor anchor is the reference-shaped ONE-TASK iterparse
+    # of the same file (scripts/bench_osm_split.py one-task config).
+    oracle=f"""
+        SELECT field, bucket, "values", n_values
+        FROM read_parquet('{oracle_parquet("audit")}')
+        ORDER BY field, bucket
+    """,
+    doc="OP-AGG-AUDIT at bench scale (round-11 verdict item 3: the "
+        "reference's own pipeline had no row in the multi-scale table): "
+        "split-parallel parse of {sf_dir}/osm_scaled.osm (8 MB "
+        "boundary-synced splits — the round-5 sweep's winning size) "
+        "-> explode tags -> audit bucketing. Falls back to the fixture "
+        "at the driver dirs, where the dual-implementation golden "
+        "hash-checks it. The audit output is vocabulary-bounded (the "
+        "generator's tag sets), so the aggregate collapses map-side at "
+        "any scale.",
+)
+def x_osm_scale_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.audit import audit
+    from data_wrangling_spark.sources.osm_xml import read_osm_xml
+
+    raw = read_osm_xml(
+        spark, _scale_or_fixture_path(sf_dir), tags=("node", "way"),
+        split_bytes=8 << 20,
+    )
+    tags = raw.select(F.explode("tags").alias("t")).select(
+        F.col("t.k").alias("key"), F.col("t.v").alias("value")
+    )
+    out = audit(tags)
+    return out.select(
+        "field", "bucket", F.concat_ws("|", "values").alias("values"), "n_values"
+    ).orderBy("field", "bucket")
+
+
+def _normalize_counts_oracle() -> str:
+    """Expected per-table row counts of the VALID fixture, derived
+    arithmetically from the generator constants (the n_clean column of
+    plans/osm_oracle.py expected_quarantine_rows — the valid fixture is
+    the invalid one minus its single quarantined node), embedded as a
+    VALUES oracle so DuckDB asserts them independently of Spark."""
+    from data_wrangling_spark.plans.osm_oracle import expected_quarantine_rows
+
+    rows = ", ".join(
+        f"('{t}', CAST({n_clean} AS BIGINT))"
+        for t, _q, n_clean in expected_quarantine_rows()
+    )
+    return (
+        f'SELECT * FROM (VALUES {rows}) AS v("table", n_rows) '
+        'ORDER BY "table"'
+    )
+
+
+@register(
+    "x_osm_scale_normalize",
+    oracle=_normalize_counts_oracle(),
+    doc="The full 5-table normalize at bench scale: split-parallel "
+        "parse of {sf_dir}/osm_scaled.osm, normalize(clean=True, "
+        "validate='permissive', cache_raw=True) — parse ONCE into the "
+        "persisted raw frame, then derive nodes / nodes_tags / ways / "
+        "ways_nodes / ways_tags and return (table, n_rows), the "
+        "parse-once-write-five-tables shape a real ingest runs "
+        "(landing-zone discipline per normalize()'s docstring). "
+        "Falls back to the fixture at the driver dirs, where the "
+        "VALUES oracle (counts derived arithmetically from the "
+        "generator constants) asserts every table's row count. The "
+        "bench harness clears the Spark cache after each timed run, "
+        "so the persisted raw is priced at one-shot cost.",
+)
+def x_osm_scale_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_wrangling_spark.operators.normalize import normalize
+    from data_wrangling_spark.sources.osm_xml import read_osm_xml
+
+    raw = read_osm_xml(
+        spark, _scale_or_fixture_path(sf_dir), split_bytes=8 << 20
+    )
+    out = normalize(raw, clean=True, validate="permissive", cache_raw=True)
+    tables = out.as_dict()
+    counts = None
+    for name in sorted(tables):
+        part = tables[name].agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("table"), "n_rows"
+        )
+        counts = part if counts is None else counts.unionAll(part)
+    return counts.orderBy("table")
+
+
 @register(
     "osm_pipeline_quarantine",
     # structural facts of the include_invalid fixture, derived from the

@@ -97,7 +97,20 @@ DRIVER_WINDOW: list[str] = [
     # adaptive in the window; the dedup family keeps minhash/semantic/
     # incremental/leakage-safe.
     "x_multimodal_features",
-    "x_multimodal_frames",
+    # "x_multimodal_frames" — demoted round 12 (slot to
+    # x_osm_scale_audit, see below); stays in EXTRA_QUERIES-adjacent
+    # multimodal coverage and keeps its sf0.001 pytest oracle row
+    # round 12 (r11 verdict item 3): the reference pipeline's SCALE pair
+    # — x_osm_scale_audit + x_osm_scale_normalize (split-parallel parse
+    # of the materialized osm_scaled.osm with fixture fallback at the
+    # driver dirs) — takes its first driver rows from x_multimodal_frames
+    # (green r9-r11; the multimodal family keeps features + audio's
+    # demoted-pytest row + image_hash + image_dedup in the window) and
+    # x_vec_outliers (green r8-r11, one of the longest current streaks;
+    # the vector family keeps x_sim_topk_ivf). Reference-surface
+    # operators hold slots ahead of extensions per the round-9 policy.
+    "x_osm_scale_audit",
+    "x_osm_scale_normalize",
     # round 10: x_sim_topk_bruteforce and x_text_stats (green r1-r9,
     # the window's two longest streaks after the round-10 sessionize
     # handoff) hand their slots to the two NEW round-10 queries — new
@@ -118,14 +131,25 @@ DRIVER_WINDOW: list[str] = [
     # -- first-ever driver rows (round-4 rotation set) ---------------
     # round 8: x_vec_normalize (2 green rows) hands the vector-family
     # slot to the new exact-integer embedding-outlier audit
-    "x_vec_outliers",
+    # "x_vec_outliers" — demoted round 12 (slot to x_osm_scale_normalize,
+    # see above); stays in EXTRA_QUERIES (timed every regeneration) and
+    # keeps its sf0.001 pytest oracle row every CI run
+    # round 12 (r11 verdict item 7): the daily-refresh composition —
+    # snapshot_diff gating dedup_incremental — takes its first driver
+    # row from x_multimodal_audio (green r7-r11, the window's longest
+    # extension streak; the multimodal family keeps features +
+    # image_hash + image_dedup). New registrations earn a fresh driver
+    # row per the round-4 precedent.
+    "x_dedup_incremental_diff",
     "x_sketch_hll_weekly_users",
     # round 7: x_multimodal_audio (the real WAV encode→decode path and
     # the multimodal family's FIRST driver row — the other three
     # multimodal queries are judge/pytest-verified) swaps in for
     # x_sim_topk_mllib_brp (green r4-r6 driver rows; the ANN family
     # keeps bruteforce + ivf in the window)
-    "x_multimodal_audio",
+    # "x_multimodal_audio" — demoted round 12 (slot to
+    # x_dedup_incremental_diff, see above); stays in EXTRA_QUERIES and
+    # keeps its sf0.001 pytest oracle row every CI run
     # round 6: x_text_lm_score (new bigram-LM perplexity filter) swaps
     # in for ext_tpch_q5_local_supplier (green r4+r5 driver rows; the
     # TPC-H family keeps 15+ members in the window)

@@ -66,6 +66,21 @@ SHIFT_COLS: dict[str, list[str]] = {
 }
 DIM_TABLES = ["region", "nation", "part", "supplier"]
 
+#: bump to force scale-dir regeneration when the on-disk layout rules
+#: change (v2: bytes+rows file-count formula — see materialize())
+LAYOUT_VERSION = 2
+
+
+def _path_bytes(path: str) -> int:
+    """Total bytes of a parquet file or directory (fs metadata only)."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
 #: AQE-final plan is captured for this query at the top multiplier
 PLAN_QUERY = "ext_tpch_q3_shipping_priority"
 
@@ -166,6 +181,17 @@ EXTRA_QUERIES = [
     # — and the Brier proper-scoring-rule fold
     "x_corpus_snapshot_diff_realistic",
     "x_eval_brier",
+    # round-12 additions (registered BEFORE this round's regeneration):
+    # the reference pipeline's first multi-scale rows (r11 verdict item
+    # 3 — parse {sf_dir}/osm_scaled.osm, written by materialize_osm) —
+    # DuckDB has no XML surface, so both sit in DUCK_ORACLE_SKIP and
+    # the competitor anchor is the one-task iterparse of the same file
+    "x_osm_scale_audit",
+    "x_osm_scale_normalize",
+    # round-12: the daily-refresh composition (diff-gated incremental
+    # dedup, r11 verdict item 7) — its realistic-churn scale row is the
+    # point of the query
+    "x_dedup_incremental_diff",
 ]
 
 # ---------------------------------------------------------------- skew --
@@ -292,7 +318,11 @@ def materialize(
     if os.path.exists(marker):
         with open(marker) as f:
             meta = json.load(f)
-        if meta.get("base") == base_dir and meta.get("mult") == mult:
+        if (
+            meta.get("base") == base_dir
+            and meta.get("mult") == mult
+            and meta.get("layout") == LAYOUT_VERSION
+        ):
             return meta
 
     rows: dict[str, int] = {}
@@ -315,7 +345,30 @@ def materialize(
             )
         scaled = scaled.drop("_copy")
         n_base = df.count()
-        n_files = max(1, min(64, (n_base * mult) // 500_000 + 1))
+        # File-count formula v2 (round-12 find): the old row-only
+        # formula (rows // 500k) wrote documents@100x as TWO files of
+        # one 250k-row row group each and embeddings@100x as ONE —
+        # parquet cannot be split below row-group granularity, so every
+        # scan stage over those tables ran on 1-2 of 32 threads in BOTH
+        # engines (Spark task = file, DuckDB thread = row group); the
+        # x_dedup_incremental "36s fingerprint wall" was 2-task scan
+        # starvation, not compute. A real 100 TB corpus is thousands of
+        # files; the bench layout must not make file count the
+        # parallelism ceiling. v2 sizes by BOTH on-disk bytes (≥~4 MB
+        # of scan work per file) and rows (wide-in-memory, tiny-on-disk
+        # tables like float-array embeddings need row-based splits),
+        # capped at 256.
+        base_bytes = _path_bytes(os.path.join(base_dir, f"{table}.parquet"))
+        n_files = max(
+            1,
+            min(
+                256,
+                max(
+                    (base_bytes * mult) // (4 << 20),
+                    (n_base * mult) // 4_000,
+                ),
+            ),
+        )
         dst = os.path.join(out_dir, f"{table}.parquet")
         scaled.repartition(n_files).write.mode("overwrite").parquet(dst)
         rows[table] = n_base * mult
@@ -323,10 +376,40 @@ def materialize(
         df = spark.read.parquet(os.path.join(base_dir, f"{table}.parquet"))
         df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
         rows[table] = df.count()
-    meta = {"base": base_dir, "mult": mult, "rows": rows, **(extra_meta or {})}
+    meta = {
+        "base": base_dir,
+        "mult": mult,
+        "rows": rows,
+        "layout": LAYOUT_VERSION,
+        **(extra_meta or {}),
+    }
     with open(marker, "w") as f:
         json.dump(meta, f)
     return meta
+
+
+#: scaled OSM XML density per multiplier, calibrated to the round-5
+#: generator (~210 B/element: 800k nodes + 100k ways ≈ 189 MB) so
+#: mult10 ≈ 90 MB and mult100 ≈ 900 MB — the same order as the scaled
+#: parquet facts, exercising the split-parallel scan well past the
+#: round-5 single-file bench
+OSM_NODES_PER_MULT = 38_000
+OSM_WAYS_PER_MULT = 4_750
+
+
+def materialize_osm(out_dir: str, mult: int) -> str:
+    """Write `{out_dir}/osm_scaled.osm` for the OSM scale rows
+    (x_osm_scale_audit / x_osm_scale_normalize). Pure single-thread
+    Python — no Spark session, safe to run next to nothing. Idempotent:
+    generate() writes to a tmp name and os.replace()s, so an existing
+    file is complete by construction."""
+    path = os.path.join(out_dir, "osm_scaled.osm")
+    if not os.path.exists(path):
+        from scripts.bench_osm_split import generate
+
+        os.makedirs(out_dir, exist_ok=True)
+        generate(path, OSM_NODES_PER_MULT * mult, OSM_WAYS_PER_MULT * mult)
+    return path
 
 
 def _run(df) -> None:
@@ -388,7 +471,17 @@ def time_suite(
 #: spilled >70 GB at 20x under a 40 GB memory cap (267s single-run at
 #: 10x). The SPARK side is the scale path (Arrow matmul assignment);
 #: the oracle exists for correctness at driver scales, not speed.
-DUCK_ORACLE_SKIP: dict[str, int] = {"x_dedup_semantic": 20}
+DUCK_ORACLE_SKIP: dict[str, int] = {
+    "x_dedup_semantic": 20,
+    # DuckDB has no XML reader at all: the registered oracles for the
+    # OSM scale pair assert the FIXTURE-fallback output (driver dirs),
+    # so re-timing them at a scaled dir would time a VALUES literal /
+    # tiny golden read, not comparable work. Skipped at every extras
+    # mult; the published competitor anchor is the reference-shaped
+    # one-task iterparse of the same scaled file (bench_osm_split.py).
+    "x_osm_scale_audit": 2,
+    "x_osm_scale_normalize": 2,
+}
 
 
 def semantic_scale_invariant(spark, sf_dir: str) -> dict:
@@ -738,6 +831,10 @@ def main() -> None:
         )["rows"]
         mat_s += round(time.perf_counter() - t0, 1)
         print(f"materialized {mult}x at {scaled_dir} in {mat_s}s", file=sys.stderr)
+        # the OSM scale pair silently falls back to the tiny fixture if
+        # the scaled XML is missing — materialize it here so a direct
+        # regeneration can never time the wrong input
+        materialize_osm(scaled_dir, mult)
         scales.append((f"{mult}x sf0.1", scaled_dir, float(mult)))
 
     results: dict[str, dict[str, float]] = {}

@@ -19,7 +19,7 @@ def main() -> None:
     mults = [int(m) for m in sys.argv[1:]] or [10, 20, 100]
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     from data_wrangling_spark.session import get_spark
-    from scripts.bench_scale import materialize, materialize_skewed
+    from scripts.bench_scale import materialize, materialize_osm, materialize_skewed
 
     spark = get_spark(app_name="dws-materialize-scale")
     spark.sparkContext.setLogLevel("ERROR")
@@ -33,6 +33,10 @@ def main() -> None:
         materialize_skewed(spark, "/root/testdata/sf0.1",
                            os.path.join(workdir, f"mult{mult}skew"), mult)
         print(f"mult{mult}skew: {time.perf_counter() - t0:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        materialize_osm(os.path.join(workdir, f"mult{mult}"), mult)
+        print(f"mult{mult} osm xml: {time.perf_counter() - t0:.1f}s",
+              flush=True)
     spark.stop()
 
 
