@@ -4743,9 +4743,13 @@ def x_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "persist_tokens=True — pass 2 reads the cached tokenized "
         "projection instead of re-running explode+md5 (22.1s -> 13.3s "
         "at 100x, scripts/bench_dsir_ab.py; value-hash parity "
-        "checked). The timing harness clears the cache after every "
-        "run (time_suite), so published rows still price the cache "
-        "population — the one-shot cost, not a warm re-run.",
+        "checked). The timing harness REBUILDS the plan and clears the "
+        "cache per timed run (time_suite, fixed round 12 per the "
+        "advisor: clearCache() also unregisters the persist, so the "
+        "r11-published 21.7s row was the fully-UNCACHED recompute "
+        "path, not the persisted one-shot this doc prices; from round "
+        "12 the published row is persist registration + cache "
+        "write + cached pass 2 — one-shot, never a warm re-run).",
 )
 def x_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.text_analysis import dsir_importance

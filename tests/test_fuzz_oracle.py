@@ -102,6 +102,21 @@ SEPARATE dispatcher so the frozen 0-499 corpus stays byte-identical:
   (Spark lowers FILTER to agg(CASE WHEN ...); COUNT over an empty
   filter match must be 0, MIN/MAX must be NULL).
 
+Round-12 widening (r11 verdict item 6) — indexes 600-699, own frozen
+dispatcher:
+
+- GROUPING SETS/ROLLUP/CUBE x DISTINCT aggregates (stacked Expand
+  rewrites with interacting grouping-id columns; modulo-only
+  predicates per the round-9 empty-input discipline);
+- INTERSECT ALL / EXCEPT ALL bag multiplicity (min(m1,m2) /
+  max(m1-m2,0) arithmetic), compared via per-key COUNT(*);
+- decimal rounding/scale boundaries (double->DECIMAL casts, ROUND to
+  smaller scale, exact re-scaling to BIGINT so no raw decimal reaches
+  the canonical compare);
+- interval arithmetic at timestamp boundaries (ts ± n DAY/HOUR/MINUTE
+  through EXTRACT grouping, shifted MIN/MAX, shifted-vs-literal
+  predicates).
+
 Seeded with a fixed constant and a PER-INDEX rng (``Random(f"{SEED}:
 {i}")``), so every run generates the identical 500 queries AND future
 grammar widenings that append indexes leave existing queries
@@ -123,8 +138,9 @@ import pytest
 from data_wrangling_spark.sources.tables import load_table
 from tests.conftest import SF_DIR, canonical
 
-N_QUERIES = 600          # 0-499: rounds 7-10 grammar; 500-599: round-11
-N_QUERIES_R10 = 500      # indexes below this use the frozen dispatcher
+N_QUERIES = 700          # 0-499: r7-r10; 500-599: r11; 600-699: r12
+N_QUERIES_R10 = 500      # indexes below this use the frozen r10 dispatcher
+N_QUERIES_R11 = 600      # 500..599 use the frozen r11 dispatcher
 SEED = 0x5EED
 
 #: (table, categorical cols, integer cols, cents cols, ts col)
@@ -728,6 +744,155 @@ def _gen_filter_agg(rng: random.Random) -> str:
     return sql
 
 
+def _gen_grouping_distinct(rng: random.Random) -> str:
+    """GROUPING SETS / ROLLUP / CUBE x DISTINCT aggregates (round-12):
+    Spark must compose its Expand-based multi-distinct rewrite with the
+    Expand the grouping-set lowering already inserts — two stacked
+    Expands with interacting grouping-id columns, a surface neither the
+    round-9 grouping generator (plain aggs) nor the round-11
+    multi-distinct generator (plain GROUP BY) touches. Predicates stay
+    MODULO-only per the round-9 discipline (an emptied input diverges
+    by the documented Spark-vs-ANSI grand-total-row gap)."""
+    t = rng.choice([t for t, s in TABLES.items() if len(set(s["cat"])) >= 2])
+    spec = TABLES[t]
+    g1, g2 = rng.sample(sorted(set(spec["cat"])), k=2)
+    shape = rng.choice(["ROLLUP", "CUBE"])
+    grouping = f"{shape}({g1}, {g2})"
+    c1 = rng.choice(spec["int"])
+    aggs = [f"CAST(COUNT(DISTINCT {c1}) AS BIGINT) AS agg_0",
+            "COUNT(*) AS agg_1"]
+    kind = rng.choice(["sum_distinct", "second_count", "none"])
+    if kind == "sum_distinct":
+        aggs.append(f"CAST(SUM(DISTINCT {rng.choice(spec['int'])}) "
+                    "AS BIGINT) AS agg_2")
+    elif kind == "second_count" and len(spec["int"]) >= 2:
+        c2 = rng.choice([c for c in spec["int"] if c != c1])
+        aggs.append(f"CAST(COUNT(DISTINCT {c2}) AS BIGINT) AS agg_2")
+    sel = (f"{g1}, {g2}, CAST(GROUPING({g1}) AS BIGINT) AS grp_1, "
+           f"CAST(GROUPING({g2}) AS BIGINT) AS grp_2, " + ", ".join(aggs))
+    sql = f"SELECT {sel} FROM {t}"
+    if rng.random() < 0.5:
+        c = rng.choice(spec["int"])
+        sql += f" WHERE {c} % {rng.randint(2, 7)} = 0"
+    sql += f" GROUP BY {grouping}"
+    return sql
+
+
+def _gen_setop_all(rng: random.Random) -> str:
+    """INTERSECT ALL / EXCEPT ALL multiplicity semantics (round-12):
+    bag-semantics set ops — each output row's multiplicity is
+    min(m1, m2) for INTERSECT ALL and max(m1 - m2, 0) for EXCEPT ALL,
+    arithmetic the DISTINCT-semantics operators (already fuzzed round
+    10) never exercise. Branches draw from the SAME table with
+    different predicates so overlap is guaranteed and schemas match by
+    construction; the outer GROUP BY + COUNT(*) makes the multiplicity
+    itself the compared value while bounding output size."""
+    t = rng.choice(list(TABLES))
+    spec = TABLES[t]
+    cat = rng.choice([c for c in spec["cat"] if c in CAT_VALUES])
+    ic = rng.choice(spec["int"])
+    k = rng.randint(3, 9)
+    cols = f"{cat} AS k_0, {ic} % {k} AS k_1"
+
+    def branch() -> str:
+        preds = _preds(rng, spec, n_max=1)
+        b = f"SELECT {cols} FROM {t}"
+        if preds:
+            b += " WHERE " + " AND ".join(preds)
+        return b
+
+    op = rng.choice(["INTERSECT ALL", "EXCEPT ALL"])
+    return (f"SELECT k_0, k_1, COUNT(*) AS agg_0 "
+            f"FROM ({branch()} {op} {branch()}) u GROUP BY k_0, k_1")
+
+
+def _gen_decimal_query(rng: random.Random) -> str:
+    """Decimal rounding/scale boundaries (round-12): double -> DECIMAL
+    casts, decimal x int products (scale-preserving), ROUND to a
+    smaller scale (both engines round half away from zero), and an
+    exact re-scaling to BIGINT so no raw decimal ever reaches the
+    canonical compare (Spark hands pandas Decimal objects, DuckDB
+    float64 — comparing them would test the fetch path, not the
+    engines). Magnitudes stay far from DECIMAL(18) overflow: Spark
+    NULLs on overflow where DuckDB errors, a documented non-ANSI gap,
+    not a silent divergence this suite could catch."""
+    t = rng.choice([t for t in TABLES if TABLES[t]["cents"]])
+    spec = TABLES[t]
+    c = rng.choice(spec["cents"])
+    scale = rng.choice([2, 3])
+    m = rng.randint(2, 999)
+    r = rng.randint(0, scale - 1)
+    dec = f"CAST({c} AS DECIMAL(18,{scale}))"
+    expr = f"ROUND({dec} * {m}, {r}) * {10 ** r}"
+    group = rng.sample([c2 for c2 in spec["cat"] if c2 in CAT_VALUES],
+                       k=rng.randint(0, 1))
+    aggs = [f"CAST(SUM({expr}) AS BIGINT) AS agg_0",
+            f"CAST(MIN({expr}) AS BIGINT) AS agg_1",
+            f"CAST(MAX({expr}) AS BIGINT) AS agg_2",
+            "COUNT(*) AS agg_3"]
+    preds = _preds(rng, spec, n_max=1)
+    sql = f"SELECT {', '.join(group + aggs)} FROM {t}"
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    if group:
+        sql += " GROUP BY " + ", ".join(group)
+    return sql
+
+
+#: in-range timestamp literals per ts column (testdata ranges: orders/
+#: lineitem 1995-2001, events 2024-01) — shifted comparisons stay
+#: selective instead of all-true/all-false
+_TS_LITERALS = {
+    "o_orderdate": ["1996-03-01", "1998-07-15", "2000-11-30"],
+    "l_shipdate": ["1996-03-01", "1998-07-15", "2000-11-30"],
+    "ts": ["2024-01-05", "2024-01-17", "2024-01-28"],
+}
+
+
+def _gen_interval_ts_query(rng: random.Random) -> str:
+    """Interval arithmetic at timestamp edges (round-12): ts ± INTERVAL
+    n DAY/HOUR/MINUTE crossing day/month/year boundaries (the testdata
+    is UTC, so this pins pure calendar arithmetic, not zone rules),
+    consumed three ways — EXTRACT field grouping on the shifted value,
+    MIN/MAX of the shifted timestamp itself (isoformat-canonicalized),
+    and a shifted-vs-literal WHERE comparison. EXTRACT output is cast
+    to BIGINT (the engines' natural EXTRACT types differ)."""
+    t = rng.choice([t for t in TABLES if TABLES[t]["ts"]])
+    spec = TABLES[t]
+    ts = spec["ts"]
+    n = rng.randint(1, 400)
+    unit = rng.choice(["DAY", "HOUR", "MINUTE"])
+    sign = rng.choice(["+", "-"])
+    shifted = f"({ts} {sign} INTERVAL {n} {unit})"
+    field = rng.choice(["YEAR", "MONTH", "DAY", "HOUR"])
+    grp = f"CAST(EXTRACT({field} FROM {shifted}) AS BIGINT)"
+    sql = (f"SELECT {grp} AS k_0, COUNT(*) AS agg_0, "
+           f"MIN({shifted}) AS agg_1, MAX({shifted}) AS agg_2 FROM {t}")
+    preds = []
+    if rng.random() < 0.6:
+        lit = rng.choice(_TS_LITERALS[ts])
+        op = rng.choice(["<", ">="])
+        preds.append(f"{shifted} {op} TIMESTAMP '{lit}'")
+    preds.extend(_preds(rng, spec, n_max=1))
+    if preds:
+        sql += " WHERE " + " AND ".join(preds)
+    return sql + " GROUP BY k_0"
+
+
+def _gen_query_r12(rng: random.Random) -> str:
+    """Dispatcher for indexes 600-699 (round-12 widening): ONLY the
+    four new shapes, in a separate dispatcher so the frozen 0-599
+    corpus stays byte-identical (the per-index rng contract)."""
+    r = rng.random()
+    if r < 0.25:
+        return _gen_grouping_distinct(rng)
+    if r < 0.50:
+        return _gen_setop_all(rng)
+    if r < 0.75:
+        return _gen_decimal_query(rng)
+    return _gen_interval_ts_query(rng)
+
+
 def _gen_query_r11(rng: random.Random) -> str:
     """Dispatcher for indexes 500+ (round-11 widening): ONLY the four
     new shapes — a separate dispatcher because changing _gen_query's
@@ -773,7 +938,9 @@ def _all_queries() -> list[tuple[int, str]]:
         [(i, _gen_query(random.Random(f"{SEED}:{i}")))
          for i in range(N_QUERIES_R10)]
         + [(i, _gen_query_r11(random.Random(f"{SEED}:{i}")))
-           for i in range(N_QUERIES_R10, N_QUERIES)]
+           for i in range(N_QUERIES_R10, N_QUERIES_R11)]
+        + [(i, _gen_query_r12(random.Random(f"{SEED}:{i}")))
+           for i in range(N_QUERIES_R11, N_QUERIES)]
     )
 
 
