@@ -127,11 +127,25 @@ def normalized(col: Column | str) -> Column:
     non-alnum. Whitespace squeeze comes FIRST: stripping first would
     delete tabs/newlines outright and glue words together ('a\\nb' →
     'ab'), so texts differing only in whitespace kind would fingerprint
-    differently."""
+    differently.
+
+    The strip step extracts-and-joins the maximal KEEP runs
+    (``[a-z0-9 ]+``) rather than replacing the complement class
+    (``regexp_replace(out, '[^a-z0-9 ]', '')``) — value-identical by
+    construction (deleting every bad char is concatenating the good
+    runs in order), but ~32x faster on mostly-clean text (round-12
+    micro probes at the 100x corpus: 21.2s -> 0.66s). java.util.regex
+    pays ~125 ns/char on the FAILURE path (a negated single-char class
+    attempts and fails a match at every good-char position) vs ~5
+    ns/char when matches succeed and consume runs — so phrase hot-path
+    regexes to MATCH what is common (the keep runs), not what is rare
+    (the stripped chars). The whitespace squeeze already matches often;
+    it stays a plain replace. DuckDB oracles keep the literal
+    complement-replace form and hash-match (RE2 has no such asymmetry)."""
     c = F.col(col) if isinstance(col, str) else col
     out = F.lower(c)
     out = F.regexp_replace(out, r"\s+", " ")
-    out = F.regexp_replace(out, r"[^a-z0-9 ]", "")
+    out = F.array_join(F.regexp_extract_all(out, F.lit(r"[a-z0-9 ]+"), 0), "")
     return F.trim(out)
 
 

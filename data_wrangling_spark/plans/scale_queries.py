@@ -5184,13 +5184,20 @@ def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "by the oracle, pruning included. Round-11 scaling note: the "
         "wall is NON-MONOTONIC in scale on this replicated corpus by "
         "construction — measured candidate pairs through the valve: "
-        "14.6M at 10x, 2.4M at 20x, 0 at 100x (solo-confirmed walls "
-        "15.8s / 8.3s / 36.0s) — because replication multiplies every "
-        "shingle's df, and at 10x the dense shingles sit JUST under "
-        "max_df=100 (worst case: maximal un-pruned fan-out) while at "
-        "20x+ they cross it and prune. At 100x the near-dup join does "
-        "zero candidate work; the wall is the fingerprint + posting "
-        "build itself. A real (non-replicated) corpus keeps df "
+        "14.6M at 10x, 2.4M at 20x, 0 at 100x — because replication "
+        "multiplies every shingle's df, and at 10x the dense shingles "
+        "sit JUST under max_df=100 (worst case: maximal un-pruned "
+        "fan-out) while at 20x+ they cross it and prune. Round-12 "
+        "stage probes (scripts/bench_incr_ab.py) dismantled the r11 "
+        "committed 36.0s/2.1x row: it was 2-task scan starvation "
+        "(single-row-group bench layout, fixed by layout v2) stacked "
+        "on the regexp failure-path cliff in normalized() (negated "
+        "char class ~125 ns/char on clean text; rephrased as "
+        "extract-the-keep-runs, 21.5s -> 0.66s) — NOT the posting "
+        "machinery. Post-fix at 100x: fingerprint+exact 1.6s, near "
+        "stage 4.8s, full 5.6s; prune-restructure A/Bs (broadcast "
+        "heavy / one-exchange-per-side) measured a wash, so the "
+        "shipped shape stays. A real (non-replicated) corpus keeps df "
         "roughly scale-invariant, so the valve's cut is stable and "
         "the ingest cost is linear in the batch as documented.",
 )

@@ -43,6 +43,34 @@ Rework variants:
 Usage (fresh JVM per variant):
     for v in fp_exact grams heavy prune near full full_bcast full_reuse; do
         python scripts/bench_incr_ab.py $v; done
+
+MEASURED (2026-08-16, 100x, fresh JVM per variant, median of 3):
+
+Layout v1 (the committed r11 table's 2-file documents layout):
+    fp_exact 37.2s | grams 6.9s | heavy 7.4s | prune 9.7s | near 11.2s
+Layout v2 (bytes+rows file formula, 125 files):
+    fp_exact 44.2s | grams 1.5s | heavy 1.8s | prune 4.0s | near 4.8s
+    full 42.1s | full_bcast 46.8s | full_reuse 41.5s
+
+The layout fix collapsed every POSTING stage ~4x but fp_exact did not
+move — the fingerprint wall was parallelism-INDEPENDENT, so it was
+never scan starvation. Micro probes found it: regexp_replace with the
+negated class [^a-z0-9 ] costs 21.5s alone (~125 ns/char on the regex
+FAILURE path — the corpus is already clean, so the matcher attempts
+and fails at every position) while the often-matching \s+ squeeze
+costs 0.8s. Rephrasing the strip as extract-the-keep-runs
+(array_join(regexp_extract_all('[a-z0-9 ]+'), '')) is value-identical
+by construction and rides the success path: 0.66s.
+
+After the normalized() fix (functions/text.py):
+    fp_exact 1.6s | full 5.6-6.0s | full_bcast 5.3s | full_reuse 5.7s
+
+The three near-stage structures are within one JVM band of each other,
+so the shipped shape stays (full_bcast would also assume a
+broadcastable stop-shingle set, false at 100 TB). The committed 36.0s
+/ 2.1x row was therefore: 2-task scan starvation (layout) stacked on
+the regex failure-path cliff (normalized) — both fixed, neither was
+the posting machinery the r11 doc blamed.
 """
 
 from __future__ import annotations
@@ -172,6 +200,69 @@ def _assemble(new_base, idx_base, cand):
 
 
 def build(spark, sf_dir: str, variant: str):
+    # fingerprint micro-stages (round-12: fp_exact measured 37-44s at
+    # 100x REGARDLESS of the scan layout fix — parallelism-independent,
+    # so the wall is not scan starvation; these isolate which piece)
+    if variant.startswith("micro_"):
+        from data_wrangling_spark.functions.text import normalized
+        from data_wrangling_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        if variant == "micro_scan":
+            return docs.select(F.length("text").alias("n"))
+        if variant == "micro_lower":
+            return docs.select(F.length(F.lower(F.col("text"))).alias("n"))
+        if variant == "micro_regex1":
+            return docs.select(F.length(
+                F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+            ).alias("n"))
+        if variant == "micro_norm":
+            return docs.select(F.length(normalized("text")).alias("n"))
+        if variant == "micro_md5":
+            return docs.select(F.length(F.md5(F.col("text"))).alias("n"))
+        if variant == "micro_regex2":
+            return docs.select(F.length(
+                F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", "")
+            ).alias("n"))
+        if variant == "micro_regex2_raw":
+            return docs.select(F.length(
+                F.regexp_replace(F.col("text"), r"[^a-z0-9 ]", "")
+            ).alias("n"))
+        if variant == "micro_chain":
+            return docs.select(F.length(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), r"\s+", " "),
+                    r"[^a-z0-9 ]", "",
+                )
+            ).alias("n"))
+        if variant == "micro_extract":
+            # complement form: DELETING the chars of [^a-z0-9 ] equals
+            # CONCATENATING the maximal [a-z0-9 ]+ runs — flips the
+            # regex from failure-scans at every position (slow path)
+            # to frequent successes (the \s+ behavior, 0.8s)
+            return docs.select(F.length(F.array_join(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9 ]+"), 0
+                ), "",
+            )).alias("n"))
+        if variant == "micro_fp2":
+            from data_wrangling_spark.functions.text import fingerprint_v2
+
+            return docs.select(F.length(fingerprint_v2("text")).alias("n"))
+        if variant == "micro_two_cols":
+            return docs.select(
+                F.length(F.regexp_replace(F.col("text"), r"\s+", " "))
+                .alias("n1"),
+                F.length(F.regexp_replace(F.col("text"), r"[^a-z0-9 ]", ""))
+                .alias("n2"),
+            )
+        if variant == "micro_fp":
+            from data_wrangling_spark.functions.text import fingerprint
+
+            return docs.select(F.length(fingerprint("text")).alias("n"))
+        raise SystemExit(f"unknown micro variant {variant!r}")
     new_base, idx_base = _bases(spark, sf_dir)
     if variant == "fp_exact":
         fp_idx = idx_base.groupBy("_ifp").agg(
