@@ -15,7 +15,9 @@ def test_bench_cli_contract():
                SPARK_GRAFT_CPUS="4")
     proc = subprocess.run(
         [sys.executable, "bench.py"],
-        capture_output=True, text=True, timeout=420, env=env,
+        # 600s: the round-12 solo re-run rule may spawn a fresh JVM per
+        # trimmed-spread-flagged query (tiny-SF spreads flag easily)
+        capture_output=True, text=True, timeout=600, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
