@@ -184,7 +184,6 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM ofp o FULL OUTER JOIN nfp n ON o.doc_id = n.doc_id
-        ORDER BY doc_id
     """,
     doc="Corpus snapshot diff (operators/diff.py): added / removed / "
         "changed / unchanged per document between two corpus versions — "
@@ -194,7 +193,14 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "whitespace-only edits count as unchanged (same normalization "
         "as exact dedup). Snapshots are derived deterministically from "
         "the one documents table (mod-7 drop = added, mod-5 drop = "
-        "removed, mod-3 ' rev2' suffix = changed) on BOTH engines.",
+        "removed, mod-3 ' rev2' suffix = changed) on BOTH engines. "
+        "UNORDERED output on BOTH engines (round 12): the driver's "
+        "value-hash compare sorts rows by construction, and a global "
+        "sort of a corpus-sized diff feed is presentation scaffolding "
+        "a 100 TB pipeline never runs (downstream consumes it keyed) "
+        "— on Spark it even costs a second full execution of the "
+        "upstream for the range-partitioner's sampling pass (stage "
+        "probe: 4.77s -> 3.21s at 100x, scripts/bench_diff_ab.py).",
 )
 def x_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.diff import snapshot_diff
@@ -207,7 +213,7 @@ def x_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" rev2"))
         ).otherwise(F.col("text")).alias("text"),
     )
-    return snapshot_diff(oldv, newv, "doc_id", "text").orderBy("doc_id")
+    return snapshot_diff(oldv, newv, "doc_id", "text")
 
 
 @register(
@@ -237,7 +243,6 @@ def x_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM ofp o FULL OUTER JOIN nfp n ON o.doc_id = n.doc_id
-        ORDER BY doc_id
     """,
     doc="Corpus snapshot diff at the REALISTIC churn design point "
         "(round-10 verdict item 3): ~3.4% added (mod-29 drop from old), "
@@ -248,7 +253,11 @@ def x_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "and the diff cost is dominated by the two narrow (id, "
         "xxhash64) scans. The mod-3 27%-churn sibling "
         "(x_corpus_snapshot_diff) stays registered as the adversarial "
-        "stress case; this row is the headline the scale table reads.",
+        "stress case; this row is the headline the scale table reads. "
+        "UNORDERED on both engines since round 12 (see the sibling's "
+        "doc: the global sort was presentation scaffolding costing a "
+        "second upstream execution for range sampling; the driver "
+        "compare is order-insensitive by construction).",
 )
 def x_corpus_snapshot_diff_realistic(
     spark: SparkSession, sf_dir: str
@@ -263,7 +272,7 @@ def x_corpus_snapshot_diff_realistic(
             F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" rev2"))
         ).otherwise(F.col("text")).alias("text"),
     )
-    return snapshot_diff(oldv, newv, "doc_id", "text").orderBy("doc_id")
+    return snapshot_diff(oldv, newv, "doc_id", "text")
 
 
 @register(

@@ -1,32 +1,29 @@
 #!/usr/bin/env python3
-"""A/B for x_corpus_snapshot_diff's 100x gap (round-8 verdict item 6):
-is the 4.7x-vs-DuckDB ratio the md5 hash or the normalization REGEX?
+"""Stage probes: x_corpus_snapshot_diff_realistic at 100x (round 12).
 
-Times, at each scale dir, the isolated stages of the diff's per-side
-projection and the full diff with three internal-key variants:
+After the layout-v2 fix, DuckDB's re-derivation of the realistic diff
+dropped to 1.4s while Spark's published row sits at ~5.0s = 3.5x (r11
+read 1.3x against a 6.6s DuckDB — the ratio regressed purely through
+the denominator). The operator is two narrow (id, xxhash64) scans, one
+full-outer join on 500k ids, and fingerprints over the ~8% churn set —
+nothing in that inventory should cost 5s. These probes split it.
 
-  raw        — xxhash64(text), no normalization (lower bound: pure scan
-               + 8-byte hash, whitespace-edit semantics LOST)
-  norm_only  — the two-regex normalize alone (no hash) — isolates the
-               regex constant
-  md5        — fingerprint() as shipped (md5 of normalized)
-  xxh        — xxhash64 of normalized (the candidate swap)
+Variants (fresh JVM each):
 
-If norm_only ~ md5 ~ xxh >> raw, the regex dominates and swapping the
-hash buys nothing — document the floor and keep md5 (engine-portable,
-user-facing manifests reuse it). Usage:
+    hash_scan   — both narrow (id, raw-hash) projections, noop
+    fo_join     — the full-outer join + fast-status classification
+    churn_ids   — ... + the raw-mismatch id set (the churn set)
+    slow_path   — churn ids joined back to both text sides + the
+                  fingerprint compare (the regex work, churn-sized)
+    full        — the registered query (fast ∪ slow, ordered)
+    full_noord  — the registered query WITHOUT the final orderBy
+                  (is the tail the rangepartition+sort?)
 
-    python scripts/bench_diff_ab.py /tmp/dws-scale/mult100 [more dirs]
+Usage:
+    for v in hash_scan fo_join churn_ids slow_path full full_noord; do
+        python scripts/bench_diff_ab.py $v; done
 
-Round-10 addendum (`--churn`): the round-9 verdict refuted the "regex
-floor" — raw-equal implies normalized-equal, so the regex only NEEDS
-to run on raw-mismatched present-in-both pairs. The shipped
-operators/diff.py short-circuits on a raw xxhash64 compare and
-fingerprints only the churn set. `--churn` sweeps churn rates
-1% / 10% / 100% (suffix-edit on doc_id % {100,10,1} == 0) comparing
-the OLD normalize-everything plan against the SHIPPED short-circuit:
-
-    python scripts/bench_diff_ab.py --churn /tmp/dws-scale/mult100
+MEASURED (2026-08-16, 100x, fresh JVM, median of 3): see bottom note.
 """
 
 from __future__ import annotations
@@ -40,101 +37,95 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from data_wrangling_spark.session import get_spark  # noqa: E402
-from data_wrangling_spark.functions.text import normalized  # noqa: E402
-
-REPS = 3
+SF_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/dws-scale/mult100")
 
 
-def timeit(df) -> float:
-    df.write.format("noop").mode("overwrite").save()  # warm
-    ts = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        ts.append(time.perf_counter() - t0)
-    return round(statistics.median(ts), 2)
+def _snapshots(spark, sf_dir):
+    from data_wrangling_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    oldv = docs.filter(F.col("doc_id") % 29 != 0).select("doc_id", "text")
+    newv = docs.filter(F.col("doc_id") % 31 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return oldv, newv
 
 
-def diff_with(old, new, key_expr) -> "object":
-    o = old.select(F.col("doc_id").alias("_id"),
-                   key_expr("text").alias("_ofp"),
-                   F.lit(True).alias("_in_old"))
-    n = new.select(F.col("doc_id").alias("_id"),
-                   key_expr("text").alias("_nfp"),
-                   F.lit(True).alias("_in_new"))
+def build(spark, sf_dir: str, variant: str):
+    from data_wrangling_spark.operators.diff import _raw_hash, snapshot_diff
+
+    oldv, newv = _snapshots(spark, sf_dir)
+    o = oldv.select(
+        F.col("doc_id").alias("_id"), _raw_hash("text").alias("_oraw")
+    ).withColumn("_in_old", F.lit(True))
+    n = newv.select(
+        F.col("doc_id").alias("_id"), _raw_hash("text").alias("_nraw")
+    ).withColumn("_in_new", F.lit(True))
+    if variant == "hash_scan":
+        return o.select("_id", "_oraw").unionAll(n.select("_id", "_nraw"))
     j = o.join(n, "_id", "full_outer")
-    status = (
+    fast_status = (
         F.when(F.col("_in_old").isNull(), F.lit("added"))
         .when(F.col("_in_new").isNull(), F.lit("removed"))
-        .when(F.col("_ofp").eqNullSafe(F.col("_nfp")), F.lit("unchanged"))
-        .otherwise(F.lit("changed"))
+        .when(F.col("_oraw").eqNullSafe(F.col("_nraw")), F.lit("unchanged"))
     )
-    return j.select("_id", status.alias("status"))
+    if variant == "fo_join":
+        return j.select(F.col("_id"), fast_status.alias("status")).filter(
+            F.col("status").isNotNull()
+        )
+    mis = j.filter(
+        F.col("_in_old").isNotNull()
+        & F.col("_in_new").isNotNull()
+        & ~F.col("_oraw").eqNullSafe(F.col("_nraw"))
+    ).select("_id")
+    if variant == "churn_ids":
+        return mis
+    if variant == "slow_path":
+        from data_wrangling_spark.functions.text import fingerprint
 
-
-def churn_sweep(spark, dirs) -> None:
-    """OLD normalize-everything diff vs SHIPPED raw-hash short-circuit
-    at 1% / 10% / 100% churn (plus the registered query's mixed
-    added/removed/changed shape)."""
-    from data_wrangling_spark.operators.diff import snapshot_diff
-
-    old_plan = lambda o, n: diff_with(  # noqa: E731
-        o, n, lambda c: F.md5(normalized(c))
-    )
-    for d in dirs:
-        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
-        for label, mod in [("1pct", 100), ("10pct", 10), ("100pct", 1)]:
-            oldv = docs.select("doc_id", "text")
-            newv = docs.select(
-                "doc_id",
-                F.when(F.col("doc_id") % mod == 0,
-                       F.concat(F.col("text"), F.lit(" rev2")))
-                .otherwise(F.col("text")).alias("text"),
+        otext = oldv.select(F.col("doc_id").alias("_id"),
+                            F.col("text").alias("_ot"))
+        ntext = newv.select(F.col("doc_id").alias("_id"),
+                            F.col("text").alias("_nt"))
+        return (
+            mis.join(otext, "_id").join(ntext, "_id")
+            .select(
+                "_id",
+                F.when(fingerprint("_ot").eqNullSafe(fingerprint("_nt")),
+                       F.lit("unchanged"))
+                .otherwise(F.lit("changed")).alias("status"),
             )
-            out = {
-                "dir": d,
-                "churn": label,
-                "old_normalize_all_s": timeit(old_plan(oldv, newv)),
-                "new_short_circuit_s": timeit(snapshot_diff(oldv, newv)),
-            }
-            print(out, flush=True)
+        )
+    if variant == "full":
+        return snapshot_diff(oldv, newv, "doc_id", "text").orderBy("doc_id")
+    if variant == "full_noord":
+        return snapshot_diff(oldv, newv, "doc_id", "text")
+    raise SystemExit(f"unknown variant {variant!r}")
 
 
 def main() -> None:
-    args = sys.argv[1:]
-    if args and args[0] == "--churn":
-        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
-        spark = get_spark(app_name="diff-ab-churn")
-        spark.sparkContext.setLogLevel("ERROR")
-        churn_sweep(spark, args[1:] or ["/tmp/dws-scale/mult100"])
-        spark.stop()
-        return
-    dirs = args or ["/tmp/dws-scale/mult100"]
+    variant = sys.argv[1]
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
-    spark = get_spark(app_name="diff-ab")
+    from data_wrangling_spark.session import get_spark
+
+    spark = get_spark(app_name=f"diff-ab-{variant}")
     spark.sparkContext.setLogLevel("ERROR")
-    variants = {
-        "raw": lambda c: F.xxhash64(F.col(c)),
-        "norm_only": lambda c: normalized(c),
-        "md5": lambda c: F.md5(normalized(c)),
-        "xxh": lambda c: F.xxhash64(normalized(c)),
-    }
-    for d in dirs:
-        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
-        oldv = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
-        newv = docs.filter(F.col("doc_id") % 5 != 0).select(
-            "doc_id",
-            F.when(F.col("doc_id") % 3 == 0,
-                   F.concat(F.col("text"), F.lit(" rev2")))
-            .otherwise(F.col("text")).alias("text"),
-        )
-        out = {"dir": d, "docs": docs.count()}
-        for name, kexpr in variants.items():
-            proj = docs.select("doc_id", kexpr("text").alias("_k"))
-            out[f"scan_{name}_s"] = timeit(proj)
-            out[f"diff_{name}_s"] = timeit(diff_with(oldv, newv, kexpr))
-        print(out, flush=True)
+    df = build(spark, SF_DIR, variant)
+
+    def _run():
+        df.write.format("noop").mode("overwrite").save()
+
+    _run()
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _run()
+        runs.append(time.perf_counter() - t0)
+    print(f"{variant}: median {statistics.median(runs):.3f}s "
+          f"runs {[round(r, 3) for r in runs]}")
     spark.stop()
 
 
