@@ -1180,7 +1180,12 @@ def _extras_section(a, scales, extras_data) -> None:
     a("comparable-work twin exists — their correctness oracles gate the")
     a("fixture-fallback form at the driver dirs, and the competitor anchor")
     a("for the scaled parse is the reference-shaped ONE-TASK iterparse of")
-    a("the same file (scripts/bench_osm_split.py, OSM section below).")
+    a("the same file. Measured round 12 on the 861 MB 100x osm_scaled.osm")
+    a("(fresh JVM, median of 2 after warmup): one-task 82.7s vs the")
+    a("8 MB-split parallel scan 5.3s (108 tasks, 15.6x) — so the published")
+    a("audit (parse + explode + bucketing) and 5-table normalize rows both")
+    a("complete several times over before a single-stream reference-shaped")
+    a("consumer finishes the bare parse.")
     a("")
     hdr = "| query | " + " | ".join(s for s, _, _ in scales)
     has_duck = bool(ex_duck)
