@@ -379,14 +379,23 @@ def bm25_topk(
             ln(1 + (N - df_t + 0.5) / (df_t + 0.5))        # RSJ idf
             * tf * (k1 + 1) / (tf + k1*(1 - b + b*dl/avgdl))
 
-    Scale shape: the token array is FILTERED to the query terms before
-    the explode (per-element isin — no full posting list ever
-    materializes), so the exploded relation is O(matching tokens), not
-    O(all tokens); tf aggregates it with map-side partials; df and the
-    (N, avgdl) corpus stats are tiny aggregates joined back by
-    broadcast (df has at most |query| rows, stats exactly one — the
-    whitelisted provably-tiny-broadcast pattern). Top-k is
-    TakeOrderedAndProject; the rank window runs over <= ``top`` rows.
+    Scale shape (round-12 rework, A/B'd at 100x): ONE tokenize pass
+    builds a NARROW per-document projection (id, dl, tf per query
+    term) via per-element equality filters — no posting list is ever
+    exploded and no (doc, term) relation shuffles; the projection
+    (O(docs) rows x ~24 B, term count bounded by the query) is
+    PERSISTED so the corpus-stats aggregate and the per-term hit
+    filters read it instead of re-tokenizing the corpus (the previous
+    shape tokenized twice — stats branch + hits branch — and shuffled
+    an exploded hits relation: 3.62s vs 2.56s persisted one-pass at
+    100x; a lookaround regexp_count variant that avoids token arrays
+    entirely measured WORSE, 3.45s — bounded-width lookarounds are
+    slower than the HOF equality filter). df and (N, avgdl) stay tiny
+    broadcast-back aggregates. Top-k is TakeOrderedAndProject; the
+    rank window runs over <= ``top`` rows. The timing harness clears
+    the cache per run, so published numbers price the persist at
+    one-shot cost; at a 100 TB corpus the projection is O(docs) — it
+    persists distributed or spills, never O(tokens).
 
     Exactness for the oracle: every input to the float math (tf, df, N,
     dl, the exact integer-sum avgdl) is integer-derived and engine-
@@ -400,23 +409,27 @@ def bm25_topk(
     toked = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), TX.tokens(text_col).alias("_toks")
     )
-    with_dl = toked.select(
-        id_col, "_toks", F.size("_toks").alias("_dl")
-    )
-    stats = with_dl.agg(
+
+    def _tf_of(term: str):
+        # factory, NOT a two-arg lambda with a default: PySpark treats
+        # a two-parameter HOF lambda as (element, index)
+        return F.size(F.filter("_toks", lambda t: t == F.lit(term)))
+
+    proj = toked.select(
+        id_col,
+        F.size("_toks").alias("_dl"),
+        *[_tf_of(t).alias(f"_tf{i}") for i, t in enumerate(query_terms)],
+    ).persist()
+    stats = proj.agg(
         F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
     )
-    terms = [F.lit(t) for t in query_terms]
-    hits = with_dl.select(
-        id_col,
-        "_dl",
-        F.explode(
-            F.filter("_toks", lambda t: t.isin(*terms))
-        ).alias("_term"),
-    )
-    tf = hits.groupBy(id_col, "_dl", "_term").agg(
-        F.count(F.lit(1)).alias("_tf")
-    )
+    tf = None
+    for i, t in enumerate(query_terms):
+        part = proj.filter(F.col(f"_tf{i}") > 0).select(
+            id_col, "_dl", F.lit(t).alias("_term"),
+            F.col(f"_tf{i}").alias("_tf"),
+        )
+        tf = part if tf is None else tf.unionAll(part)
     dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
     idf = F.log(
         F.lit(1.0)
