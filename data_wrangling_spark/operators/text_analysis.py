@@ -741,28 +741,30 @@ def boilerplate_removal(
 
     1. segmentation is a NARROW projection (sequence + slice) that
        immediately projects ``xxhash64(segment)`` and DROPS the string;
-    2. per-(doc, hash) position lists collapse within-doc repeats in
-       one posting shuffle of (long, long, int-array) rows — document
-       frequency is then a plain count over that already-distinct
-       relation (no count-distinct state);
-    3. DROPPED positions flow back per doc: a left_semi of the posting
-       table against the boilerplate hashes (the small side of the
-       vocabulary — AQE broadcasts it when it fits) and one per-doc
-       aggregate of position arrays, so only offender coordinates
-       shuffle, never survivor text;
+    2. per-(doc, hash) occurrence counts are a plain CODEGEN hash
+       aggregate (long, long) -> count — document frequency is then a
+       count over that already-distinct relation (no count-distinct
+       state, no object buffers; round 12 removed the position-list
+       collect that previously ran here for every pair);
+    3. DROPPED positions flow back per doc: the raw posting rows inner-
+       join the boilerplate hash set (unique aggregate output — AQE
+       broadcasts it when it fits) and ONE per-doc list aggregate
+       collects only OFFENDER coordinates — position lists exist solely
+       for segments being removed, never for survivors;
     4. reassembly is a doc-keyed join of the ORIGINAL rows against the
        per-doc drop set: re-segment narrowly (the text was going to be
-       read for output anyway) and keep every position not in the drop
-       array via an index-aware ``transform`` — original order is the
-       array order, deterministic under any partitioning.
+       read for output anyway) and keep every index not in the drop
+       array via one flat (element, index) ``filter`` — original order
+       is the array order, deterministic under any partitioning.
 
-    The posting aggregate feeds both the df count and the drop-side
-    semi join; Catalyst rewrites the pair by PUSHING the left_semi
-    below the position-list aggregate (the df branch plans as its own
-    distinct-(doc, hash) aggregate that never materializes position
-    lists), so both posting exchanges ship (long, long[, int-array])
-    rows keyed on 8 bytes — the plan test pins that no exchange
-    partitions on the segment string.
+    Both posting exchanges ship rows keyed on 8 bytes — the plan test
+    pins that no exchange partitions on the segment string. Round-12
+    stage probes at 100x: segmentation pass 0.67s, posting aggregate
+    1.69s, shipped total 5.19s -> reworked 3.3s (-35%): the all-pairs
+    position-list collect was an object-buffer aggregate outside
+    codegen (the q21 collect_set lesson applied to lists), and the
+    struct-wrap/filter/unwrap reassembly ran three interpreted HOF
+    layers where one flat filter suffices.
 
     Hash-collision caveat (same as :func:`boilerplate_spans`): two
     distinct segments colliding in xxhash64 would merge their df counts
@@ -810,13 +812,17 @@ def boilerplate_removal(
             F.transform("_segs", lambda s: F.xxhash64(s))
         ).alias("_i", "_h"),
     )
-    # (doc, hash) -> ordered position list + occurrence count: the
-    # relation is distinct by construction, so df below needs no
-    # count-distinct; within-doc repeats ride along as array entries
-    occ = rows.groupBy(id_col, "_h").agg(
-        F.sort_array(F.collect_list("_i")).alias("_is"),
-        F.count(F.lit(1)).alias("_c"),
-    )
+    # (doc, hash) -> occurrence count: a plain CODEGEN hash aggregate
+    # (round-12 rework, -35% at 100x: the previous form collected a
+    # per-(doc, hash) position LIST here — an object-buffer aggregate
+    # outside codegen over EVERY pair — and then flattened those lists
+    # in a SECOND object aggregate; position lists are only ever
+    # needed for DROPPED segments, so they are now collected from the
+    # raw posting rows AFTER the boilerplate filter, which on a real
+    # corpus is the small minority. Stage probes: 5.19s shipped vs
+    # 3.3s reworked, scripts/ROUNDLOG round 12.) The relation is
+    # distinct by construction, so df below needs no count-distinct.
+    occ = rows.groupBy(id_col, "_h").agg(F.count(F.lit(1)).alias("_c"))
     bad = (
         occ.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -824,26 +830,26 @@ def boilerplate_removal(
         .select("_h")
     )
     dropped = (
-        # INNER equi join, deliberately not left_semi: bad's _h is
-        # unique (aggregate output), so they are equivalent — but
-        # Catalyst PUSHES a left_semi below occ's aggregate, planning
-        # the df-count branch as an independent re-scan of the corpus
-        # (the round-9 probe measured the semi form at 94.6s vs 49.3s
-        # inner at 100x — the whole tokenize+explode chain ran twice)
-        occ.join(bad, "_h")
+        # INNER equi join of the raw posting rows against bad's unique
+        # _h (not left_semi: Catalyst pushes a semi below aggregates
+        # and re-scans the corpus branch — the round-9 probe measured
+        # the semi form at 94.6s vs 49.3s inner at 100x). Re-reading
+        # `rows` here re-runs segmentation+hash (seg pass is 0.67s at
+        # 100x) — measured cheaper than shipping every position list
+        # through object aggregates; only OFFENDER coordinates are
+        # ever list-collected, and only once.
+        rows.join(bad, "_h")
         .groupBy(id_col)
         .agg(
-            F.sum("_c").alias("_n_drop"),
-            F.array_sort(F.flatten(F.collect_list("_is"))).alias("_drop"),
+            F.count(F.lit(1)).alias("_n_drop"),
+            F.array_sort(F.collect_list("_i")).alias("_drop"),
         )
     )
     drop_arr = F.coalesce(F.col("_drop"), F.array().cast("array<int>"))
+    # flat (element, index) filter — the previous struct-wrap +
+    # filter + unwrap ran three interpreted HOF layers
     kept_segs = F.filter(
-        F.transform(
-            "_segs",
-            lambda s, i: F.struct(i.cast("int").alias("i"), s.alias("s")),
-        ),
-        lambda p: ~F.array_contains(drop_arr, p["i"]),
+        "_segs", lambda s, i: ~F.array_contains(drop_arr, i.cast("int"))
     )
     return (
         base.join(dropped, id_col, "left")
@@ -853,9 +859,7 @@ def boilerplate_removal(
             (F.size("_segs") - F.coalesce(F.col("_n_drop"), F.lit(0)))
             .cast("long")
             .alias("n_kept"),
-            F.array_join(
-                F.transform(kept_segs, lambda p: p["s"]), " "
-            ).alias("cleaned_text"),
+            F.array_join(kept_segs, " ").alias("cleaned_text"),
         )
     )
 
