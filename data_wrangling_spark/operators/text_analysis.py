@@ -395,7 +395,12 @@ def bm25_topk(
     rank window runs over <= ``top`` rows. The timing harness clears
     the cache per run, so published numbers price the persist at
     one-shot cost; at a 100 TB corpus the projection is O(docs) — it
-    persists distributed or spills, never O(tokens).
+    persists distributed or spills, never O(tokens). CALLER CONTRACT:
+    the projection persist is not unpersisted here (the result plan
+    still references it lazily); long-lived sessions issuing many
+    bm25_topk calls should ``spark.catalog.clearCache()`` between
+    them, as the bench harness does. Repeated ``query_terms`` are
+    collapsed first-occurrence-wins (set-of-terms semantics).
 
     Exactness for the oracle: every input to the float math (tf, df, N,
     dl, the exact integer-sum avgdl) is integer-derived and engine-
@@ -406,6 +411,12 @@ def bm25_topk(
     case-sensitive — normalize upstream if needed."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # dedupe preserving order (advisor find, round 12): the per-term
+    # union branches would otherwise double a repeated term's df
+    # (corrupting its idf) AND double-count its score — the pre-rework
+    # isin+explode shape collapsed duplicates to one (doc, term) row,
+    # and that set semantics is the contract
+    query_terms = list(dict.fromkeys(query_terms))
     toked = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), TX.tokens(text_col).alias("_toks")
     )

@@ -276,6 +276,17 @@ def test_bm25_topk_ranking_and_edges(spark):
     with pytest.raises(ValueError, match="query_terms"):
         bm25_topk(docs, query_terms=[])
 
+    # advisor find, round 12: repeated query terms must collapse to the
+    # set semantics (the union-branch rework would otherwise double the
+    # repeated term's df AND its score contribution) — scores with
+    # duplicates must equal scores without
+    base = {r.doc_id: r.score for r in
+            bm25_topk(docs, query_terms=["spark", "table"], top=10).collect()}
+    duped = {r.doc_id: r.score for r in
+             bm25_topk(docs, query_terms=["spark", "table", "spark"],
+                       top=10).collect()}
+    assert base == duped
+
 
 def test_lm_score_bigram_hand_computed(spark):
     """Bigram-LM scoring on a corpus small enough to compute by hand.
