@@ -930,21 +930,36 @@ def cohort_retention(
     retention_ppm) — retention_ppm = round(1e6 · n_active / n_cohort),
     week_offset 0 rows are the cohort sizes themselves (ppm 1e6).
 
-    Scale shape: first-event table is one user-keyed hash aggregate;
-    activity is distinct (user, week) — both with map-side partials;
-    the attach is a user-keyed equi join (the first-event side is
-    users-sized, broadcastable when dims allow); the matrix aggregate
-    is O(weeks²) rows. No window over the event stream anywhere."""
-    first = events.groupBy(user_col).agg(
-        F.date_trunc("week", F.min(ts_col)).cast("date").alias("_cohort")
-    )
+    Scale shape (round-13 rework, scripts/bench_cohort_ab.py at 100x =
+    10M events / 150k users, fresh-JVM medians): the previous form ran
+    THREE event-scale exchanges (user first-event agg 1.44s, (user,
+    week) distinct 2.50s, the re-shuffle feeding the attach join) for
+    a 4.39s wall; broadcasting the 150k-row first-event table into the
+    attach measured a WASH (4.45s — the q7 lesson again: a hint only
+    pays just over the auto threshold). This form shuffles the event
+    stream ONCE: the narrow (user, week) projection is repartitioned
+    by user, the distinct rides that exchange with no new shuffle
+    (hashpartitioning(user) satisfies the (user, week) clustering),
+    the distinct output is PERSISTED (users x weeks rows — far below
+    event scale; spills cleanly), and the first-event table is derived
+    FROM it as min(_week) per user (date_trunc is monotonic, so
+    trunc(min ts) == min(trunc ts) == min distinct week —
+    value-identical by construction, pinned by the oracle). first,
+    the attach join and the matrix aggregate all read the cached
+    active set: 2.26s, within ~25% of the 2.50s distinct-alone floor.
+    CALLER CONTRACT: like bm25_topk, the persist is not unpersisted
+    here; long-lived sessions should clearCache() between calls (the
+    bench harness does). No window over the event stream anywhere."""
     active = (
         events.select(
             F.col(user_col),
             F.date_trunc("week", F.col(ts_col)).cast("date").alias("_week"),
         )
+        .repartition(user_col)
         .distinct()
+        .persist()
     )
+    first = active.groupBy(user_col).agg(F.min("_week").alias("_cohort"))
     cohort_sizes = first.groupBy("_cohort").agg(
         F.count(F.lit(1)).alias("n_cohort")
     )

@@ -5016,10 +5016,14 @@ def ext_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Weekly cohort retention matrix (operators/temporal.py "
         "cohort_retention): users cohort by the Monday week of their "
         "first event; later active weeks fill the retention cells in "
-        "integer ppm. First-event table and distinct (user, week) "
-        "activity are both map-side-partial hash aggregates; the attach "
-        "is one user-keyed equi join; the matrix is O(weeks^2) rows. "
-        "No window over the event stream.",
+        "integer ppm. Round-13 shape: ONE event-scale exchange — the "
+        "narrow (user, week) projection repartitions by user, the "
+        "distinct rides that exchange, its output persists (users x "
+        "weeks rows), and the first-event table is min(week) derived "
+        "from it (date_trunc monotonic => value-identical); attach "
+        "join + matrix aggregate read the cached set. 4.39s -> 2.26s "
+        "at 100x (scripts/bench_cohort_ab.py). No window over the "
+        "event stream.",
 )
 def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.temporal import cohort_retention
