@@ -2944,7 +2944,15 @@ def ext_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate (no second pass, no self-join); both sums are exact "
         "int cents and the ppm share is floor(a/b*1e6) of bit-identical "
         "IEEE doubles, so the driver hash is stable. Dims broadcast; "
-        "the part/customer side joins are unhinted for AQE at scale.",
+        "the part/customer side joins are unhinted for AQE at scale. "
+        "Round-13 stage probe (scripts/bench_q8_ab.py, fresh-JVM "
+        "medians at 100x): full 3.86s == li-side scan+project 1.75s + "
+        "orders-side filter+region-semi 2.04s; the li x orders SMJ "
+        "stage alone reproduces the full wall (4.12s) and "
+        "broadcast-hinting the ~0.9M-row filtered orders side is a "
+        "wash (3.70s — the q7 lesson: multi-MB hints just past the "
+        "auto threshold don't pay). Two-fact-shuffle floor: both "
+        "sides must be scanned and exchanged; nothing left to remove.",
 )
 def ext_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")

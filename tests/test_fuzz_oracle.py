@@ -117,6 +117,23 @@ dispatcher:
   through EXTRACT grouping, shifted MIN/MAX, shifted-vs-literal
   predicates).
 
+Round-13 widening (r12 verdict item 7) — indexes 700-799, own frozen
+dispatcher:
+
+- correlated [NOT] EXISTS under set operations (decorrelation inside
+  UNION/INTERSECT/EXCEPT[ ALL] children);
+- ROWS-framed window aggregates over DISTINCT-aggregate results (the
+  Expand rewrite feeding Window, ordered by the unique group key);
+- string ordering edges — mixed-case, empty-string, tie-heavy prefix
+  and concatenated keys, ranked in both directions plus windowed
+  MIN/MAX (pins the shared raw-codepoint default against any
+  locale-aware collation drift);
+- UNION type-coercion corners — mixed integer widths (in-range only:
+  ANSI Spark and DuckDB both error on overflow), typed-NULL branches,
+  DECIMAL scale widening re-scaled exactly to BIGINT, INT-vs-DOUBLE
+  consumed only through MIN/MAX/COUNT (never a cross-engine double
+  SUM, which would compare summation order, not coercion).
+
 Seeded with a fixed constant and a PER-INDEX rng (``Random(f"{SEED}:
 {i}")``), so every run generates the identical 500 queries AND future
 grammar widenings that append indexes leave existing queries
@@ -138,9 +155,10 @@ import pytest
 from data_wrangling_spark.sources.tables import load_table
 from tests.conftest import SF_DIR, canonical
 
-N_QUERIES = 700          # 0-499: r7-r10; 500-599: r11; 600-699: r12
+N_QUERIES = 800          # 0-499: r7-r10; 500-599: r11; 600-699: r12; 700-799: r13
 N_QUERIES_R10 = 500      # indexes below this use the frozen r10 dispatcher
 N_QUERIES_R11 = 600      # 500..599 use the frozen r11 dispatcher
+N_QUERIES_R12 = 700      # 600..699 use the frozen r12 dispatcher
 SEED = 0x5EED
 
 #: (table, categorical cols, integer cols, cents cols, ts col)
@@ -879,6 +897,217 @@ def _gen_interval_ts_query(rng: random.Random) -> str:
     return sql + " GROUP BY k_0"
 
 
+def _gen_exists_setop(rng: random.Random) -> str:
+    """Correlated [NOT] EXISTS under set operations (round-13): each
+    branch of a UNION/INTERSECT/EXCEPT[ ALL] is a correlated semi/anti
+    query — the decorrelation rewrite must run INSIDE a set-op child,
+    where Spark plans each branch independently and DuckDB may flatten
+    the set op first. Branches draw from the SAME outer table with the
+    same projected keys, so schemas match by construction and overlap
+    is guaranteed; the outer GROUP BY + COUNT(*) bounds output and (for
+    the ALL forms) makes the bag multiplicity the compared value."""
+    lt, rt, lk, rk = rng.choice(JOINS)
+    spec = TABLES[lt]
+    cat = rng.choice([c for c in spec["cat"] if c in CAT_VALUES])
+    ic = rng.choice(spec["int"])
+    k = rng.randint(3, 9)
+    cols = f"{cat} AS k_0, {ic} % {k} AS k_1"
+
+    def branch() -> str:
+        neg = "NOT " if rng.random() < 0.4 else ""
+        sub = f"SELECT 1 FROM {rt} WHERE {rt}.{rk} = {lt}.{lk}"
+        sub_pred = _preds(rng, TABLES[rt], n_max=1)
+        if sub_pred:
+            sub += " AND " + " AND ".join(sub_pred)
+        b = f"SELECT {cols} FROM {lt} WHERE {neg}EXISTS ({sub})"
+        outer_pred = _preds(rng, spec, n_max=1)
+        if outer_pred:
+            b += " AND " + " AND ".join(outer_pred)
+        return b
+
+    op = rng.choice(["UNION", "INTERSECT", "EXCEPT",
+                     "INTERSECT ALL", "EXCEPT ALL"])
+    return (f"SELECT k_0, k_1, COUNT(*) AS agg_0 "
+            f"FROM ({branch()} {op} {branch()}) u GROUP BY k_0, k_1")
+
+
+def _gen_window_over_distinct(rng: random.Random) -> str:
+    """Framed window aggregates OVER the result of DISTINCT aggregates
+    (round-13): the inner block groups by one categorical key and
+    computes COUNT(DISTINCT)/SUM(DISTINCT) (Spark's Expand-based
+    rewrite); the outer block runs a ROWS-framed window ordered by the
+    now-UNIQUE group key over those distinct-aggregate values — the
+    stacked rewrite (Expand feeding Window) neither round-11 shape
+    (multi-distinct alone, framed windows alone) exercises.
+    Deterministic: the frame order key is the group key, unique by
+    construction."""
+    t = rng.choice(list(TABLES))
+    spec = TABLES[t]
+    cat = rng.choice([c for c in spec["cat"] if c in CAT_VALUES])
+    ic = rng.choice([c for c in spec["int"] if c != cat])
+    dkind = rng.choice(["count_d", "sum_d", "count_d_mod"])
+    if dkind == "count_d":
+        dagg = f"COUNT(DISTINCT {ic})"
+    elif dkind == "sum_d":
+        dagg = f"CAST(SUM(DISTINCT {ic}) AS BIGINT)"
+    else:
+        dagg = f"COUNT(DISTINCT {ic} % {rng.randint(2, 7)})"
+    inner = f"SELECT {cat} AS k_0, {dagg} AS d_0, COUNT(*) AS c_0 FROM {t}"
+    preds = _preds(rng, spec, n_max=1)
+    if preds:
+        inner += " WHERE " + " AND ".join(preds)
+    inner += " GROUP BY " + cat
+    n = rng.randint(1, 3)
+    frame = rng.choice([
+        f"ROWS BETWEEN {n} PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        f"ROWS BETWEEN {n} PRECEDING AND {n} FOLLOWING",
+    ])
+    wagg = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+    dirn = rng.choice(["ASC", "DESC"])
+    w = (f"CAST({wagg}(d_0) OVER (ORDER BY k_0 {dirn} NULLS FIRST "
+         f"{frame}) AS BIGINT)")
+    return f"SELECT k_0, d_0, c_0, {w} AS w_0 FROM ({inner}) g"
+
+
+def _gen_string_order_edges(rng: random.Random) -> str:
+    """String ordering edges (round-13): both engines default to raw
+    codepoint (binary) comparison — uppercase before lowercase, ''
+    first, digits before letters — and this generator pins that
+    agreement on expression-produced keys where a locale-aware
+    collation would sort differently: mixed UPPER/LOWER case keys,
+    injected empty strings, tie-heavy SUBSTR prefixes, and
+    concatenated multi-part keys. The expression is GROUP BY'd (keys
+    become unique, output stays small), then ranked in both directions
+    — the rank IS the collation order — alongside global MIN/MAX of
+    the key (the other collation-sensitive path)."""
+    t = rng.choice(list(TABLES))
+    spec = TABLES[t]
+    cats = [c for c in spec["cat"]
+            if c in CAT_VALUES and isinstance(CAT_VALUES[c][0], str)]
+    cat = rng.choice(cats)
+    ic = rng.choice(spec["int"])
+    kind = rng.choice(["mixed_case", "empty", "prefix", "concat"])
+    if kind == "mixed_case":
+        expr = (f"CASE WHEN {ic} % 2 = 0 THEN UPPER({cat}) "
+                f"ELSE LOWER({cat}) END")
+    elif kind == "empty":
+        expr = f"CASE WHEN {ic} % {rng.randint(2, 5)} = 0 THEN '' ELSE {cat} END"
+    elif kind == "prefix":
+        expr = f"SUBSTR({cat}, 1, {rng.randint(1, 3)})"
+    else:
+        expr = (f"{cat} || '_' || CAST({ic} % {rng.randint(2, 5)} "
+                f"AS VARCHAR(10))")
+    dirn = rng.choice(["ASC", "DESC"])
+    preds = _preds(rng, spec, n_max=1)
+    inner = (f"SELECT {expr} AS s_0, COUNT(*) AS c_0, "
+             f"CAST(SUM({ic}) AS BIGINT) AS a_0 FROM {t}")
+    if preds:
+        inner += " WHERE " + " AND ".join(preds)
+    inner += " GROUP BY s_0"
+    rk = (f"CAST(ROW_NUMBER() OVER (ORDER BY s_0 {dirn} NULLS FIRST) "
+          f"AS BIGINT)")
+    return (f"SELECT s_0, c_0, a_0, {rk} AS r_0, "
+            f"MIN(s_0) OVER () AS lo_0, MAX(s_0) OVER () AS hi_0 "
+            f"FROM ({inner}) g")
+
+
+def _gen_union_coercion(rng: random.Random) -> str:
+    """UNION type-coercion corners (round-13): branches deliberately
+    disagree on column type so the set op's least-common-type rules
+    fire — narrow/wide integer widths (TINYINT..BIGINT; values kept
+    provably in range, since ANSI Spark and DuckDB both error on
+    overflow), a typed-NULL branch against a concrete type, DECIMAL
+    branches with different scales (result re-scaled exactly to
+    BIGINT), and INT-vs-DOUBLE mixing consumed only through
+    order-insensitive MIN/MAX/COUNT (a cross-engine SUM of doubles
+    would compare summation order, not coercion)."""
+    kind = rng.choice(["int_widths", "null_branch", "dec_scales",
+                       "int_double"])
+    if kind == "int_widths":
+        narrow = rng.choice([
+            "CAST(c_nationkey AS TINYINT) AS v FROM customer",
+            "CAST(l_linenumber AS TINYINT) AS v FROM lineitem",
+            f"CAST(o_orderkey % {rng.randint(50, 120)} AS SMALLINT) "
+            f"AS v FROM orders",
+        ])
+        wide = rng.choice([
+            f"CAST(user_id % {rng.randint(500, 5000)} AS BIGINT) "
+            f"AS v FROM events",
+            f"CAST(c_custkey % {rng.randint(500, 5000)} AS INT) "
+            f"AS v FROM customer",
+        ])
+        op = rng.choice(["UNION", "UNION ALL"])
+        b1, b2 = (narrow, wide) if rng.random() < 0.5 else (wide, narrow)
+        return (f"SELECT COUNT(*) AS agg_0, CAST(SUM(v) AS BIGINT) AS agg_1, "
+                f"CAST(MIN(v) AS BIGINT) AS agg_2, "
+                f"CAST(MAX(v) AS BIGINT) AS agg_3 "
+                f"FROM (SELECT {b1} {op} SELECT {b2}) u")
+    if kind == "null_branch":
+        t = rng.choice(list(TABLES))
+        spec = TABLES[t]
+        ic = rng.choice(spec["int"])
+        preds = _preds(rng, spec, n_max=1)
+        nb = f"SELECT NULL AS v FROM {t}"
+        if preds:
+            nb += " WHERE " + " AND ".join(preds)
+        cb = f"SELECT {ic} % {rng.randint(5, 50)} AS v FROM {t}"
+        op = rng.choice(["UNION", "UNION ALL"])
+        b1, b2 = (nb, cb) if rng.random() < 0.5 else (cb, nb)
+        return (f"SELECT COUNT(*) AS agg_0, COUNT(v) AS agg_1, "
+                f"CAST(MIN(v) AS BIGINT) AS agg_2, "
+                f"CAST(MAX(v) AS BIGINT) AS agg_3 "
+                f"FROM ({b1} {op} {b2}) u")
+    if kind == "dec_scales":
+        t = rng.choice([t for t in TABLES if TABLES[t]["cents"]])
+        c = rng.choice(TABLES[t]["cents"])
+        t2 = rng.choice([t for t in TABLES if TABLES[t]["cents"]])
+        c2 = rng.choice(TABLES[t2]["cents"])
+        # ROUND the DECIMAL, never the raw double: ROUND(double, 1)
+        # diverges at representation edges (Spark rounds the double's
+        # exact binary value via BigDecimal HALF_UP, DuckDB scales and
+        # rounds in C — first run of this block caught seeds #729/#758
+        # drifting by one 0.1-ulp per edge row), which is the double-SUM
+        # discipline in another guise, not the coercion under test.
+        b1 = f"SELECT CAST({c} AS DECIMAL(18,2)) AS v FROM {t}"
+        b2 = (f"SELECT CAST(ROUND(CAST({c2} AS DECIMAL(18,2)) "
+              f"* {rng.randint(2, 9)}, 1) AS DECIMAL(12,1)) AS v FROM {t2}")
+        op = rng.choice(["UNION", "UNION ALL"])
+        return (f"SELECT COUNT(*) AS agg_0, "
+                f"CAST(SUM(v * 100) AS BIGINT) AS agg_1, "
+                f"CAST(MIN(v * 100) AS BIGINT) AS agg_2, "
+                f"CAST(MAX(v * 100) AS BIGINT) AS agg_3 "
+                f"FROM ({b1} {op} {b2}) u")
+    t = rng.choice([t for t in TABLES if TABLES[t]["cents"]])
+    spec = TABLES[t]
+    c = rng.choice(spec["cents"])
+    ic = rng.choice(spec["int"])
+    ib = f"SELECT {ic} % {rng.randint(5, 200)} AS v FROM {t}"
+    db = f"SELECT {c} AS v FROM {t}"
+    preds = _preds(rng, spec, n_max=1)
+    if preds:
+        db += " WHERE " + " AND ".join(preds)
+    op = rng.choice(["UNION", "UNION ALL"])
+    b1, b2 = (ib, db) if rng.random() < 0.5 else (db, ib)
+    return (f"SELECT COUNT(*) AS agg_0, "
+            f"CAST(ROUND(MIN(v) * 100) AS BIGINT) AS agg_1, "
+            f"CAST(ROUND(MAX(v) * 100) AS BIGINT) AS agg_2 "
+            f"FROM ({b1} {op} {b2}) u")
+
+
+def _gen_query_r13(rng: random.Random) -> str:
+    """Dispatcher for indexes 700-799 (round-13 widening): ONLY the
+    four new shapes, own dispatcher per the frozen-prefix contract."""
+    r = rng.random()
+    if r < 0.25:
+        return _gen_exists_setop(rng)
+    if r < 0.50:
+        return _gen_window_over_distinct(rng)
+    if r < 0.75:
+        return _gen_string_order_edges(rng)
+    return _gen_union_coercion(rng)
+
+
 def _gen_query_r12(rng: random.Random) -> str:
     """Dispatcher for indexes 600-699 (round-12 widening): ONLY the
     four new shapes, in a separate dispatcher so the frozen 0-599
@@ -940,7 +1169,9 @@ def _all_queries() -> list[tuple[int, str]]:
         + [(i, _gen_query_r11(random.Random(f"{SEED}:{i}")))
            for i in range(N_QUERIES_R10, N_QUERIES_R11)]
         + [(i, _gen_query_r12(random.Random(f"{SEED}:{i}")))
-           for i in range(N_QUERIES_R11, N_QUERIES)]
+           for i in range(N_QUERIES_R11, N_QUERIES_R12)]
+        + [(i, _gen_query_r13(random.Random(f"{SEED}:{i}")))
+           for i in range(N_QUERIES_R12, N_QUERIES)]
     )
 
 
