@@ -770,15 +770,32 @@ def ahash_near_dup(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
     bands) then the EXACT Hamming distance filter
     bit_count(xor(hi)) + bit_count(xor(lo)) <= ``max_hamming``.
 
-    Returns (media_a, media_b, hamming), media_a < media_b, distinct.
+    Returns (media_a, media_b, hamming), media_a < media_b, distinct,
+    UNORDERED — the pair set is a set; at the 100x bench the output is
+    30.2M rows and a presentation sort would cost ~2x the expansion
+    itself (range-partitioner sampling re-executes the upstream, the
+    round-12 snapshot-diff lesson). Callers that want ordered output
+    sort the (much smaller) slice they display.
 
-    Scale shape: the only shuffle is the (band_idx, band_val) equi
-    join — the MinHash-LSH posture: candidates only, never the n² cross
-    join; a band bucket of f identical hashes still costs f²/2 pairs
-    (the known banded-LSH hot-bucket shape — cap upstream by exact
-    dedup first if the corpus is copy-heavy)."""
-    bands = hashes.select(
-        F.col("media_id"),
+    Scale shape (round-13 rework): the band join runs over DISTINCT
+    HASH VALUES, not images — exact-dup groups collapse to one
+    representative before banding, the Hamming popcount runs once per
+    hash pair, and doc pairs are produced by two hash-keyed expansion
+    joins with NO output-side DISTINCT (each unordered pair is
+    generated exactly once by construction: cross-hash pairs once per
+    h1<h2 hash pair via least/greatest, same-hash pairs via the
+    id_a < id_b filter). A copy-heavy corpus (the near-dup use case!)
+    otherwise pays f²·bands candidate popcounts plus a
+    pair-set-sized DISTINCT per hot bucket: at the 100x bench
+    (487k images, 4,660 distinct hashes) the old shape generated 232M
+    candidates and spill-thrashed a ~25M-row DISTINCT for a 50s wall;
+    this shape prices the same result at ~23k candidates + pure
+    output expansion (scripts/bench_imgdedup_ab.py). With mostly
+    unique hashes it degrades gracefully to the old plan: distinct()
+    is one hash agg and the expansion joins are ~output-sized."""
+    members = hashes.select("media_id", "ahash_hi", "ahash_lo")
+    hv = members.select("ahash_hi", "ahash_lo").distinct()
+    bands = hv.select(
         "ahash_hi",
         "ahash_lo",
         F.explode(
@@ -801,18 +818,29 @@ def ahash_near_dup(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
                 ),
             )
         ).alias("_b"),
-    ).select("media_id", "ahash_hi", "ahash_lo", "_b.bi", "_b.bv")
+    ).select("ahash_hi", "ahash_lo", "_b.bi", "_b.bv")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    # distinct-hash pairs within Hamming, canonical (h1 < h2) order;
+    # DISTINCT here is over the small hash-pair set (a pair can agree
+    # on several bands), never over the doc-pair output
+    near_hashes = (
         a.join(
             b,
             (F.col("a.bi") == F.col("b.bi"))
             & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
+            & (
+                (F.col("a.ahash_hi") < F.col("b.ahash_hi"))
+                | (
+                    (F.col("a.ahash_hi") == F.col("b.ahash_hi"))
+                    & (F.col("a.ahash_lo") < F.col("b.ahash_lo"))
+                )
+            ),
         )
         .select(
-            F.col("a.media_id").alias("media_a"),
-            F.col("b.media_id").alias("media_b"),
+            F.col("a.ahash_hi").alias("h1_hi"),
+            F.col("a.ahash_lo").alias("h1_lo"),
+            F.col("b.ahash_hi").alias("h2_hi"),
+            F.col("b.ahash_lo").alias("h2_lo"),
             (
                 F.bit_count(
                     F.col("a.ahash_hi").bitwiseXOR(F.col("b.ahash_hi"))
@@ -825,4 +853,45 @@ def ahash_near_dup(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return cand.orderBy("media_a", "media_b")
+    # identity pairs (h, h) at Hamming 0 cover exact-dup doc pairs;
+    # hashes with multiplicity 1 expand to zero rows below
+    identity = hv.select(
+        F.col("ahash_hi").alias("h1_hi"),
+        F.col("ahash_lo").alias("h1_lo"),
+        F.col("ahash_hi").alias("h2_hi"),
+        F.col("ahash_lo").alias("h2_lo"),
+        F.lit(0).cast("integer").alias("hamming"),
+    )
+    hash_pairs = near_hashes.unionByName(identity)
+    ma, mb = members.alias("ma"), members.alias("mb")
+    pairs = (
+        hash_pairs.join(
+            ma,
+            (F.col("h1_hi") == F.col("ma.ahash_hi"))
+            & (F.col("h1_lo") == F.col("ma.ahash_lo")),
+        )
+        .join(
+            mb,
+            (F.col("h2_hi") == F.col("mb.ahash_hi"))
+            & (F.col("h2_lo") == F.col("mb.ahash_lo")),
+        )
+        # same-hash expansion would emit each unordered pair twice (and
+        # self-pairs once) without the id filter; cross-hash pairs are
+        # unique already (a doc has exactly one hash) and only need the
+        # canonical orientation
+        .filter(
+            (F.col("h1_hi") != F.col("h2_hi"))
+            | (F.col("h1_lo") != F.col("h2_lo"))
+            | (F.col("ma.media_id") < F.col("mb.media_id"))
+        )
+        .select(
+            F.least(F.col("ma.media_id"), F.col("mb.media_id")).alias(
+                "media_a"
+            ),
+            F.greatest(F.col("ma.media_id"), F.col("mb.media_id")).alias(
+                "media_b"
+            ),
+            "hamming",
+        )
+    )
+    return pairs

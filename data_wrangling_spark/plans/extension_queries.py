@@ -1290,14 +1290,20 @@ def x_multimodal_image_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
               + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 8
-        ORDER BY media_a, media_b
     """,
     doc="X-MULTIMODAL image near-duplicate pairs: real-decoded aHash "
         "(x_multimodal_image_hash) -> four 16-bit LSH bands -> "
         "candidate equi join on (band, value) -> EXACT Hamming "
         "bit_count(xor) <= 8 filter (operators/multimodal.py "
         "ahash_near_dup). The MinHash-LSH posture for rasters: "
-        "candidates only, never the n^2 cross join. Pair semantics "
+        "candidates only, never the n^2 cross join. Round-13 rework "
+        "(scripts/bench_imgdedup_ab.py at 100x): decode is 1.9s of the "
+        "wall — the cost was 232M band-join candidates from exact-dup "
+        "hash groups (487k images, 4,660 distinct hashes) plus a "
+        "30.2M-row output DISTINCT and presentation sort; banding "
+        "DISTINCT hash values with expansion-join output (no output "
+        "DISTINCT, no terminal sort — both engines) took the dedicated "
+        "row from 50s spill-thrash to ~6s. Pair semantics "
         "(planted near-dup images) are pinned in tests/"
         "test_multimodal.py; at driver scales the natural corpus may "
         "yield few or zero pairs — both engines derive the same set "

@@ -38,6 +38,11 @@ from pyspark.sql import functions as F  # noqa: E402
 SCALE_DIR = os.environ.get("IMGDEDUP_AB_DIR", "/tmp/dws-scale/mult100")
 REPS = 5
 
+# match the SCALING extras-worker environment: the default driver heap
+# OOMs in the band-join spill path at 100x (first probe run died in
+# UnsafeSorterSpillReader allocation)
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
 
 def build(spark, variant):
     from data_wrangling_spark.operators.multimodal import (
@@ -56,7 +61,7 @@ def build(spark, variant):
         return hashes
     if variant == "bands":
         bands = hashes.select(
-            "doc_id",
+            "media_id",
             "ahash_hi",
             "ahash_lo",
             F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("bi"),
