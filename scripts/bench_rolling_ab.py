@@ -30,6 +30,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")  # match the extras workers
+
 from pyspark.sql import functions as F  # noqa: E402
 
 SCALE_DIR = os.environ.get("ROLLING_AB_DIR", "/tmp/dws-scale/mult100")
