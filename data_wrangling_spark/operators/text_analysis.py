@@ -495,26 +495,38 @@ def lm_score_bigram(
     (the boilerplate_removal recipe, round-9 verdict: interpreted
     string-struct explodes and string-keyed shuffles were the repo's
     dominant hidden cost, NOT shuffle structure). A bigram's identity
-    is its (h1, h2) = (xxhash64(w1), xxhash64(w2)) pair: hashes are
-    computed INSIDE the token array (``transform`` over strings → long
-    array, one interpreted pass — measured 4.7s vs 12s for the string
-    explode at the 100x probe), bigram pairs are two codegen ``slice``
-    views zipped with ``arrays_zip``, and only (doc, long, long) rows
-    ever explode or shuffle. The model aggregate keys on (h1, h2) —
-    bigram cardinality — and the prefix counts derive from IT
-    (C_prefix(w1) = sum over w2 of C(w1 w2)); the vocabulary size is
-    countDistinct over (bigram-prefix hashes ∪ per-doc last-token
-    hashes), a vocabulary-bounded relation plus one long per document
-    — no token-occurrence explode anywhere. Scoring joins back on the
-    same (h1, h2) longs plus a 1-row vocabulary broadcast; the output
-    carries no token strings, so no hash→string join-back is needed
-    at all.
+    is the single long ``xxhash64(h1, h2)`` over the token hashes
+    (h1, h2) = (xxhash64(w1), xxhash64(w2)): hashes are computed
+    INSIDE the token array (``transform`` over strings → long array,
+    one interpreted pass), bigram pairs are two codegen ``slice``
+    views zipped with ``arrays_zip``, and the occurrence relation that
+    feeds scoring carries exactly TWO longs per row — (doc_id, bh).
+
+    The model is assembled entirely at MODEL scale (distinct-bigram
+    cardinality) before any occurrence touches it: the (h1, h2) →
+    count aggregate collapses occurrences map-side; the prefix counts
+    derive from it (C_prefix(w1) = sum over w2 of C(w1 w2)); the
+    vocabulary size is countDistinct over (model h1 ∪ model h2) —
+    EXACTLY the distinct-token set, because every token occurrence in
+    a scored document is the first element of some bigram or the last
+    token, and the last token is the second element of the document's
+    final bigram (docs with <2 tokens are filtered out). Round 13:
+    this replaced a fourth full corpus tokenize pass (the old per-doc
+    last-token union branch) with a model-scale union, and the rounded
+    integer micro-nat NLL is now computed ONCE PER DISTINCT BIGRAM on
+    the model side (931 ln() calls at the 100x bench instead of 26.6M
+    occurrence-side evaluations), then attached to occurrences by ONE
+    single-long-key join — two corpus passes total (model build +
+    scoring), one occurrence-scale probe, no hint (AQE picks broadcast
+    when the materialized model is small; at 100 TB vocabulary the
+    same plan degrades to a shuffled join without a code change).
 
     Hash-collision caveat (same as boilerplate_removal): two distinct
-    tokens colliding in xxhash64 would merge their model counts
-    (P ~ vocab² / 2^65); the registered query's DuckDB oracle counts
-    strings independently, so a collision surfaces as a driver hash
-    mismatch rather than passing silently."""
+    tokens colliding in xxhash64 — or two distinct (h1, h2) pairs
+    colliding in the derived bigram key — would merge their model
+    counts (P ~ vocab² / 2^65); the registered query's DuckDB oracle
+    counts strings independently, so a collision surfaces as a driver
+    hash mismatch rather than passing silently."""
     toked = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.col(id_col), TX.tokens(text_col).alias("_toks"))
@@ -532,34 +544,30 @@ def lm_score_bigram(
         F.col(id_col),
         F.slice("_hs", 1, m).alias("_a"),
         F.slice("_hs", 2, m).alias("_b"),
-        F.element_at("_hs", -1).alias("_last"),
     )
     bi = pairs.select(
         F.col(id_col),
-        F.col("_last"),
         F.explode(F.arrays_zip("_a", "_b")).alias("_p"),
     ).select(
         id_col,
-        "_last",
         F.col("_p._a").alias("_h1"),
         F.col("_p._b").alias("_h2"),
     )
-    # grouping by (h1, h2) has bigram cardinality and the prefix
-    # counts derive from the bigram counts (C_prefix(w1) = sum over w2
-    # of C(w1 w2)) — one aggregate over DISTINCT bigrams instead of a
-    # second full pass over bigram OCCURRENCES; the model join below
-    # reuses the same (h1, h2) exchange
+    # model: one aggregate over DISTINCT bigrams (map-side partials
+    # collapse occurrence multiplicity before the exchange)
     big = bi.groupBy("_h1", "_h2").agg(F.count(F.lit(1)).alias("_c12"))
     uni = big.groupBy("_h1").agg(F.sum("_c12").cast("long").alias("_c1"))
-    # |vocab| = |distinct tokens| = |distinct bigram prefixes ∪ per-doc
-    # last tokens| (every token occurrence is a bigram prefix except
-    # each document's last) — vocabulary-bounded + one long per doc,
-    # replacing the former full token-occurrence string explode
+    # |vocab| = |distinct tokens| = |model h1 ∪ model h2| — a
+    # model-scale aggregate; no corpus pass. explode(array(h1,h2))
+    # keeps ONE reference to the model subtree (a union of two
+    # projections would duplicate it in the logical plan)
     voc = (
-        big.select("_h1")
-        .union(pairs.select(F.col("_last").alias("_h1")))
-        .agg(F.countDistinct("_h1").alias("_v"))
+        big.select(F.explode(F.array("_h1", "_h2")).alias("_h"))
+        .agg(F.countDistinct("_h").alias("_v"))
     )
+    # assemble per-bigram NLL at model scale: prefix join + 1-row voc
+    # broadcast + the ln() all run over distinct bigrams, never
+    # occurrences; the probe key is ONE long
     nll_micro = F.round(
         -F.log(
             (F.col("_c12") + F.lit(1.0)) / (F.col("_c1") + F.col("_v"))
@@ -567,11 +575,19 @@ def lm_score_bigram(
         * 1000000.0,
         0,
     ).cast("bigint")
-    return (
-        bi.join(big, ["_h1", "_h2"])
-        .join(uni, "_h1")
+    model = (
+        big.join(uni, "_h1")
         .join(F.broadcast(voc))
-        .select(id_col, nll_micro.alias("_nll"))
+        .select(
+            F.xxhash64("_h1", "_h2").alias("_bh"),
+            nll_micro.alias("_nll"),
+        )
+    )
+    occ = bi.select(
+        F.col(id_col), F.xxhash64("_h1", "_h2").alias("_bh")
+    )
+    return (
+        occ.join(model, "_bh")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
@@ -607,32 +623,65 @@ def token_entropy(
     expression is a single double op over two exact integers, so the
     value is hash-exact across engines and partitionings.
 
-    Scale shape: explode → (doc, token) hash agg → (doc) hash agg, all
-    JVM expressions. The first shuffle is bounded by distinct (doc,
-    token) pairs (map-side combine collapses occurrence multiplicity);
-    the second by document count."""
+    Scale shape (round 13): ZERO shuffles. Entropy is a PER-DOCUMENT
+    statistic, so no cross-document exchange is fundamentally required
+    — the former explode → (doc, token) hash agg → (doc) hash agg
+    shape paid two occurrence-bounded exchanges for what one
+    projection can compute. Token identity moves to the 64-bit hash
+    domain INSIDE the array (``transform`` + xxhash64 — the lm_score
+    recipe; strings never leave their source task), the hashed array
+    is ``array_sort``-ed per row, run boundaries are the 1-based
+    positions where h[i] != h[i-1] (an array HOF ``filter`` over
+    ``sequence``), run lengths are ``zip_with`` of the boundary list
+    against its shift, and n / distinct / Σ round(1e6·c·ln c) all fall
+    out of one codegen-adjacent projection. At any cluster size the
+    operator is a single map-only pass over the corpus (100x probe:
+    2.87s shipped → 2.02s, `scripts/bench_entropy_ab.py`, value-
+    identity asserted; the (doc, long) hashdom rework measured WORSE
+    at 3.96s — the win is removing the exchanges, not narrowing them).
+
+    Hash-collision caveat (the accepted lm_score/boilerplate pattern):
+    two distinct tokens colliding in xxhash64 within one document
+    would merge their counts; the registered query's DuckDB oracle
+    counts strings independently, so a collision surfaces as a driver
+    hash mismatch rather than passing silently."""
     from data_wrangling_spark.functions.text import tokens
 
-    counts = (
+    staged = (
         df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col), F.explode(tokens(text_col)).alias("_tok"))
-        .groupBy(id_col, "_tok")
-        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .filter(F.size("_toks") >= 1)
+        .select(
+            id_col,
+            F.array_sort(
+                F.transform("_toks", lambda t: F.xxhash64(t))
+            ).alias("_hs"),
+        )
     )
-    per_doc = counts.groupBy(id_col).agg(
-        F.sum("_c").alias("n_tokens"),
-        F.count(F.lit(1)).alias("distinct_tokens"),
-        F.sum(
-            F.round(F.lit(1000000.0) * F.col("_c") * F.log("_c")).cast("long")
-        ).alias("_s"),
+    # run boundaries: 1-based positions i where h[i] starts a new run
+    bounded = staged.select(
+        id_col,
+        F.size("_hs").alias("_n"),
+        F.expr(
+            "filter(sequence(1, size(_hs)), i -> i = 1 OR "
+            "element_at(_hs, i) != element_at(_hs, i - 1))"
+        ).alias("_bs"),
     )
-    return per_doc.select(
+    # run lengths = next boundary - this boundary (sentinel n+1 at the
+    # end); the integer micro-nat inner sum matches the former
+    # per-(doc, token) aggregate term for term
+    s = F.expr(
+        "aggregate(zip_with(_bs, "
+        "concat(slice(_bs, 2, size(_bs) - 1), array(_n + 1)), "
+        "(a, b) -> b - a), 0L, (acc, c) -> acc + "
+        "cast(round(1000000.0 * c * ln(c)) as long))"
+    )
+    return bounded.select(
         F.col(id_col),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("distinct_tokens").cast("long").alias("distinct_tokens"),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.size("_bs").cast("long").alias("distinct_tokens"),
         F.round(
-            F.lit(1000000.0) * F.log("n_tokens")
-            - F.col("_s").cast("double") / F.col("n_tokens")
+            F.lit(1000000.0) * F.log("_n") - s.cast("double") / F.col("_n")
         )
         .cast("long")
         .alias("entropy_micro"),

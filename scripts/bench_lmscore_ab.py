@@ -151,6 +151,58 @@ def build(spark, variant):
     if variant == "persist_bi":
         bi = _bi(_pairs(_staged(docs))).persist()
         return _score(bi)
+    # --- tail stage probes (NOT value-identical; isolate the scoring
+    # tail that the persist probes proved dominant: ~8s of the 9.5s
+    # wall survives even with bi fully cached) ---
+    if variant == "tail_docagg":
+        # doc aggregate alone over bi, no model joins
+        bi = _bi(_pairs(_staged(docs)))
+        return bi.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if variant == "tail_join_big":
+        # one BHJ probe pass + doc agg
+        bi = _bi(_pairs(_staged(docs)))
+        big = bi.groupBy("_h1", "_h2").agg(F.count(F.lit(1)).alias("_c12"))
+        return (
+            bi.join(big, ["_h1", "_h2"])
+            .groupBy("doc_id")
+            .agg(F.sum("_c12").alias("s"))
+        )
+    if variant == "tail_join_both":
+        # both BHJ probe passes + doc agg (= shipped minus voc/BNLJ/log)
+        bi = _bi(_pairs(_staged(docs)))
+        big = bi.groupBy("_h1", "_h2").agg(F.count(F.lit(1)).alias("_c12"))
+        uni = big.groupBy("_h1").agg(F.sum("_c12").cast("long").alias("_c1"))
+        return (
+            bi.join(big, ["_h1", "_h2"])
+            .join(uni, "_h1")
+            .groupBy("doc_id")
+            .agg(F.sum("_c12").alias("s"), F.sum("_c1").alias("t"))
+        )
+    if variant == "tail_const_v":
+        # full scoring tail with a literal vocabulary size: no voc
+        # subtree, no BroadcastNestedLoopJoin — isolates what the
+        # 1-row BNLJ + the voc branch cost
+        bi = _bi(_pairs(_staged(docs)))
+        big = bi.groupBy("_h1", "_h2").agg(F.count(F.lit(1)).alias("_c12"))
+        uni = big.groupBy("_h1").agg(F.sum("_c12").cast("long").alias("_c1"))
+        nll = F.round(
+            -F.log(
+                (F.col("_c12") + F.lit(1.0))
+                / (F.col("_c1") + F.lit(12345))
+            )
+            * 1000000.0,
+            0,
+        ).cast("bigint")
+        return (
+            bi.join(big, ["_h1", "_h2"])
+            .join(uni, "_h1")
+            .select("doc_id", nll.alias("_nll"))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                F.sum("_nll").cast("bigint").alias("nll_micro_sum"),
+            )
+        )
     raise SystemExit(f"unknown variant {variant}")
 
 
