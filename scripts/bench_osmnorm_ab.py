@@ -82,6 +82,13 @@ def build(spark, variant):
             _raw(spark), clean=True, validate="permissive", cache_raw=True
         )
         return _counts(out.as_dict())
+    if variant == "fused":
+        # round-13 registered form: normalize_counts aggregate pushdown
+        from data_wrangling_spark.operators.normalize import normalize_counts
+
+        return normalize_counts(
+            _raw(spark), clean=True, validate="permissive"
+        )
     if variant == "nocache":
         out = normalize(
             _raw(spark), clean=True, validate="permissive", cache_raw=False
