@@ -940,6 +940,7 @@ def hashed_linear_score(
     n_buckets: int = HASH_CLS_BUCKETS,
     weights: DataFrame | None = None,
     threshold_milli: int = 0,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """fastText-shaped linear quality classifier via the hashing trick:
     every token hashes into one of ``n_buckets`` feature buckets
@@ -961,35 +962,66 @@ def hashed_linear_score(
     score_milli = round(1000 · Σw / n) — an integer sum divided once in
     double, so the value is hash-exact across engines and partitionings.
 
-    Scale shape: explode → per-doc hash agg (map-side partials), one
-    row per document out. With a trained ``weights`` relation the
-    attach is a broadcast join (the model is n_buckets rows — tiny by
-    construction)."""
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("_tok")), 1, 4), 16, 10).cast("long")
-        % n_buckets
-    )
-    tok_rows = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), F.explode(TX.tokens(text_col)).alias("_tok")
-    ).select(F.col(id_col), bucket.alias("_bucket"))
+    Scale shape (round 13): with the synthetic model the whole operator
+    is a ZERO-shuffle map-only pass — the score is a per-document
+    statistic, so the former explode → per-doc hash agg paid an
+    exchange (and the agg machinery over every token occurrence) for
+    what one array HOF computes in place: ``aggregate(transform(toks,
+    t -> w(t)), 0L, +)`` evaluates the md5 bucket and Knuth weight
+    inside the token array and sums in integers (order-independent).
+    With a trained ``weights`` relation the explode + broadcast-join
+    attach remains (the model is n_buckets rows — tiny by
+    construction).
+
+    ``carry``: extra ``df`` columns to pass through onto each output
+    row (round 13) — with the map-only synthetic-model path this lets
+    consumers that need per-document attributes next to the score
+    (the x_eval_* label/group columns) stay join-free: the former
+    ``score.join(df.select(...), id)`` re-attach paid a doc-scale
+    shuffle of BOTH sides for columns that were sitting in the same
+    row all along."""
+    carry = carry or []
+
+    def _bucket(tok: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(tok), 1, 4), 16, 10).cast("long")
+            % n_buckets
+        )
+
     if weights is None:
-        weighted = tok_rows.select(
-            F.col(id_col),
-            (
-                F.col("_bucket") * HASH_CLS_WEIGHT_MULT % HASH_CLS_WEIGHT_MOD
-                - (HASH_CLS_WEIGHT_MOD - 1) // 2
-            ).alias("_w"),
+        w = lambda t: (  # noqa: E731
+            _bucket(t) * HASH_CLS_WEIGHT_MULT % HASH_CLS_WEIGHT_MOD
+            - (HASH_CLS_WEIGHT_MOD - 1) // 2
+        )
+        agg = (
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col), *carry, TX.tokens(text_col).alias("_toks"))
+            .filter(F.size("_toks") >= 1)
+            .select(
+                id_col,
+                *carry,
+                F.size("_toks").cast("long").alias("n_tokens"),
+                F.aggregate(
+                    F.transform("_toks", w),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("_s"),
+            )
         )
     else:
+        tok_rows = df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col), *carry, F.explode(TX.tokens(text_col)).alias("_tok")
+        ).select(F.col(id_col), *carry, _bucket(F.col("_tok")).alias("_bucket"))
         weighted = tok_rows.join(
             F.broadcast(weights.withColumnRenamed("bucket", "_bucket")), "_bucket"
-        ).select(F.col(id_col), F.col("weight").alias("_w"))
-    agg = weighted.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"), F.sum("_w").alias("_s")
-    )
+        ).select(F.col(id_col), *carry, F.col("weight").alias("_w"))
+        agg = weighted.groupBy(id_col, *carry).agg(
+            F.count(F.lit(1)).alias("n_tokens"), F.sum("_w").alias("_s")
+        )
     score = F.round(F.lit(1000.0) * F.col("_s") / F.col("n_tokens")).cast("long")
     return agg.select(
         F.col(id_col),
+        *carry,
         F.col("n_tokens").cast("long").alias("n_tokens"),
         score.alias("score_milli"),
     ).withColumn(

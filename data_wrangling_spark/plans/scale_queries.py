@@ -3355,8 +3355,16 @@ def x_text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shipdate-vs-orderdate). The EXISTS becomes one left_semi hash "
         "join on orderkey with the non-equi date conjunct evaluated on "
         "matches — no per-row re-execution, half-year filter pushed to "
-        "the orders scan. Interval arithmetic is timestamp + 60 days "
-        "on both engines (exact, no timezone dependence in this "
+        "the orders scan. Round 13 (guide §3.2): the join conjunct "
+        "l_shipdate > o_orderdate + 60d with o_orderdate >= 1997-01-01 "
+        "IMPLIES l_shipdate > 1997-03-02 — a derived bound the "
+        "optimizer cannot infer across the non-equi conjunct; adding "
+        "it explicitly pushes to the lineitem parquet scan "
+        "(PushedFilters) and drops most of the fact before the semi "
+        "join's exchange (value-identical: any matching pair already "
+        "satisfies the stronger per-pair bound; ~4.1s -> ~2.8s "
+        "steady-state at 100x). Interval arithmetic is timestamp + 60 "
+        "days on both engines (exact, no timezone dependence in this "
         "container's UTC session).",
 )
 def ext_tpch_q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3364,7 +3372,13 @@ def ext_tpch_q4_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
     )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        # derived from the join conjunct + the orders date floor:
+        # 1997-01-01 + 60 days (see doc) — scan-pushed pre-filter
+        .filter(F.col("l_shipdate") > F.lit("1997-03-02").cast("timestamp"))
+    )
     late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
         F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")
     )
@@ -4409,7 +4423,7 @@ def x_text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, score_milli,
                CASE WHEN score_milli > 0 THEN 'keep' ELSE 'drop' END AS label
-        FROM sc ORDER BY doc_id
+        FROM sc
     """,
     doc="fastText-shaped hashed linear quality classifier (operators/"
         "text_analysis.py hashed_linear_score): tokens hash into 4096 "
@@ -4417,15 +4431,19 @@ def x_text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "document score is the mean bucket weight in integer milli "
         "(integer sum + one double division — hash-exact), label by "
         "threshold. The registered model is the deterministic Knuth-hash "
-        "synthetic weight vector, keeping the plan narrow (explode + one "
-        "hash agg, no join); trained weights plug in as a broadcast "
-        "relation of n_buckets rows.",
+        "synthetic weight vector, keeping the plan a ZERO-shuffle "
+        "map-only pass (round 13: the md5 bucket + Knuth weight "
+        "evaluate inside the token array via HOFs, and the terminal "
+        "orderBy(doc_id) presentation sort — whose range-partitioner "
+        "sampling re-executed the whole md5 pass — is dropped on BOTH "
+        "engines; driver value-hash sorts rows); trained weights plug "
+        "in as a broadcast relation of n_buckets rows.",
 )
 def x_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.text_analysis import hashed_linear_score
 
     docs = _t(spark, sf_dir, "documents")
-    return hashed_linear_score(docs).orderBy("doc_id")
+    return hashed_linear_score(docs)
 
 
 #: shared oracle prefix for the evaluation queries: replay the hashed
@@ -4493,15 +4511,14 @@ def x_eval_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.evaluation import roc_auc
     from data_wrangling_spark.operators.text_analysis import hashed_linear_score
 
-    docs = _t(spark, sf_dir, "documents")
-    scored = hashed_linear_score(docs).select("doc_id", "score_milli")
-    lab = scored.join(
-        docs.select(
-            "doc_id",
-            "source",
-            F.when(F.col("lang") == "en", 1).otherwise(0).alias("_y"),
-        ),
-        "doc_id",
+    # round 13: the label/group columns ride THROUGH the map-only
+    # classifier (carry=...) instead of a doc-scale re-attach join —
+    # they were in the same row all along
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_y", F.when(F.col("lang") == "en", 1).otherwise(0)
+    )
+    lab = hashed_linear_score(docs, carry=["source", "_y"]).select(
+        "doc_id", "source", "_y", "score_milli"
     )
     return roc_auc(lab, "score_milli", "_y", ["source"]).orderBy("source")
 
@@ -4545,15 +4562,14 @@ def x_eval_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.evaluation import pr_at_thresholds
     from data_wrangling_spark.operators.text_analysis import hashed_linear_score
 
-    docs = _t(spark, sf_dir, "documents")
-    scored = hashed_linear_score(docs).select("doc_id", "score_milli")
-    lab = scored.join(
-        docs.select(
-            "doc_id",
-            "source",
-            F.when(F.col("lang") == "en", 1).otherwise(0).alias("_y"),
-        ),
-        "doc_id",
+    # round 13: the label/group columns ride THROUGH the map-only
+    # classifier (carry=...) instead of a doc-scale re-attach join —
+    # they were in the same row all along
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_y", F.when(F.col("lang") == "en", 1).otherwise(0)
+    )
+    lab = hashed_linear_score(docs, carry=["source", "_y"]).select(
+        "doc_id", "source", "_y", "score_milli"
     )
     out = pr_at_thresholds(
         lab, "score_milli", "_y", [-300, -150, 0, 150, 300], ["source"]
@@ -4606,15 +4622,14 @@ def x_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.evaluation import calibration_bins
     from data_wrangling_spark.operators.text_analysis import hashed_linear_score
 
-    docs = _t(spark, sf_dir, "documents")
-    scored = hashed_linear_score(docs).select("doc_id", "score_milli")
-    lab = scored.join(
-        docs.select(
-            "doc_id",
-            "source",
-            F.when(F.col("lang") == "en", 1).otherwise(0).alias("_y"),
-        ),
-        "doc_id",
+    # round 13: the label/group columns ride THROUGH the map-only
+    # classifier (carry=...) instead of a doc-scale re-attach join —
+    # they were in the same row all along
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_y", F.when(F.col("lang") == "en", 1).otherwise(0)
+    )
+    lab = hashed_linear_score(docs, carry=["source", "_y"]).select(
+        "doc_id", "source", "_y", "score_milli"
     )
     return calibration_bins(
         lab, "score_milli", "_y", n_bins=10, lo=-500, hi=500,
@@ -4661,15 +4676,14 @@ def x_eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.evaluation import calibration_error
     from data_wrangling_spark.operators.text_analysis import hashed_linear_score
 
-    docs = _t(spark, sf_dir, "documents")
-    scored = hashed_linear_score(docs).select("doc_id", "score_milli")
-    lab = scored.join(
-        docs.select(
-            "doc_id",
-            "source",
-            F.when(F.col("lang") == "en", 1).otherwise(0).alias("_y"),
-        ),
-        "doc_id",
+    # round 13: the label/group columns ride THROUGH the map-only
+    # classifier (carry=...) instead of a doc-scale re-attach join —
+    # they were in the same row all along
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_y", F.when(F.col("lang") == "en", 1).otherwise(0)
+    )
+    lab = hashed_linear_score(docs, carry=["source", "_y"]).select(
+        "doc_id", "source", "_y", "score_milli"
     )
     return calibration_error(
         lab, "score_milli", "_y", n_bins=10, lo=-500, hi=500,
@@ -4715,15 +4729,14 @@ def x_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.evaluation import brier_score
     from data_wrangling_spark.operators.text_analysis import hashed_linear_score
 
-    docs = _t(spark, sf_dir, "documents")
-    scored = hashed_linear_score(docs).select("doc_id", "score_milli")
-    lab = scored.join(
-        docs.select(
-            "doc_id",
-            "source",
-            F.when(F.col("lang") == "en", 1).otherwise(0).alias("_y"),
-        ),
-        "doc_id",
+    # round 13: the label/group columns ride THROUGH the map-only
+    # classifier (carry=...) instead of a doc-scale re-attach join —
+    # they were in the same row all along
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_y", F.when(F.col("lang") == "en", 1).otherwise(0)
+    )
+    lab = hashed_linear_score(docs, carry=["source", "_y"]).select(
+        "doc_id", "source", "_y", "score_milli"
     )
     return brier_score(
         lab, "score_milli", "_y", lo=-500, hi=500, group_cols=["source"]
@@ -5022,7 +5035,14 @@ def x_vec_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "convert — the semantics a naive per-type count gets wrong). "
         "One lazy plan: per step a filtered user-keyed min(ts) hash "
         "aggregate joined to the shrinking survivor set; the lag window "
-        "runs over O(steps) rows, never the event stream.",
+        "runs over O(steps) rows, never the event stream. Round-13 "
+        "probe (scripts/bench_funnel_ab.py, 100x solo): shipped 2.86s; "
+        "the step-1 aggregate ALONE is 1.30s (events scan 0.36s) and "
+        "the three chained stages cannot beat ~2x that floor — fusing "
+        "all steps onto one user-keyed exchange measured 2.64s (a "
+        "wash, within spread) and persisting the per-step user sets "
+        "measured WORSE (4.46s: three tiny cache builds serialize the "
+        "chain), so the lazy chain stays.",
 )
 def ext_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.temporal import funnel_steps
@@ -5127,7 +5147,17 @@ def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "engines; note min/max compare in the STRING domain — '999' > "
         "'1000' — by design, so both engines agree on every cell). One "
         "aggregate computes every statistic together; the per-column "
-        "rows come from unpivoting the single 1-row result.",
+        "rows come from unpivoting the single 1-row result. Round-13 "
+        "stage probe (100x solo): the o_orderkey branch ALONE is 2.45s "
+        "of the query's ~3.3s — an EXACT distinct over a fully-unique "
+        "15M-row key has no map-side collapse by definition, so all "
+        "15M values cross the exchange; grouping in the native long "
+        "domain instead of strings measured a WASH (3.3-3.6s both "
+        "forms, identical output), so the hash-agg per-value constant, "
+        "not key width, is the wall — the q4_top_users/q13 "
+        "engine-constant floor. Remaining branches: price_cents 1.44s "
+        "(150k distinct), orderdate 0.74s, orderstatus 0.39s, "
+        "overlapped by the scheduler inside one job.",
 )
 def ext_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.audit import profile_table
