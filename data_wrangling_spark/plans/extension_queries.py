@@ -375,7 +375,12 @@ def x_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "plain prefix form wherever duplicate groups carry the "
         "quadratic mass (operators/dedup.py jaccard_pairs_collapsed). "
         "The query's corpus is made duplicate-dense by unioning two "
-        "shifted-id replica subsets so both expansion arms execute.",
+        "shifted-id replica subsets so both expansion arms execute "
+        "(round 13: the replicas derive by exploding an id-offset "
+        "array over ONE scan instead of a 3-branch union — the "
+        "collapse pipeline references its corpus several times and "
+        "each reference re-executed all three scans; 3.3s -> 2.0s "
+        "at 100x, identical pairs).",
 )
 def x_dedup_jaccard_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangling_spark.operators.dedup import jaccard_pairs_collapsed
@@ -385,13 +390,20 @@ def x_dedup_jaccard_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 150)
         .select("doc_id", "text")
     )
-    dup1 = docs.filter(F.col("doc_id") % 3 == 0).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    # doc_id % 6 == 0 implies % 3 == 0: one row fans out to its
+    # replica set via explode, so every corpus reference costs ONE
+    # documents scan (value-identical to the oracle's 3-branch union)
+    offs = (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.array(F.lit(0), F.lit(10000), F.lit(20000)),
+        )
+        .when(F.col("doc_id") % 3 == 0, F.array(F.lit(0), F.lit(10000)))
+        .otherwise(F.array(F.lit(0)))
     )
-    dup2 = docs.filter(F.col("doc_id") % 6 == 0).select(
-        (F.col("doc_id") + 20000).alias("doc_id"), "text"
-    )
-    corpus = docs.unionByName(dup1).unionByName(dup2)
+    corpus = docs.select(
+        F.explode(offs).alias("_off"), "doc_id", "text"
+    ).select((F.col("doc_id") + F.col("_off")).alias("doc_id"), "text")
     return jaccard_pairs_collapsed(
         corpus, "doc_id", "text", n=3, threshold=0.3
     ).orderBy("doc_a", "doc_b")
