@@ -799,32 +799,41 @@ def boilerplate_removal(
     AND the df join on the raw 8-token segment string — 5.9x DuckDB at
     100x for the exact shuffles the hash domain shrinks to 8 bytes):
 
-    1. segmentation is a NARROW projection (sequence + slice) that
+    1. segmentation is a NARROW projection (regex split) that
        immediately projects ``xxhash64(segment)`` and DROPS the string;
-    2. per-(doc, hash) occurrence counts are a plain CODEGEN hash
-       aggregate (long, long) -> count — document frequency is then a
-       count over that already-distinct relation (no count-distinct
-       state, no object buffers; round 12 removed the position-list
-       collect that previously ran here for every pair);
-    3. DROPPED positions flow back per doc: the raw posting rows inner-
+    2. within-doc dedup happens IN THE ARRAY (round 13:
+       ``array_distinct`` over the hashed array), so the (doc, hash)
+       posting relation is distinct BY CONSTRUCTION straight off the
+       scan — the former per-(doc, hash) hash aggregate and its
+       corpus-scale exchange are gone outright (guide §2.4); document
+       frequency is then ONE h-keyed aggregate whose map-side partials
+       collapse to per-task vocabulary;
+    3. the drop decision is purely hash-based, so no position lists
+       are needed at all (round 13): the distinct posting rows inner-
        join the boilerplate hash set (unique aggregate output — AQE
        broadcasts it when it fits) and ONE per-doc list aggregate
-       collects only OFFENDER coordinates — position lists exist solely
-       for segments being removed, never for survivors;
-    4. reassembly is a doc-keyed join of the ORIGINAL rows against the
-       per-doc drop set: re-segment narrowly (the text was going to be
-       read for output anyway) and keep every index not in the drop
-       array via one flat (element, index) ``filter`` — original order
-       is the array order, deterministic under any partitioning.
+       collects each affected doc's OFFENDER HASHES (bounded by the
+       doc's distinct boilerplate segments — tighter than the old
+       per-occurrence position lists);
+    4. reassembly is a doc-keyed LEFT join of the ORIGINAL rows
+       against that drop set: re-segment narrowly (the text was going
+       to be read for output anyway) and keep every segment whose
+       hash is not in the doc's bad-hash array via one flat ``filter``
+       — original order is the array order, deterministic under any
+       partitioning.
 
-    Both posting exchanges ship rows keyed on 8 bytes — the plan test
+    Every posting exchange ships rows keyed on 8 bytes — the plan test
     pins that no exchange partitions on the segment string. Round-12
     stage probes at 100x: segmentation pass 0.67s, posting aggregate
-    1.69s, shipped total 5.19s -> reworked 3.3s (-35%): the all-pairs
-    position-list collect was an object-buffer aggregate outside
-    codegen (the q21 collect_set lesson applied to lists), and the
-    struct-wrap/filter/unwrap reassembly ran three interpreted HOF
-    layers where one flat filter suffices.
+    1.69s, shipped 5.19s -> 3.3s (position lists only for dropped
+    segments). Round-13 rework (this form): corpus exchanges 3 -> 2
+    and segmentation passes 3 -> 2; the local 100x A/B is a WASH
+    within noise (3.8-3.9s -> 3.5-3.7s, identical output incl. the
+    whitespace edge cases) because the shared final reassembly
+    projection dominates locally — the win is the removed
+    corpus-scale (doc, hash) exchange, whose bytes scale with the
+    corpus while the surviving h-keyed exchange collapses map-side to
+    vocabulary.
 
     Hash-collision caveat (same as :func:`boilerplate_spans`): two
     distinct segments colliding in xxhash64 would merge their df counts
@@ -860,65 +869,50 @@ def boilerplate_removal(
     # elimination, so each textual use re-runs the regexes — the
     # reassembly select reads it three times)
     base = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), segs.alias("_segs")
-    )
-    # hash INSIDE the array, explode LONGS: generating 3.6M string rows
-    # through posexplode cost 12s at the 100x probe (per-row UTF8String
-    # materialization) vs 4.7s for transform-then-explode — the segment
-    # string never even reaches the generator
-    rows = base.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform("_segs", lambda s: F.xxhash64(s))
-        ).alias("_i", "_h"),
+        segs.alias("_segs"),
+        F.array_distinct(
+            F.transform(segs, lambda s: F.xxhash64(s))
+        ).alias("_hs"),
     )
-    # (doc, hash) -> occurrence count: a plain CODEGEN hash aggregate
-    # (round-12 rework, -35% at 100x: the previous form collected a
-    # per-(doc, hash) position LIST here — an object-buffer aggregate
-    # outside codegen over EVERY pair — and then flattened those lists
-    # in a SECOND object aggregate; position lists are only ever
-    # needed for DROPPED segments, so they are now collected from the
-    # raw posting rows AFTER the boilerplate filter, which on a real
-    # corpus is the small minority. Stage probes: 5.19s shipped vs
-    # 3.3s reworked, scripts/ROUNDLOG round 12.) The relation is
-    # distinct by construction, so df below needs no count-distinct.
-    occ = rows.groupBy(id_col, "_h").agg(F.count(F.lit(1)).alias("_c"))
+    # hash INSIDE the array and dedup IN the array: explode then emits
+    # distinct (doc, hash) LONG pairs straight off the scan — no
+    # per-(doc, hash) aggregate, no corpus-scale exchange (round 13;
+    # the segment string never reaches the generator, as before)
+    pairs = base.select(
+        F.col(id_col), F.explode("_hs").alias("_h")
+    )
     bad = (
-        occ.groupBy("_h")
+        pairs.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") >= min_docs)
         .select("_h")
     )
-    dropped = (
-        # INNER equi join of the raw posting rows against bad's unique
-        # _h (not left_semi: Catalyst pushes a semi below aggregates
-        # and re-scans the corpus branch — the round-9 probe measured
-        # the semi form at 94.6s vs 49.3s inner at 100x). Re-reading
-        # `rows` here re-runs segmentation+hash (seg pass is 0.67s at
-        # 100x) — measured cheaper than shipping every position list
-        # through object aggregates; only OFFENDER coordinates are
-        # ever list-collected, and only once.
-        rows.join(bad, "_h")
+    doc_bad = (
+        # INNER equi join of the distinct posting rows against bad's
+        # unique _h (not left_semi: Catalyst pushes a semi below
+        # aggregates and re-scans the corpus branch — the round-9
+        # probe measured the semi form at 94.6s vs 49.3s inner at
+        # 100x). Re-reading `pairs` here re-runs segmentation+hash
+        # (0.67s at 100x) — cheaper than persisting a corpus-scale
+        # relation; only OFFENDER hashes are ever list-collected.
+        pairs.join(bad, "_h")
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("_n_drop"),
-            F.array_sort(F.collect_list("_i")).alias("_drop"),
-        )
+        .agg(F.collect_list("_h").alias("_badhs"))
     )
-    drop_arr = F.coalesce(F.col("_drop"), F.array().cast("array<int>"))
-    # flat (element, index) filter — the previous struct-wrap +
-    # filter + unwrap ran three interpreted HOF layers
+    bad_arr = F.coalesce(F.col("_badhs"), F.array().cast("array<bigint>"))
+    # drop decision is purely hash-based: keep segments whose hash is
+    # not in the doc's offender set (re-hashing a segment in the
+    # filter is one codegen xxhash64 per element)
     kept_segs = F.filter(
-        "_segs", lambda s, i: ~F.array_contains(drop_arr, i.cast("int"))
+        "_segs", lambda s: ~F.array_contains(bad_arr, F.xxhash64(s))
     )
     return (
-        base.join(dropped, id_col, "left")
+        base.join(doc_bad, id_col, "left")
         .select(
             F.col(id_col),
             F.size("_segs").cast("long").alias("n_segments"),
-            (F.size("_segs") - F.coalesce(F.col("_n_drop"), F.lit(0)))
-            .cast("long")
-            .alias("n_kept"),
+            F.size(kept_segs).cast("long").alias("n_kept"),
             F.array_join(kept_segs, " ").alias("cleaned_text"),
         )
     )

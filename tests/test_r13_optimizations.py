@@ -66,6 +66,20 @@ def test_rolling_event_features_has_no_terminal_sort(spark):
     assert "rangepartitioning" not in plan, plan
 
 
+def test_boilerplate_removal_has_no_doc_hash_exchange(spark):
+    """boilerplate_removal dedups within-doc segments IN THE ARRAY
+    (array_distinct over the hashed array), so the (doc, hash) posting
+    relation is distinct by construction and the former corpus-scale
+    per-(doc, hash) aggregate exchange must not reappear: no exchange
+    may hash-partition on (doc_id, hash) together."""
+    import re
+
+    plan = _executed_plan(spark, "x_text_boilerplate_removal")
+    assert not re.search(
+        r"hashpartitioning\(doc_id#\d+L?, _h", plan
+    ), plan
+
+
 def test_normalize_counts_matches_materializing_counts(spark):
     """normalize_counts (the one-pass aggregate-pushdown twin) must
     equal the per-table counts of the materializing normalize() on
