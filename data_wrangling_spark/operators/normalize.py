@@ -160,7 +160,9 @@ def normalize_counts(
     validate='off' counts every row (no quarantine split); 'strict' is
     not supported here (use normalize() — strict needs the violating
     ROW, not a count)."""
-    if validate == "strict":
+    if validate not in ("off", "permissive"):
+        # whitelist, not a 'strict' blacklist (round-14 ADVICE): a typo
+        # like 'permisive' must error, not silently take a branch
         raise ValueError("normalize_counts supports validate='off'|'permissive'")
     is_node = F.col("element") == "node"
     is_way = F.col("element") == "way"

@@ -220,7 +220,14 @@ def _normalize_counts_oracle() -> str:
         "null-preserving). A real ingest that WRITES the five tables "
         "pays the landing-zone shape per normalize()'s docstring; "
         "this query computes counts, and counting does not require "
-        "materializing. Falls back to the fixture at the driver dirs, "
+        "materializing. NOTE (round-14 ADVICE): since round 13 this "
+        "row benches the counts-only twin — a CHANGED WORKLOAD vs the "
+        "pre-r13 rows, not a speedup of the materializing fan-out "
+        "(which keeps oracle coverage at fixture scale via "
+        "osm_pipeline_audit/quarantine and a bench-scale regression "
+        "canary in scripts/bench_osmnorm_ab.py's 'shipped' variant — "
+        "the pre-r13 persist+5-count materializing form). "
+        "Falls back to the fixture at the driver dirs, "
         "where the VALUES oracle (counts derived arithmetically from "
         "the generator constants) asserts every table's row count.",
 )

@@ -2858,6 +2858,17 @@ def x_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "The resulting plan is the measured two-fact floor — stage "
         "probes: li scan+filter 0.9s, orders SMJ customer 1.8s, "
         "li shuffle + merge + agg ~1.6s (SCALING.md q7 floor note). "
+        "Round-14 re-probe (verdict item 2, bench_q7_ab.py shj* "
+        "variants): the 1996-1998 shipdate window IS in the lineitem "
+        "PushedFilters (plans/r14 before dump — the suspected miss "
+        "was unfounded), and SHUFFLE_HASH-hinting either or both "
+        "fact joins measured a WASH across 6 interleaved fresh-JVM "
+        "pairs (3 wins/3 losses; shipped 4.33-6.58s vs both-SHJ "
+        "4.41-7.74s medians, pooled mins 4.29 vs 3.99) — unlike "
+        "q21/q9 there is no window/aggregate riding the join's "
+        "partitioning to bank the sort removal, and the nation-pair "
+        "<> predicate keeps 4/5 of region pairs (not selective "
+        "enough to semi-push). The two-fact floor stands. "
         "Int-cents revenue.",
 )
 def ext_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3522,12 +3533,20 @@ _PS_SQL = """
 """
 
 
-def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _derived_partsupp(
+    spark: SparkSession, sf_dir: str, lineitem: DataFrame | None = None
+) -> DataFrame:
+    """``lineitem`` (optional): a pre-filtered lineitem DataFrame — a
+    consumer that reduces the fact BEFORE the catalog aggregate (q11's
+    ASIA semi push-down) shares this one projection/aggregate
+    definition instead of copy-pasting the formulas (round-14 ADVICE:
+    a drift in the cents/qty derivation would silently desync the
+    semi-filtered catalog from the other partsupp consumers)."""
     unit_cents = F.round(
         F.col("l_extendedprice") / F.col("l_quantity") * 100, 0
     ).cast("bigint")
     return (
-        _t(spark, sf_dir, "lineitem")
+        (lineitem if lineitem is not None else _t(spark, sf_dir, "lineitem"))
         .select(
             F.col("l_partkey").alias("ps_partkey"),
             F.col("l_suppkey").alias("ps_suppkey"),
@@ -3660,7 +3679,11 @@ def ext_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
         "the filtered part dim (~13% of 2k rows), supplier, and nation "
         "all broadcast; the only big-big join is lineitem ⨝ orders on "
         "orderkey, then one hash aggregate on (nation, year) with "
-        "map-side partials.",
+        "map-side partials. Round 14: that join is SHUFFLE_HASH-hinted "
+        "past broadcast scale (size-gated on orders' disk bytes, the "
+        "q21 pattern) — neither fact side is sorted; local A/B "
+        "marginal (2.56 vs 2.66s median at 100x, bench_q9_ab.py), "
+        "shipped on the sort-removal structural argument.",
 )
 def ext_tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = (
@@ -3689,6 +3712,20 @@ def ext_tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFra
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_orderkey", amount_cents.alias("_cents"), "n_name")
     )
+    # round 14: shuffled-hash instead of sort-merge for the one big-big
+    # join (guide §3.1) — builds the 2-column orders projection per
+    # partition and sorts NEITHER side. Same size-gate-from-below as
+    # q21: only hint past broadcast scale, where the unhinted plan
+    # degrades to the sorted SMJ. Honest local A/B (bench_q9_ab.py,
+    # interleaved fresh-JVM pairs at 100x): 2/1/1 win/tie/loss,
+    # medians 2.56 vs 2.66s, pooled mins 2.37 vs 2.50 — a marginal
+    # local win; shipped on the structural argument that the deleted
+    # per-partition sorts are O(n log n) state that grows with
+    # partition size while the hash build is the smaller projection
+    # (the q21 rework measured the same sort removal at -45% where the
+    # sort was the wall).
+    if _table_disk_bytes(sf_dir, "orders") >= (32 << 20):
+        orders = orders.hint("shuffle_hash")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
@@ -3738,29 +3775,16 @@ def ext_tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def ext_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_asia = _region_suppliers(spark, sf_dir, "ASIA").select("s_suppkey")
-    unit_cents = F.round(
-        F.col("l_extendedprice") / F.col("l_quantity") * 100, 0
-    ).cast("bigint")
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .join(
-            F.broadcast(s_asia),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-            "left_semi",
-        )
-        .select(
-            F.col("l_partkey").alias("ps_partkey"),
-            F.col("l_suppkey").alias("ps_suppkey"),
-            unit_cents.alias("_unit_cents"),
-            F.round(F.col("l_quantity"), 0).cast("bigint").alias("_qty"),
-        )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(s_asia),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
     )
     # the two-level aggregate shape of the derived catalog is kept
-    # (MIN unit cost is per PAIR); only its INPUT shrinks
-    ps = li.groupBy("ps_partkey", "ps_suppkey").agg(
-        F.min("_unit_cents").cast("bigint").alias("ps_cost_cents"),
-        F.sum("_qty").cast("bigint").alias("ps_qty"),
-    )
+    # (MIN unit cost is per PAIR); only its INPUT shrinks — the
+    # projection/aggregate definition is _derived_partsupp's own
+    # (round-14 ADVICE dedup)
+    ps = _derived_partsupp(spark, sf_dir, lineitem=li)
     val = ps.groupBy(F.col("ps_partkey").alias("p_partkey")).agg(
         F.sum(F.col("ps_cost_cents") * F.col("ps_qty"))
         .cast("bigint")
@@ -4056,19 +4080,25 @@ def ext_tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> Dat
         "independently; the supplier/nation/region chain broadcasts. "
         "Round-12 stage probes (scripts/bench_q21_ab.py, fresh JVM "
         "per variant at 100x): li scan 0.43s + F-orders scan 0.25s; "
-        "the li x F-orders SMJ ALONE measures 5.5s median (runs "
-        "4.6-13.9s) — at or above the full query's own 4.7-5.0s "
-        "medians (runs 3.7-9.3s) — so the WindowExec, filter, "
-        "broadcast-asia join and final agg all ride the join's "
-        "partitioning+sort within run-to-run noise. A rework A/B "
-        "replacing the four windows with a groupBy(l_orderkey) "
-        "SortAggregate (a qualifying order's late lines share one "
-        "supplier, so it collapses to (min_ls, n_late) with no "
-        "join-back) measured a wash: medians 4.5-8.2s, same band. "
-        "The floor is therefore the q7-class MATERIALIZED TWO-FACT "
-        "SHUFFLE itself (DuckDB joins 60M x 7.5M in shared memory, "
-        "1.4s); the r11 bimodal {3.9-4.0}/{5.9-6.5} JVM band lives in "
-        "the shuffle stage, not the window — publish median + band.",
+        "the li x F-orders SMJ ALONE measures 5.5s median — at the "
+        "full query's own wall — and the groupBy(l_orderkey) "
+        "SortAggregate rework over the SAME SMJ was a wash. Round 14 "
+        "(guide §3.1): the wash diagnosis was incomplete — the cost "
+        "was the SMJ's two SORTS, not the window buffers. Shipped "
+        "form = SHUFFLE_HASH hint on the F-orders side (narrower "
+        "projection builds per partition, nothing is sorted) + the "
+        "conditional aggregate, which over unsorted SHJ output plans "
+        "as a HashAggregate riding the join's partitioning: a "
+        "qualifying order's late lines all share one supplier, so "
+        "each order collapses to (late_supplier, n_late) and numwait "
+        "= SUM(n_late) — value-identical to counting l1 rows (r12 "
+        "identity A/B + oracle). Interleaved fresh-JVM A/B at 100x "
+        "(round 14): window/agg-SMJ/agg-SHJ 6.95/4.14/3.80s medians, "
+        "pooled mins 4.33/3.98/3.66; join-alone smj 3.4-3.9 vs shj "
+        "3.0-3.2. Plan: SortMergeJoin + 2 Sort + Window -> "
+        "ShuffledHashJoin BuildRight + HashAggregate; DuckDB does the "
+        "whole query in ~1.4s shared-memory — the residual is the "
+        "materialized two-fact shuffle, the distributed-engine tax.",
 )
 def ext_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
@@ -4079,6 +4109,23 @@ def ext_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
+    # round 14: SHUFFLE_HASH on the F-orders side — the SMJ sorted
+    # BOTH shuffled sides (the 3-col lineitem projection and the
+    # 2-col F-orders projection) just to feed a window that only
+    # needed per-orderkey grouping; a shuffled hash join builds the
+    # NARROWER side (F-orders: ~8/10 the rows at ~half the width of
+    # the li side) per partition and sorts nothing. Scale-safe where
+    # the SMJ itself is feasible: the build is one partition's slice
+    # of the smaller projection (partition count scales with data
+    # via spark.sql.shuffle.partitions + AQE), orderkeys are
+    # uniform, and AQE skew-join splitting applies to SHJ as well.
+    # SIZE-GATED from below (the q7 supplier-gate pattern, inverted):
+    # a join hint overrides the auto-broadcast path too, and at small
+    # inputs (sf0.1: 2.6 MB orders) the F-orders projection broadcasts
+    # for free — only hint once orders is provably past broadcast size
+    # on disk, where the unhinted plan degrades to the sorted SMJ.
+    if _table_disk_bytes(sf_dir, "orders") >= (32 << 20):
+        orders = orders.hint("shuffle_hash")
     lo = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .withColumn(
@@ -4087,28 +4134,42 @@ def ext_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .select("l_orderkey", "l_suppkey", "_late")
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("l_orderkey")
+    # round 14 (verdict item 1): the four per-order MIN/MAX windows
+    # collapse into ONE groupBy(l_orderkey) conditional aggregate — a
+    # qualifying order's late lines all share one supplier (min_ls ==
+    # max_ls), so the order reduces to (late_supplier = min_ls, n_late)
+    # with no 60M-row pass-through emission and no join-back; numwait =
+    # SUM(n_late), value-identical to counting the late lines (r12 A/B
+    # asserted identity vs the oracle). Riding the UNSORTED SHJ output
+    # this plans as a HashAggregate on the join's partitioning — with
+    # the SMJ it planned as a SortAggregate and measured a wash (the
+    # sorts were the cost, not the window buffers: see
+    # scripts/bench_q21_ab.py round-14 numbers — interleaved A/B
+    # window/agg/agg_shj 6.95/4.14/3.80s, pooled mins 4.33/3.98/3.66).
     late_s = F.when(F.col("_late"), F.col("l_suppkey"))
-    counted = (
-        lo.withColumn("_min_s", F.min("l_suppkey").over(w))
-        .withColumn("_max_s", F.max("l_suppkey").over(w))
-        .withColumn("_min_ls", F.min(late_s).over(w))
-        .withColumn("_max_ls", F.max(late_s).over(w))
-    )
-    asia = _region_suppliers(spark, sf_dir, "ASIA").select("s_suppkey", "s_name")
-    waiting = (
-        counted.filter(
-            F.col("_late")
-            & (F.col("_min_s") != F.col("_max_s"))
+    per_order = (
+        lo.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("_min_s"),
+            F.max("l_suppkey").alias("_max_s"),
+            F.min(late_s).alias("_min_ls"),
+            F.max(late_s).alias("_max_ls"),
+            F.sum(F.when(F.col("_late"), F.lit(1)).otherwise(F.lit(0)))
+            .alias("_n_late"),
+        )
+        .filter(
+            (F.col("_min_s") != F.col("_max_s"))
+            & F.col("_min_ls").isNotNull()
             & (F.col("_min_ls") == F.col("_max_ls"))
         )
-        .join(F.broadcast(asia), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    asia = _region_suppliers(spark, sf_dir, "ASIA").select("s_suppkey", "s_name")
+    waiting = per_order.join(
+        F.broadcast(asia), F.col("_min_ls") == F.col("s_suppkey")
     )
     return (
         waiting.groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_n_late").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )

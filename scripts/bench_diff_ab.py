@@ -103,6 +103,41 @@ def build(spark, sf_dir: str, variant: str):
         return snapshot_diff(oldv, newv, "doc_id", "text").orderBy("doc_id")
     if variant == "full_noord":
         return snapshot_diff(oldv, newv, "doc_id", "text")
+    if variant == "persist":
+        # round-14 candidate (verdict item 3): the fast branch and the
+        # churn-id branch are BOTH consumers of the same full-outer
+        # join, and Spark re-executes the subtree per consumer — two
+        # corpus hash-scans + two full-outer shuffles for one logical
+        # join. Persist the narrow (id, hashes, flags) join output
+        # (~24B/row — far below corpus scale) so it executes once;
+        # per-run cost priced by the clearCache+rebuild protocol.
+        from data_wrangling_spark.functions.text import fingerprint
+
+        j = o.join(n, "_id", "full_outer").persist()
+        fast = j.select(F.col("_id"), fast_status.alias("status")).filter(
+            F.col("status").isNotNull()
+        )
+        mis2 = j.filter(
+            F.col("_in_old").isNotNull()
+            & F.col("_in_new").isNotNull()
+            & ~F.col("_oraw").eqNullSafe(F.col("_nraw"))
+        ).select("_id")
+        otext = oldv.select(F.col("doc_id").alias("_id"),
+                            F.col("text").alias("_ot"))
+        ntext = newv.select(F.col("doc_id").alias("_id"),
+                            F.col("text").alias("_nt"))
+        slow = (
+            mis2.join(otext, "_id").join(ntext, "_id")
+            .select(
+                "_id",
+                F.when(fingerprint("_ot").eqNullSafe(fingerprint("_nt")),
+                       F.lit("unchanged"))
+                .otherwise(F.lit("changed")).alias("status"),
+            )
+        )
+        return fast.unionAll(slow).select(
+            F.col("_id").alias("doc_id"), F.col("status")
+        )
     raise SystemExit(f"unknown variant {variant!r}")
 
 
@@ -115,15 +150,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     df = build(spark, SF_DIR, variant)
 
-    def _run():
-        df.write.format("noop").mode("overwrite").save()
+    def _run(d):
+        d.write.format("noop").mode("overwrite").save()
 
-    _run()
+    _run(df)
+    spark.catalog.clearCache()
     runs = []
     for _ in range(3):
+        # time_suite protocol: rebuild the plan per timed run (outside
+        # the timed window) + clearCache after, so a plan-internal
+        # persist is priced as a one-shot (cache write + read) per run
+        d = build(spark, SF_DIR, variant)
         t0 = time.perf_counter()
-        _run()
+        _run(d)
         runs.append(time.perf_counter() - t0)
+        spark.catalog.clearCache()
     print(f"{variant}: median {statistics.median(runs):.3f}s "
           f"runs {[round(r, 3) for r in runs]}")
     spark.stop()

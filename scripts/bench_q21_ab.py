@@ -86,7 +86,9 @@ def _parts(spark, sf_dir):
     return li, orders
 
 
-def _joined(li, orders):
+def _joined(li, orders, shj: bool = False):
+    if shj:
+        orders = orders.hint("shuffle_hash")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .withColumn(
@@ -143,14 +145,30 @@ def build(spark, sf_dir: str, variant: str):
         return li
     if variant == "ord_scan":
         return orders
-    lo = _joined(li, orders)
-    if variant == "smj":
+    lo = _joined(li, orders, shj=variant.endswith("_shj") or variant == "shj")
+    if variant in ("smj", "shj"):
         return lo
     if variant == "smj_window":
         return _windowed(lo)
-    if variant == "smj_agg":
+    if variant in ("smj_agg", "agg2_shj"):
         return _aggregated(lo)
     asia = _region_suppliers(spark, sf_dir, "ASIA").select("s_suppkey", "s_name")
+    if variant == "agg_shj":
+        # round-14 candidate: SHUFFLE_HASH hint on the F-orders side of
+        # the fact-fact join (guide §3.1: no sort of either side; build
+        # = per-partition slice of the 2-column F-orders projection)
+        # + the r12 conditional aggregate, which after an UNSORTED SHJ
+        # plans as a HashAggregate riding the join's partitioning —
+        # the two 60M/7.5M-row sorts of the SMJ plan disappear.
+        waiting = _aggregated(lo).join(
+            F.broadcast(asia), F.col("_min_ls") == F.col("s_suppkey")
+        )
+        return (
+            waiting.groupBy("s_name")
+            .agg(F.sum("n_late").cast("long").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(20)
+        )
     if variant == "window":
         waiting = _windowed(lo).join(
             F.broadcast(asia), F.col("l_suppkey") == F.col("s_suppkey")

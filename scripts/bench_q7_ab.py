@@ -50,7 +50,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 
-def build(spark, sf_dir: str, hint_cust: bool, hint_supp: bool):
+def build(spark, sf_dir: str, hint_cust: bool, hint_supp: bool,
+          shj_oc: bool = False, shj_cust: bool = False):
     from data_wrangling_spark.sources.tables import load_table
 
     def _t(name):
@@ -76,10 +77,19 @@ def build(spark, sf_dir: str, hint_cust: bool, hint_supp: bool):
         .cast("long").alias("_cents"),
     )
     c = F.broadcast(cust) if hint_cust else cust
+    if shj_cust:
+        # round-14: shuffled-hash instead of sort-merge for orders⨝cust
+        # (guide §3.1 — build the narrow cust projection per partition,
+        # skip both sorts)
+        c = c.hint("shuffle_hash")
     s = F.broadcast(supp) if hint_supp else supp
     oc = orders.join(c, orders.o_custkey == cust.c_custkey).select(
         "o_orderkey", "cust_region"
     )
+    if shj_oc:
+        # round-14: shuffled-hash for the li⨝oc fact-fact join, build =
+        # the (o_orderkey, cust_region) side — removes the two big sorts
+        oc = oc.hint("shuffle_hash")
     return (
         li.join(oc, li.l_orderkey == oc.o_orderkey)
         .join(s, li.l_suppkey == supp.s_suppkey)
@@ -102,7 +112,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     df = build(spark, sf_dir,
                hint_cust=variant in ("cust", "both"),
-               hint_supp=variant in ("supp", "both"))
+               hint_supp=variant in ("supp", "both", "shj", "shj_oc",
+                                     "shj_cust"),
+               shj_oc=variant in ("shj", "shj_oc"),
+               shj_cust=variant in ("shj", "shj_cust"))
 
     def run(d):
         d.write.format("noop").mode("overwrite").save()

@@ -49,12 +49,36 @@ def test_q11_filters_lineitem_before_catalog_aggregate(spark):
     partsupp rows)."""
     plan = _executed_plan(spark, "ext_tpch_q11_important_parts")
     assert "LeftSemi" in plan, plan
-    semi_pos = plan.index("LeftSemi")
-    agg_pos = plan.index("HashAggregate")
-    assert agg_pos < semi_pos, (
-        "the catalog aggregate should appear above the semi join in "
-        "the plan tree (aggregate consumes the semi-filtered scan)"
-    )
+    # Anchor on the CATALOG aggregate specifically (round-14 ADVICE
+    # fix: the FIRST HashAggregate in a top-down plan string is the
+    # topmost grand-total aggregate, which precedes the semi join in
+    # ANY plan shape — asserting on it was near-vacuous). The plan
+    # string concatenates TWO trees (the grand-total scalar subquery
+    # replays the catalog aggregation), so check PER SUBTREE: every
+    # LeftSemi must have a (ps_partkey, ps_suppkey) catalog aggregate
+    # printed above it since the previous semi — a parent prints
+    # before its children, so "aggregate consumes the semi-filtered
+    # scan" reads as catalog-agg-text before LeftSemi-text within the
+    # same subtree. If the semi were hoisted back above the catalog
+    # aggregate, its subtree would show the semi first and fail.
+    import re
+
+    semis = [m.start() for m in re.finditer(r"LeftSemi", plan)]
+    cat_aggs = [
+        m.start()
+        for m in re.finditer(
+            r"HashAggregate\(keys=\[ps_partkey#\d+L?, ps_suppkey", plan
+        )
+    ]
+    assert cat_aggs, f"no (ps_partkey, ps_suppkey) catalog aggregate:\n{plan}"
+    prev = 0
+    for s in semis:
+        assert any(prev < a < s for a in cat_aggs), (
+            "a LeftSemi appears without a (ps_partkey, ps_suppkey) "
+            "catalog aggregate above it in its subtree — the ASIA "
+            "semi join moved back above the catalog aggregate"
+        )
+        prev = s
 
 
 def test_rolling_event_features_has_no_terminal_sort(spark):
